@@ -1,0 +1,202 @@
+"""Benchmark harness.
+
+Default mode: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The corpus is replicated REPLICATE x (deterministic doc_id/url offsets) so
+the scoring stage processes a meaningful volume (sf0.1 has 5k docs ->
+default 40x = 200k docs, the reference's published benchmark size).
+
+Scaling mode (north rule evidence): `python bench.py --scaling` runs the
+SAME flagship job in two fresh JVMs at local[8] and local[32] and reports
+throughput at both plus efficiency = (T8/T32)/4; results are appended by
+hand to BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "40"))
+
+
+def get_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("sentometrics-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def replicated_pages(spark, sf_dir: str, rep: int):
+    """Deterministically replicate the corpus rep x with unique urls.
+    warc_ts is kept, so per-bucket density grows with rep (the realistic
+    scale-up direction for a fixed time range)."""
+    from pyspark.sql import functions as F
+
+    from sentometrics_spark.corpus import build_pages
+
+    pages = build_pages(spark, sf_dir, with_html=False)
+    if rep > 1:
+        reps = spark.range(rep).select(F.col("id").alias("rep"))
+        pages = pages.crossJoin(reps).withColumn(
+            "url", F.concat_ws("#", "url", F.col("rep").cast("string"))
+        ).drop("rep")
+    # the source parquet is a single file => a single input partition; spread
+    # the scoring work across all cores (on a real cluster the Iceberg scan
+    # would already be split by file/row-group)
+    cpus = spark.sparkContext.defaultParallelism
+    return pages.repartition(cpus * 2)
+
+
+def force(df) -> int:
+    """Materialize a DataFrame fully (noop sink) and return its row count."""
+    from pyspark.sql import functions as F
+
+    return df.agg(F.count("*")).collect()[0][0]
+
+
+def run_benchmarks(cpus: int, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from sentometrics_spark.aggregate.doc_agg import aggregate_docs
+    from sentometrics_spark.aggregate.kernels import setup_time_weights
+    from sentometrics_spark.aggregate.time_agg import aggregate_time, measures_fill
+    from sentometrics_spark.config import TimeKernelSpec
+    from sentometrics_spark.lexicons import Lexicons, fixture_lexicons
+    from sentometrics_spark.scoring.algebraic import compute_sentiment_algebraic
+    from sentometrics_spark.scoring.udf_engine import compute_sentiment_udf
+    from sentometrics_spark import entry_queries as eq
+
+    spark = get_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = replicated_pages(spark, sf_dir, REPLICATE).cache()
+    n_docs = pages.count()
+    lex = fixture_lexicons()
+    lex_nv = Lexicons(lex=lex.lex)
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {"n_docs": n_docs, "replicate": REPLICATE, "cpus": cpus}
+
+    def timed(name: str, fn) -> float:
+        t0 = time.time()
+        n = fn()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        return n
+
+    # q1: flagship — full pipeline, UDF scoring engine (the scale path)
+    def q1():
+        sent = compute_sentiment_udf(pages, lex_nv, "proportional", mode="unigram")
+        m = aggregate_docs(sent, by="hour", how="proportional", keep_partials=False).persist()
+        filled = measures_fill(m.select("bucket_ts", "lexicon", "feature", "value"), by="hour", fill="zero")
+        kernels = setup_time_weights((TimeKernelSpec("almon", orders_alm=(1, 2)),), 24)
+        n = force(aggregate_time(filled, kernels, 24, check_lag=False))
+        m.unpersist()
+        return n
+
+    n_points = timed("q1_pipeline_udf_hour_almon24", q1)
+    extra["rolled_points"] = n_points
+    extra["points_per_sec"] = round(n_points / timings["q1_pipeline_udf_hour_almon24"], 1)
+    extra["docs_per_sec_q1"] = round(n_docs / timings["q1_pipeline_udf_hour_almon24"], 1)
+
+    # q2: scoring only, UDF engine (compare vs reference ~5.3k docs/s/core)
+    timed("q2_score_udf_counts", lambda: force(
+        compute_sentiment_udf(pages, lex_nv, "counts", mode="unigram")))
+    extra["docs_per_sec_q2"] = round(n_docs / timings["q2_score_udf_counts"], 1)
+
+    # q3: scoring only, pure-Catalyst algebraic plan
+    timed("q3_score_algebraic_counts", lambda: force(
+        compute_sentiment_algebraic(pages, lex_nv, "counts")))
+
+    # q4: valence cluster engine (sequential per-doc kernel)
+    timed("q4_score_udf_cluster", lambda: force(
+        compute_sentiment_udf(pages, lex, "counts", mode="cluster")))
+
+    # q5: doc aggregation + fill + rolling on day tier
+    def q5():
+        sent = compute_sentiment_algebraic(pages, lex_nv, "proportional")
+        m = aggregate_docs(sent, by="day", how="equal_weight", keep_partials=False).persist()
+        filled = measures_fill(m.select("bucket_ts", "lexicon", "feature", "value"), by="day", fill="zero")
+        kernels = setup_time_weights((TimeKernelSpec("exponential", alphas_exp=(0.1, 0.3)),), 7)
+        n = force(aggregate_time(filled, kernels, 7, check_lag=False))
+        m.unpersist()
+        return n
+
+    timed("q5_pipeline_algebraic_day", q5)
+
+    # q6: dedup fingerprint over replicated corpus (exact dup groups = rep)
+    timed("q6_dedup_fingerprint", lambda: force(eq.q_dedup_fingerprint(spark, sf_dir)))
+
+    # q7: brute-force knn
+    timed("q7_knn_cosine", lambda: force(eq.q_knn_cosine(spark, sf_dir)))
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline_suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        **extra,
+    }
+    spark.stop()
+    return result
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    if "--scaling" in sys.argv:
+        # north-rule scaling evidence: same job, two parallelism levels,
+        # fresh JVM each (spawned subprocesses)
+        results = {}
+        for c in (8, 32):
+            out = subprocess.run(
+                [sys.executable, __file__, "--once", f"--cpus={c}"],
+                capture_output=True,
+                text=True,
+                env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            results[c] = json.loads(line)
+        t8 = results[8]["queries"]["q1_pipeline_udf_hour_almon24"]
+        t32 = results[32]["queries"]["q1_pipeline_udf_hour_almon24"]
+        eff = (t8 / t32) / 4.0
+        print(json.dumps({
+            "metric": "scaling_efficiency_8_to_32",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "t_local8_sec": t8,
+            "t_local32_sec": t32,
+            "docs_per_sec_local8": results[8]["docs_per_sec_q1"],
+            "docs_per_sec_local32": results[32]["docs_per_sec_q1"],
+            "sf": sf_dir,
+        }))
+        return
+
+    if "--once" in sys.argv:
+        for a in sys.argv:
+            if a.startswith("--cpus="):
+                cpus = int(a.split("=")[1])
+
+    print(json.dumps(run_benchmarks(cpus, sf_dir)))
+
+
+if __name__ == "__main__":
+    main()

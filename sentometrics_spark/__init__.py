@@ -1,0 +1,35 @@
+"""sentometrics_spark — a from-scratch PySpark-native textual-sentiment
+time-series engine with the query/data-processing capabilities of the
+R package ``sentometrics`` (SentometricsResearch/sentometrics), re-expressed
+Spark-first.
+
+Pipeline (reference: /root/reference/R/sentomeasures_main.R):
+
+    corpus (url, warc_ts, html, text, lang, feat_*)
+      -> compute_sentiment            (lexicon + valence scoring, within-doc hows)
+      -> aggregate_docs               (per time-bucket weighted doc aggregation)
+      -> measures_fill                (date-spine gap fill: zero / latest / none)
+      -> aggregate_time               (rolling weighted kernels: almon/beta/exp/...)
+      -> tier rollups                 (hour -> day -> week -> month continuous aggs)
+
+Everything is long-format: measures live as rows keyed by
+(bucket_ts, lexicon, feature, timeweight) instead of the reference's
+name-mangled ``lexicon--feature--timeweight`` wide columns.
+"""
+
+from sentometrics_spark.config import AggSpec, TimeKernelSpec
+from sentometrics_spark.lexicons import Lexicons, fixture_lexicons
+from sentometrics_spark.corpus import build_pages, extract_text, corpus_summarize
+from sentometrics_spark.pipeline import sento_measures, compute_sentiment
+
+__all__ = [
+    "AggSpec",
+    "TimeKernelSpec",
+    "Lexicons",
+    "fixture_lexicons",
+    "build_pages",
+    "extract_text",
+    "corpus_summarize",
+    "sento_measures",
+    "compute_sentiment",
+]

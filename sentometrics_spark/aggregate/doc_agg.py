@@ -1,0 +1,145 @@
+"""Across-document aggregation per time bucket (A1-A4).
+
+Semantics ported from aggregate_docs + weights_across
+(/root/reference/R/sentomeasures_main.R:355-404, :518-580):
+
+  value(bucket, lexicon, feature) = sum_d w_d * s_d
+  w_d = num_d / sum_{d in D} num_d
+
+where the numerator depends on the scheme:
+
+  equal_weight          num = 1
+  proportional          num = wc_d
+  inverseProportional   num = 1 / wc_d
+  exponential           num = 10*alpha*(wc_d / WC_bucket - 1)   [linear despite name]
+  inverseExponential    num = 10*alpha*(1 - wc_d / WC_bucket)
+
+WC_bucket = sum of word counts over ALL docs in the bucket (one count per
+document, not per long-format row). With do.ignoreZeros = TRUE
+(/root/reference/R/sentomeasures_main.R:379-384), exact-zero scores become
+NULL first, and the weight-normalizing set D is the per-(bucket, lexicon,
+feature) NON-NULL set — denominators differ per measure column, the #1
+source of subtle mismatches.
+
+Output keeps the partial-sum pair (wsum = sum num*s, wden = sum num) so
+higher tiers compose exactly for the doc-local schemes; ``value`` is the
+finalized ratio with the reference's sum(na.rm=TRUE)-over-empty => 0 edge
+(coalesce to 0.0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKET_FNS = {"hour", "day", "week", "month", "year"}
+
+MEASURE_KEYS = ["lexicon", "feature"]
+
+# do.ignoreZeros zero detection: the reference compares doubles to exact 0
+# (/root/reference/R/sentomeasures_main.R:379-384); we use a tolerance so
+# that "zero by cancellation" is engine-independent (floating-point sum
+# order would otherwise flip documents in/out of the weight denominators).
+ZERO_EPS = 1e-12
+
+
+def _ignore_zeros(score: Column) -> Column:
+    return F.when(F.abs(score) < ZERO_EPS, F.lit(None)).otherwise(score)
+
+
+def bucket_col(ts: Column, by: str) -> Column:
+    """A1: date bucketing. Spark date_trunc('week') is ISO Monday-start,
+    matching ISOweek2date (/root/reference/R/sentomeasures_main.R:371-373)."""
+    if by not in BUCKET_FNS:
+        raise ValueError(f"unknown bucket: {by}")
+    return F.date_trunc(by, ts)
+
+
+def _weight_numerator(how: str, alpha: float) -> Column:
+    wc = F.col("word_count").cast("double")
+    if how == "equal_weight":
+        return F.lit(1.0)
+    if how == "proportional":
+        return wc
+    if how == "inverseProportional":
+        return F.lit(1.0) / wc
+    if how == "exponential":
+        return 10.0 * alpha * (wc / F.col("__bucket_wc") - 1.0)
+    if how == "inverseExponential":
+        return 10.0 * alpha * (1.0 - wc / F.col("__bucket_wc"))
+    raise ValueError(f"unknown docs how: {how}")
+
+
+def aggregate_docs(
+    sentiment: DataFrame,
+    by: str = "day",
+    how: str = "equal_weight",
+    do_ignore_zeros: bool = True,
+    alpha: float = 0.1,
+    keep_partials: bool = True,
+) -> DataFrame:
+    """sentiment: long table (url, warc_ts, [lang,] word_count, lexicon,
+    feature, score) -> measures (bucket_ts, lexicon, feature, value
+    [, wsum, wden])."""
+    s = sentiment.withColumn("bucket_ts", bucket_col(F.col("warc_ts"), by))
+
+    needs_bucket_wc = how in ("exponential", "inverseExponential")
+    if needs_bucket_wc:
+        # per-bucket total word count over distinct documents
+        doc_wc = (
+            s.select("url", "bucket_ts", "word_count")
+            .distinct()
+            .groupBy("bucket_ts")
+            .agg(F.sum("word_count").cast("double").alias("__bucket_wc"))
+        )
+        s = s.join(doc_wc, "bucket_ts")
+
+    score = _ignore_zeros(F.col("score")) if do_ignore_zeros else F.col("score")
+    num = _weight_numerator(how, alpha)
+    num_eff = F.when(score.isNotNull(), num)  # weight only docs in the non-null set
+
+    agg = s.groupBy("bucket_ts", *MEASURE_KEYS).agg(
+        F.sum(num_eff * score).alias("wsum"),
+        F.sum(num_eff).alias("wden"),
+        F.count(F.when(score.isNotNull(), 1)).alias("n_docs_in"),
+        F.count("*").alias("n_docs"),
+    )
+    agg = agg.withColumn(
+        "value", F.coalesce(F.col("wsum") / F.col("wden"), F.lit(0.0))
+    )
+    cols = ["bucket_ts", *MEASURE_KEYS, "value"]
+    if keep_partials:
+        cols += ["wsum", "wden", "n_docs_in", "n_docs"]
+    return agg.select(*cols)
+
+
+def doc_weights(
+    sentiment: DataFrame,
+    by: str = "day",
+    how: str = "equal_weight",
+    do_ignore_zeros: bool = True,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """attribWeights$W analogue: the realized per-document weight for each
+    (bucket, lexicon, feature) measure (/root/reference/R/sentomeasures_main.R:393-395).
+    Window-normalized: w = num / sum(num) over the bucket's non-null set."""
+    from pyspark.sql.window import Window
+
+    s = sentiment.withColumn("bucket_ts", bucket_col(F.col("warc_ts"), by))
+    if how in ("exponential", "inverseExponential"):
+        doc_wc = (
+            s.select("url", "bucket_ts", "word_count")
+            .distinct()
+            .groupBy("bucket_ts")
+            .agg(F.sum("word_count").cast("double").alias("__bucket_wc"))
+        )
+        s = s.join(doc_wc, "bucket_ts")
+    score = _ignore_zeros(F.col("score")) if do_ignore_zeros else F.col("score")
+    num = F.when(score.isNotNull(), _weight_numerator(how, alpha))
+    w = Window.partitionBy("bucket_ts", *MEASURE_KEYS)
+    return s.select(
+        "url",
+        "bucket_ts",
+        *MEASURE_KEYS,
+        (num / F.sum(num).over(w)).alias("weight"),
+    )

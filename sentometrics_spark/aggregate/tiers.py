@@ -1,0 +1,157 @@
+"""Multi-tier continuous aggregates: hour -> day -> week -> month rollups
+with retention (north rule; no reference equivalent — the reference
+aggregates once per requested ``by``).
+
+Exactness contract: the document-aggregation value is a weighted mean
+value = sum(num_d * s_d) / sum(num_d). For the doc-LOCAL weighting schemes
+(equal_weight, proportional, inverseProportional) the numerator num_d
+depends only on the document, so partial-sum pairs (wsum, wden) compose
+exactly across tiers:
+
+    day.wsum = sum(hour.wsum),  day.wden = sum(hour.wden)
+    day.value = day.wsum / day.wden  == direct day aggregation (bit-for-bit
+    up to float associativity)
+
+The bucket-RELATIVE schemes (exponential, inverseExponential — num depends
+on the bucket's total word count) are NOT composable from (wsum, wden)
+alone; composing them requires re-weighting from retained per-doc stats.
+``rollup`` refuses them (documented limitation, SURVEY.md §7).
+
+Tier storage layout (TierStore): one partitioned parquet/Iceberg table per
+tier, partitioned by bucket_date for partition-pruned reads and
+partition-level retention expiry.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sentometrics_spark.aggregate.doc_agg import MEASURE_KEYS, aggregate_docs
+
+TIER_ORDER = ["hour", "day", "week", "month"]
+
+COMPOSABLE_DOC_HOWS = ("equal_weight", "proportional", "inverseProportional")
+
+PARTIAL_COLS = ["wsum", "wden", "n_docs_in", "n_docs"]
+
+
+def base_tier(
+    sentiment: DataFrame,
+    how: str = "proportional",
+    do_ignore_zeros: bool = True,
+    by: str = "hour",
+) -> DataFrame:
+    """Finest tier straight from doc-level sentiment, carrying partials."""
+    if how not in COMPOSABLE_DOC_HOWS:
+        raise ValueError(
+            f"doc weighting '{how}' is bucket-relative and not tier-composable; "
+            f"use one of {COMPOSABLE_DOC_HOWS} or aggregate each tier directly"
+        )
+    return aggregate_docs(
+        sentiment, by=by, how=how, do_ignore_zeros=do_ignore_zeros, keep_partials=True
+    )
+
+
+def rollup(lower_tier: DataFrame, to: str) -> DataFrame:
+    """Compose the next tier from a finer tier's partial sums. A pure
+    re-aggregation — no rescan of documents."""
+    if to not in TIER_ORDER:
+        raise ValueError(f"unknown tier: {to}")
+    agg = (
+        lower_tier.groupBy(
+            F.date_trunc(to, F.col("bucket_ts")).alias("bucket_ts"), *MEASURE_KEYS
+        )
+        .agg(
+            F.sum("wsum").alias("wsum"),
+            F.sum("wden").alias("wden"),
+            F.sum("n_docs_in").alias("n_docs_in"),
+            F.sum("n_docs").alias("n_docs"),
+        )
+        .withColumn("value", F.coalesce(F.col("wsum") / F.col("wden"), F.lit(0.0)))
+    )
+    return agg.select("bucket_ts", *MEASURE_KEYS, "value", *PARTIAL_COLS)
+
+
+def build_all_tiers(
+    sentiment: DataFrame,
+    how: str = "proportional",
+    do_ignore_zeros: bool = True,
+) -> dict[str, DataFrame]:
+    """hour tier from documents; each coarser tier from the previous one."""
+    tiers: dict[str, DataFrame] = {}
+    tiers["hour"] = base_tier(sentiment, how, do_ignore_zeros, by="hour")
+    prev = tiers["hour"]
+    for t in TIER_ORDER[1:]:
+        tiers[t] = rollup(prev, t)
+        prev = tiers[t]
+    return tiers
+
+
+@dataclass(frozen=True)
+class RetentionPolicy:
+    """Per-tier retention horizon, in that tier's buckets. None = keep all.
+    Applied as partition-level deletes (bucket_date partitioning)."""
+
+    hour: int | None = 7 * 24
+    day: int | None = 365
+    week: int | None = None
+    month: int | None = None
+
+    def horizon(self, tier: str) -> int | None:
+        return getattr(self, tier)
+
+
+class TierStore:
+    """Partitioned parquet store for tier tables (stand-in for Iceberg in
+    this sandbox: same layout and partition-level retention semantics; on a
+    real cluster the writes become `MERGE INTO` / partition-expiry on an
+    Iceberg catalog table)."""
+
+    def __init__(self, spark: SparkSession, root: str, fmt: str = "parquet"):
+        self.spark = spark
+        self.root = root
+        self.fmt = fmt
+
+    def path(self, tier: str) -> str:
+        return f"{self.root}/tier={tier}"
+
+    def write(self, tier: str, df: DataFrame, mode: str = "overwrite") -> None:
+        (
+            df.withColumn("bucket_date", F.to_date("bucket_ts"))
+            .repartition("bucket_date")
+            .write.format(self.fmt)
+            .mode(mode)
+            .partitionBy("bucket_date")
+            .save(self.path(tier))
+        )
+
+    def read(self, tier: str) -> DataFrame:
+        return self.spark.read.format(self.fmt).load(self.path(tier)).drop("bucket_date")
+
+    def apply_retention(self, tier: str, policy: RetentionPolicy) -> int:
+        """Drop buckets older than (max_bucket - horizon). Returns number of
+        rows retained. Implemented as a filtered rewrite here; on Iceberg
+        this is a metadata-only partition drop."""
+        horizon = policy.horizon(tier)
+        if horizon is None:
+            return -1
+        df = self.read(tier)
+        step = {"hour": "hours", "day": "days", "week": "weeks", "month": "months"}[tier]
+        mx = df.agg(F.max("bucket_ts").alias("mx"))
+        kwargs = {"hours": 0, "days": 0, "weeks": 0, "months": 0}
+        kwargs[step] = horizon
+        cutoff = F.expr(
+            f"mx - make_interval(0, {kwargs['months']}, {kwargs['weeks']}, "
+            f"{kwargs['days']}, {kwargs['hours']}, 0, 0)"
+        )
+        kept = df.crossJoin(F.broadcast(mx.select(cutoff.alias("cutoff")))).filter(
+            F.col("bucket_ts") > F.col("cutoff")
+        ).drop("cutoff")
+        kept = kept.cache()
+        n = kept.count()
+        self.write(tier, kept)
+        kept.unpersist()
+        return n

@@ -1,0 +1,680 @@
+"""Driver-contract query registry: every implemented operator exposed as a
+(spark_query, duckdb_oracle_sql) pair over the shared testdata tables.
+
+Conventions for driver hash-parity:
+  - every double is floor(x * 1000000 + 0.5 + 1e-9) / 1000000.0 on BOTH sides,
+  - every timestamp is formatted 'yyyy-MM-dd HH:mm:ss' string on BOTH sides,
+  - counts are bigint on BOTH sides,
+  - all derived corpus columns (url, warc_ts, features) are pure SQL
+    expressions of the documents table (see corpus.py) so DuckDB reproduces
+    them exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sentometrics_spark.aggregate.doc_agg import aggregate_docs
+from sentometrics_spark.aggregate.kernels import setup_time_weights
+from sentometrics_spark.aggregate.time_agg import aggregate_time, measures_fill
+from sentometrics_spark.config import TimeKernelSpec
+from sentometrics_spark.corpus import (
+    TS_BASE,
+    TS_DAYS_MOD,
+    TS_MIN_MOD,
+    TS_MIN_MULT,
+    build_pages,
+    corpus_summarize,
+    extract_text,
+)
+from sentometrics_spark.lexicons import Lexicons, fixture_lexicons, lexicon_values_sql, valence_values_sql
+from sentometrics_spark.scoring.algebraic import compute_sentiment_algebraic
+from sentometrics_spark.scoring.udf_engine import compute_sentiment_udf
+
+TSFMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+
+
+def _r6(col) -> F.Column:
+    """Tie-stable rounding to 6 decimals: floor(x*1e6 + 0.5 + 1e-9)/1e6.
+    Used instead of round() so Spark and DuckDB agree bit-for-bit: the 1e-9
+    nudge moves the rounding cliff off exact .5 ties, where the two engines'
+    sums can differ by 1 ulp and would otherwise round apart."""
+    c = col if not isinstance(col, str) else F.col(col)
+    return F.floor(c * 1000000.0 + 0.5 + 1e-9) / 1000000.0
+
+TSFMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+FEATS = ("feat_spark", "feat_nonspark", "feat_srca")
+
+# ---------------------------------------------------------------------------
+# shared DuckDB CTE fragments
+# ---------------------------------------------------------------------------
+
+PAGES_CTE = f"""
+pages AS (
+  SELECT
+    concat('https://', source, '.example.com/', CAST(doc_id AS VARCHAR)) AS url,
+    TIMESTAMP '{TS_BASE}' + (doc_id % {TS_DAYS_MOD}) * INTERVAL 1 DAY
+      + ((doc_id * {TS_MIN_MULT}) % {TS_MIN_MOD}) * INTERVAL 1 MINUTE AS warc_ts,
+    text,
+    lang,
+    CASE WHEN text LIKE '%spark%' THEN 1.0 ELSE 0.0 END AS feat_spark,
+    CASE WHEN text LIKE '%spark%' THEN 0.0 ELSE 1.0 END AS feat_nonspark,
+    CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 1.0 ELSE 0.0 END AS feat_srca,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS word_count
+  FROM documents
+)"""
+
+TOK_CTE = """
+tok AS (
+  SELECT url, lang, word_count,
+         unnest(string_split(text, ' ')) AS token,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+  FROM pages
+)"""
+
+FEATURE_UNPIVOT = """
+feats(feature) AS (SELECT * FROM (VALUES ('feat_spark'), ('feat_nonspark'), ('feat_srca')))"""
+
+FVAL_CASE = (
+    "CASE f.feature WHEN 'feat_spark' THEN s.feat_spark "
+    "WHEN 'feat_nonspark' THEN s.feat_nonspark ELSE s.feat_srca END"
+)
+
+# within-doc contribution per algebraic how (see scoring/algebraic.py and
+# /root/reference/src/utils.h:86-175)
+_CONTRIB = {
+    "counts": "h.y",
+    "proportional": "h.y / h.word_count",
+    "proportionalSquareRoot": "h.y / sqrt(h.word_count)",
+    "UShaped": (
+        "h.y * pow(h.pos - (h.word_count + 1) / 2.0, 2) / "
+        "list_sum(list_transform(generate_series(1, CAST(h.word_count AS INT)), "
+        "i -> pow(i - (h.word_count + 1) / 2.0, 2)))"
+    ),
+    "inverseUShaped": (
+        "h.y * (0.25 - pow(h.pos - (h.word_count + 1) / 2.0, 2) / pow(h.word_count, 2)) / "
+        "list_sum(list_transform(generate_series(1, CAST(h.word_count AS INT)), "
+        "i -> 0.25 - pow(i - (h.word_count + 1) / 2.0, 2) / pow(h.word_count, 2)))"
+    ),
+    "exponential": (
+        "h.y * exp(5.0 * (h.pos / CAST(h.word_count AS DOUBLE) - 1)) / "
+        "list_sum(list_transform(generate_series(1, CAST(h.word_count AS INT)), "
+        "i -> exp(5.0 * (i / CAST(h.word_count AS DOUBLE) - 1))))"
+    ),
+    "inverseExponential": (
+        "h.y * exp(5.0 * (1 - h.pos / CAST(h.word_count AS DOUBLE))) / "
+        "list_sum(list_transform(generate_series(1, CAST(h.word_count AS INT)), "
+        "i -> exp(5.0 * (1 - i / CAST(h.word_count AS DOUBLE)))))"
+    ),
+}
+
+
+def sentiment_cte(how: str, bigram: bool = False) -> str:
+    """CTE chain pages -> ... -> sent(url, warc_ts, lang, word_count,
+    lexicon, feature, score) for one within-doc how (un-rounded score)."""
+    lex = lexicon_values_sql()
+    extra = ""
+    if how == "TFIDF":
+        extra = """,
+df AS (
+  SELECT lang, token, CAST(count(DISTINCT url) AS DOUBLE) AS df
+  FROM tok GROUP BY 1, 2
+),
+nd AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n_docs FROM pages GROUP BY 1)"""
+        contrib = "h.y * log10(nd.n_docs / (1 + coalesce(df.df, 0)))"
+        hit_join = (
+            "LEFT JOIN df ON h.lang = df.lang AND h.token = df.token "
+            "JOIN nd ON h.lang = nd.lang"
+        )
+    elif how == "proportionalPol":
+        contrib = "h.y"
+        hit_join = ""
+    else:
+        contrib = _CONTRIB[how]
+        hit_join = ""
+
+    if bigram:
+        val = valence_values_sql()
+        tok_src = """
+tokp AS (
+  SELECT *, lag(token) OVER (PARTITION BY url ORDER BY pos) AS prev_token
+  FROM tok
+),
+hits0 AS (
+  SELECT t.url, t.lang, t.word_count, t.pos, t.token,
+         l.lexicon, l.y * coalesce(v.vy, 1.0) AS y
+  FROM tokp t
+  JOIN {LEX} l ON t.lang = l.lang AND t.token = l.word
+  LEFT JOIN {VAL} v ON t.lang = v.lang AND t.prev_token = v.word
+)""".replace("{LEX}", lex).replace("{VAL}", val)
+    else:
+        tok_src = """
+hits0 AS (
+  SELECT t.url, t.lang, t.word_count, t.pos, t.token, l.lexicon, l.y
+  FROM tok t
+  JOIN {LEX} l ON t.lang = l.lang AND t.token = l.word
+)""".replace("{LEX}", lex)
+
+    agg = (
+        f"SUM({contrib}) / count(*)" if how == "proportionalPol" else f"SUM({contrib})"
+    )
+    return f"""WITH {PAGES_CTE},{TOK_CTE},{tok_src}{extra},
+lexscores AS (
+  SELECT h.url, h.lexicon, {agg} AS lex_score
+  FROM hits0 h {hit_join}
+  GROUP BY h.url, h.lexicon
+),
+lexnames AS (SELECT DISTINCT lang, lexicon FROM {lex}),
+{FEATURE_UNPIVOT},
+sent AS (
+  SELECT s.url, s.warc_ts, s.lang, s.word_count, d.lexicon, f.feature,
+         coalesce(ls.lex_score, 0.0) * {FVAL_CASE} AS score
+  FROM pages s
+  JOIN lexnames d ON s.lang = d.lang
+  LEFT JOIN lexscores ls ON s.url = ls.url AND d.lexicon = ls.lexicon
+  CROSS JOIN feats f
+)"""
+
+
+_SENT_FINAL = f"""
+SELECT url, strftime(warc_ts, '{TSFMT_DUCK}') AS warc_ts, lang, word_count,
+       lexicon, feature, floor(score * 1000000 + 0.5 + 1e-9) / 1000000.0 AS score
+FROM sent"""
+
+
+_DOC_NUM = {
+    "equal_weight": "1.0",
+    "proportional": "CAST(word_count AS DOUBLE)",
+    "inverseProportional": "1.0 / word_count",
+    "exponential": "1.0 * (word_count / twc - 1.0)",  # 10*alpha = 1.0 at alpha=0.1
+    "inverseExponential": "1.0 * (1.0 - word_count / twc)",
+}
+
+
+def agg_docs_sql(how: str, by: str, ignore_zeros: bool = True) -> str:
+    """Doc-aggregation oracle on top of sentiment_cte('proportional')."""
+    num = _DOC_NUM[how]
+    z = "CASE WHEN abs(score) < 1e-12 THEN NULL ELSE score END" if ignore_zeros else "score"
+    wc_join = ""
+    if how in ("exponential", "inverseExponential"):
+        wc_join = """,
+bucketwc AS (
+  SELECT bucket_ts, CAST(SUM(word_count) AS DOUBLE) AS twc
+  FROM (SELECT DISTINCT url, bucket_ts, word_count FROM sentb)
+  GROUP BY 1
+)"""
+    src = "sentb JOIN bucketwc USING (bucket_ts)" if wc_join else "sentb"
+    return f"""{sentiment_cte("proportional")},
+sentb AS (
+  SELECT *, date_trunc('{by}', warc_ts) AS bucket_ts, {z} AS s
+  FROM sent
+){wc_join},
+agg AS (
+  SELECT bucket_ts, lexicon, feature,
+         coalesce(SUM(CASE WHEN s IS NOT NULL THEN ({num}) * s END)
+                  / SUM(CASE WHEN s IS NOT NULL THEN ({num}) END), 0.0) AS value
+  FROM {src}
+  GROUP BY 1, 2, 3
+)
+SELECT strftime(bucket_ts, '{TSFMT_DUCK}') AS bucket_ts, lexicon, feature,
+       floor(value * 1000000 + 0.5 + 1e-9) / 1000000.0 AS value
+FROM agg"""
+
+
+def measures_sql(by: str, lag: int, kernels: dict[str, np.ndarray], fill: str, doc_how: str = "equal_weight") -> str:
+    """Full-pipeline oracle: sentiment -> doc agg -> spine fill -> rolling."""
+    step = {"hour": "INTERVAL 1 HOUR", "day": "INTERVAL 1 DAY", "week": "INTERVAL 7 DAY", "month": "INTERVAL 1 MONTH"}[by]
+    num = _DOC_NUM[doc_how]
+    ker_rows = ",\n    ".join(
+        f"('{name}', {off}, {w[lag - 1 - off]!r})"
+        for name, w in kernels.items()
+        for off in range(lag)
+    )
+    if fill == "zero":
+        fill_expr = "coalesce(a.value, 0.0)"
+    elif fill == "latest":
+        fill_expr = (
+            "coalesce(last_value(a.value IGNORE NULLS) OVER "
+            "(PARTITION BY g.lexicon, g.feature ORDER BY g.bucket_ts "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)"
+        )
+    else:
+        raise ValueError(fill)
+    return f"""{sentiment_cte("proportional")},
+sentb AS (
+  SELECT *, date_trunc('{by}', warc_ts) AS bucket_ts,
+         CASE WHEN abs(score) < 1e-12 THEN NULL ELSE score END AS s
+  FROM sent
+),
+agg AS (
+  SELECT bucket_ts, lexicon, feature,
+         coalesce(SUM(CASE WHEN s IS NOT NULL THEN ({num}) * s END)
+                  / SUM(CASE WHEN s IS NOT NULL THEN ({num}) END), 0.0) AS value
+  FROM sentb
+  GROUP BY 1, 2, 3
+),
+bounds AS (SELECT min(bucket_ts) AS mn, max(bucket_ts) AS mx FROM agg),
+spine AS (
+  SELECT unnest(generate_series(mn, mx, {step})) AS bucket_ts FROM bounds
+),
+dims AS (SELECT DISTINCT lexicon, feature FROM agg),
+grid AS (SELECT s.bucket_ts, d.lexicon, d.feature FROM spine s CROSS JOIN dims d),
+filled AS (
+  SELECT g.bucket_ts, g.lexicon, g.feature, {fill_expr} AS value
+  FROM grid g
+  LEFT JOIN agg a ON g.bucket_ts = a.bucket_ts AND g.lexicon = a.lexicon AND g.feature = a.feature
+),
+idx AS (
+  SELECT *, row_number() OVER (PARTITION BY lexicon, feature ORDER BY bucket_ts) AS rn
+  FROM filled
+),
+ker(timeweight, off, w) AS (SELECT * FROM (VALUES
+    {ker_rows}
+)),
+rolled AS (
+  SELECT tgt.bucket_ts, tgt.lexicon, tgt.feature, k.timeweight,
+         SUM(src.value * k.w) AS value
+  FROM idx tgt
+  CROSS JOIN ker k
+  JOIN idx src ON src.lexicon = tgt.lexicon AND src.feature = tgt.feature
+              AND src.rn = tgt.rn - k.off
+  WHERE tgt.rn >= {lag}
+  GROUP BY 1, 2, 3, 4
+)
+SELECT strftime(bucket_ts, '{TSFMT_DUCK}') AS bucket_ts, lexicon, feature,
+       timeweight, floor(value * 1000000 + 0.5 + 1e-9) / 1000000.0 AS value
+FROM rolled"""
+
+
+# ---------------------------------------------------------------------------
+# Spark-side helpers
+# ---------------------------------------------------------------------------
+
+
+def _no_valence() -> Lexicons:
+    return Lexicons(lex=fixture_lexicons().lex)
+
+
+def _fmt_ts(df: DataFrame, col: str) -> DataFrame:
+    return df.withColumn(col, F.date_format(col, TSFMT_SPARK))
+
+
+def _sent_query(how: str, bigram: bool = False):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        pages = build_pages(spark, sf_dir, with_html=False)
+        lex = fixture_lexicons() if bigram else _no_valence()
+        sent = compute_sentiment_algebraic(pages, lex, how, use_valence_bigram=bigram)
+        return _fmt_ts(sent, "warc_ts").select(
+            "url",
+            "warc_ts",
+            "lang",
+            F.col("word_count").cast("long").alias("word_count"),
+            "lexicon",
+            "feature",
+            _r6("score").alias("score"),
+        )
+
+    return q
+
+
+def _sent_udf_query(how: str, mode: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        pages = build_pages(spark, sf_dir, with_html=False)
+        lex = fixture_lexicons() if mode != "unigram" else _no_valence()
+        sent = compute_sentiment_udf(pages, lex, how, mode=mode)
+        return _fmt_ts(sent, "warc_ts").select(
+            "url",
+            "warc_ts",
+            "lang",
+            F.col("word_count").cast("long").alias("word_count"),
+            "lexicon",
+            "feature",
+            _r6("score").alias("score"),
+        )
+
+    return q
+
+
+def _agg_docs_query(how: str, by: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        pages = build_pages(spark, sf_dir, with_html=False)
+        sent = compute_sentiment_algebraic(pages, _no_valence(), "proportional")
+        m = aggregate_docs(sent, by=by, how=how, do_ignore_zeros=True, keep_partials=False)
+        return _fmt_ts(m, "bucket_ts").select(
+            "bucket_ts", "lexicon", "feature", _r6("value").alias("value")
+        )
+
+    return q
+
+
+def _measures_query(by: str, lag: int, kspecs: tuple[TimeKernelSpec, ...], fill: str, doc_how: str = "equal_weight"):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        pages = build_pages(spark, sf_dir, with_html=False)
+        sent = compute_sentiment_algebraic(pages, _no_valence(), "proportional")
+        m = aggregate_docs(sent, by=by, how=doc_how, do_ignore_zeros=True, keep_partials=False)
+        filled = measures_fill(m.select("bucket_ts", "lexicon", "feature", "value"), by=by, fill=fill)
+        kernels = setup_time_weights(kspecs, lag)
+        rolled = aggregate_time(filled, kernels, lag, check_lag=False)
+        return _fmt_ts(rolled, "bucket_ts").select(
+            "bucket_ts", "lexicon", "feature", "timeweight", _r6("value").alias("value")
+        )
+
+    return q
+
+
+def _kernels_for(kspecs: tuple[TimeKernelSpec, ...], lag: int) -> dict[str, np.ndarray]:
+    return setup_time_weights(kspecs, lag)
+
+
+# ---------------------------------------------------------------------------
+# corpus / dedup / knn / textstats queries
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pages = build_pages(spark, sf_dir, with_html=False)
+    return _fmt_ts(pages, "warc_ts").select(
+        "url",
+        "warc_ts",
+        "lang",
+        _r6("feat_spark").alias("feat_spark"),
+        _r6("feat_nonspark").alias("feat_nonspark"),
+        _r6("feat_srca").alias("feat_srca"),
+        F.size(F.split("text", " ")).cast("long").alias("word_count"),
+    )
+
+
+SQL_CORPUS_PAGES = f"""WITH {PAGES_CTE}
+SELECT url, strftime(warc_ts, '{TSFMT_DUCK}') AS warc_ts, lang,
+       floor(feat_spark * 1000000 + 0.5 + 1e-9) / 1000000.0 AS feat_spark, floor(feat_nonspark * 1000000 + 0.5 + 1e-9) / 1000000.0 AS feat_nonspark,
+       floor(feat_srca * 1000000 + 0.5 + 1e-9) / 1000000.0 AS feat_srca, word_count
+FROM pages"""
+
+
+def q_corpus_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pages = build_pages(spark, sf_dir, with_html=False)
+    s = corpus_summarize(pages, by="day")
+    return _fmt_ts(s, "bucket_ts").select(
+        "bucket_ts",
+        F.col("documents").cast("long").alias("documents"),
+        F.col("totalTokens").cast("long").alias("total_tokens"),
+        _r6("meanTokens").alias("mean_tokens"),
+        F.col("minTokens").cast("long").alias("min_tokens"),
+        F.col("maxTokens").cast("long").alias("max_tokens"),
+        F.col("feat_spark").cast("long").alias("feat_spark_docs"),
+    )
+
+
+SQL_CORPUS_SUMMARIZE = f"""WITH {PAGES_CTE}
+SELECT strftime(date_trunc('day', warc_ts), '{TSFMT_DUCK}') AS bucket_ts,
+       CAST(count(*) AS BIGINT) AS documents,
+       CAST(SUM(word_count) AS BIGINT) AS total_tokens,
+       floor(AVG(CAST(word_count AS DOUBLE)) * 1000000 + 0.5 + 1e-9) / 1000000.0 AS mean_tokens,
+       CAST(MIN(word_count) AS BIGINT) AS min_tokens,
+       CAST(MAX(word_count) AS BIGINT) AS max_tokens,
+       CAST(SUM(CASE WHEN feat_spark > 0 THEN 1 ELSE 0 END) AS BIGINT) AS feat_spark_docs
+FROM pages
+GROUP BY 1"""
+
+
+def q_extract_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pages = build_pages(spark, sf_dir, with_html=True)
+    ok = (extract_text(F.col("html")) == F.col("text")).cast("int")
+    return pages.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(ok).cast("long").alias("n_byte_identical"),
+    )
+
+
+SQL_EXTRACT_INVARIANT = """WITH docs AS (
+  SELECT text,
+         concat('<html><head><title></title></head><body><p>', text, '</p></body></html>') AS html
+  FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN regexp_replace(html, '<[^>]*>', '', 'g') = text THEN 1 ELSE 0 END) AS BIGINT) AS n_byte_identical
+FROM docs"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(F.min("doc_id").cast("long").alias("keep_doc_id"), F.count("*").cast("long").alias("group_size"))
+        .filter(F.col("group_size") > 1)
+    )
+
+
+SQL_DEDUP_EXACT = """SELECT md5(text) AS text_hash,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+       CAST(count(*) AS BIGINT) AS group_size
+FROM documents GROUP BY 1 HAVING count(*) > 1"""
+
+
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup by bag-of-distinct-tokens fingerprint (order-insensitive)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " ")))))
+    grouped = docs.groupBy(fp.alias("fingerprint")).agg(
+        F.min("doc_id").cast("long").alias("keep_doc_id"),
+        F.count("*").cast("long").alias("group_size"),
+    )
+    return grouped.filter(F.col("group_size") > 1)
+
+
+SQL_DEDUP_FINGERPRINT = """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+       CAST(count(*) AS BIGINT) AS group_size
+FROM documents GROUP BY 1 HAVING count(*) > 1"""
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-5 cosine neighbors for query vectors vec_id < 3."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = emb.filter(F.col("vec_id") >= 3).select("vec_id", "embedding")
+    dot = F.aggregate(
+        F.zip_with("embedding", "q_emb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(c, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
+    )
+    pairs = cand.crossJoin(F.broadcast(qv)).select(
+        "q_id",
+        "vec_id",
+        (dot / (norm(F.col("embedding")) * norm(F.col("q_emb")))).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            F.col("q_id").cast("long"),
+            F.col("vec_id").cast("long"),
+            _r6("cos").alias("cosine"),
+            F.col("rnk").cast("long"),
+        )
+    )
+
+
+SQL_KNN_COSINE = """WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 3
+),
+c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 3),
+pairs AS (
+  SELECT q.q_id, c.vec_id,
+         list_sum(list_transform(range(1, len(c.embedding) + 1),
+             i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+  FROM c CROSS JOIN q
+),
+ranked AS (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+  FROM pairs
+)
+SELECT CAST(q_id AS BIGINT) AS q_id, CAST(vec_id AS BIGINT) AS vec_id,
+       floor(cos * 1000000 + 0.5 + 1e-9) / 1000000.0 AS cosine, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 5"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality stats: token count, type-token ratio, mean word
+    length, stopword ratio."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split("text", " ")
+    n = F.size(toks).cast("double")
+    stop = F.size(F.filter(toks, lambda x: x.isin("the", "a"))).cast("double")
+    distinct_n = F.size(F.array_distinct(toks)).cast("double")
+    avg_len = (F.length("text") - (F.size(toks) - 1)) / F.size(toks)
+    return docs.select(
+        F.col("doc_id").cast("long"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        _r6(distinct_n / n).alias("type_token_ratio"),
+        _r6(avg_len).alias("mean_word_len"),
+        _r6(stop / n).alias("stopword_ratio"),
+    )
+
+
+SQL_TEXT_QUALITY = """WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       floor(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) * 1000000 + 0.5 + 1e-9) / 1000000.0 AS type_token_ratio,
+       floor((len(text) - (len(toks) - 1)) / CAST(len(toks) AS DOUBLE) * 1000000 + 0.5 + 1e-9) / 1000000.0 AS mean_word_len,
+       floor(len(list_filter(toks, x -> x IN ('the', 'a'))) / CAST(len(toks) AS DOUBLE) * 1000000 + 0.5 + 1e-9) / 1000000.0 AS stopword_ratio
+FROM t"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic tumbling-window rollup on the events stream table."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), TSFMT_SPARK).alias("bucket_ts"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            _r6(F.avg("value")).alias("avg_value"),
+            _r6(F.sum("value")).alias("sum_value"),
+        )
+    )
+
+
+SQL_EVENTS_HOURLY = f"""SELECT strftime(date_trunc('hour', ts), '{TSFMT_DUCK}') AS bucket_ts,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       floor((AVG(value)) * 1000000 + 0.5 + 1e-9) / 1000000.0 AS avg_value,
+       floor((SUM(value)) * 1000000 + 0.5 + 1e-9) / 1000000.0 AS sum_value
+FROM events GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+_ALMON2 = (TimeKernelSpec("almon", orders_alm=(1, 2), do_inverse_alm=True),)
+_LIN = (TimeKernelSpec("linear"),)
+_EXPK = (TimeKernelSpec("exponential", alphas_exp=(0.1, 0.3), do_inverse_exp=False),)
+_BETA = (TimeKernelSpec("beta", a_beta=(2,), b_beta=(3,)),)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # corpus (S1-S7)
+        "corpus_pages": q_corpus_pages,
+        "corpus_summarize_day": q_corpus_summarize,
+        "extract_text_invariant": q_extract_invariant,
+        # scoring — algebraic Catalyst plans (C1, C5, C6, C7)
+        "sent_counts": _sent_query("counts"),
+        "sent_proportional": _sent_query("proportional"),
+        "sent_prop_sqrt": _sent_query("proportionalSquareRoot"),
+        "sent_prop_pol": _sent_query("proportionalPol"),
+        "sent_tfidf": _sent_query("TFIDF"),
+        "sent_ushaped": _sent_query("UShaped"),
+        "sent_inv_ushaped": _sent_query("inverseUShaped"),
+        "sent_exp_within": _sent_query("exponential"),
+        "sent_inv_exp_within": _sent_query("inverseExponential"),
+        # scoring — valence bigram (C2), algebraic + UDF engines
+        "sent_bigram_counts": _sent_query("counts", bigram=True),
+        "sent_udf_proportional": _sent_udf_query("proportional", "unigram"),
+        "sent_udf_bigram_counts": _sent_udf_query("counts", "bigram"),
+        # doc aggregation (A1-A4)
+        "agg_day_equal": _agg_docs_query("equal_weight", "day"),
+        "agg_day_proportional": _agg_docs_query("proportional", "day"),
+        "agg_week_inv_proportional": _agg_docs_query("inverseProportional", "week"),
+        "agg_month_exponential": _agg_docs_query("exponential", "month"),
+        "agg_hour_equal": _agg_docs_query("equal_weight", "hour"),
+        # full measures pipeline (K1-K6)
+        "measures_day_almon_lag7": _measures_query("day", 7, _ALMON2, "zero"),
+        "measures_day_linear_lag7_latest": _measures_query("day", 7, _LIN, "latest"),
+        "measures_week_beta_lag4": _measures_query("week", 4, _BETA, "zero", doc_how="proportional"),
+        "measures_hour_exp_lag24": _measures_query("hour", 24, _EXPK, "zero"),
+        # training-data ops
+        "dedup_exact": q_dedup_exact,
+        "dedup_fingerprint": q_dedup_fingerprint,
+        "knn_cosine_top5": q_knn_cosine,
+        "text_quality": q_text_quality,
+        "events_hourly": q_events_hourly,
+    }
+    return q
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "corpus_pages": SQL_CORPUS_PAGES,
+        "corpus_summarize_day": SQL_CORPUS_SUMMARIZE,
+        "extract_text_invariant": SQL_EXTRACT_INVARIANT,
+        "sent_counts": sentiment_cte("counts") + _SENT_FINAL,
+        "sent_proportional": sentiment_cte("proportional") + _SENT_FINAL,
+        "sent_prop_sqrt": sentiment_cte("proportionalSquareRoot") + _SENT_FINAL,
+        "sent_prop_pol": sentiment_cte("proportionalPol") + _SENT_FINAL,
+        "sent_tfidf": sentiment_cte("TFIDF") + _SENT_FINAL,
+        "sent_ushaped": sentiment_cte("UShaped") + _SENT_FINAL,
+        "sent_inv_ushaped": sentiment_cte("inverseUShaped") + _SENT_FINAL,
+        "sent_exp_within": sentiment_cte("exponential") + _SENT_FINAL,
+        "sent_inv_exp_within": sentiment_cte("inverseExponential") + _SENT_FINAL,
+        "sent_bigram_counts": sentiment_cte("counts", bigram=True) + _SENT_FINAL,
+        "sent_udf_proportional": sentiment_cte("proportional") + _SENT_FINAL,
+        "sent_udf_bigram_counts": sentiment_cte("counts", bigram=True) + _SENT_FINAL,
+        "agg_day_equal": agg_docs_sql("equal_weight", "day"),
+        "agg_day_proportional": agg_docs_sql("proportional", "day"),
+        "agg_week_inv_proportional": agg_docs_sql("inverseProportional", "week"),
+        "agg_month_exponential": agg_docs_sql("exponential", "month"),
+        "agg_hour_equal": agg_docs_sql("equal_weight", "hour"),
+        "measures_day_almon_lag7": measures_sql("day", 7, _kernels_for(_ALMON2, 7), "zero"),
+        "measures_day_linear_lag7_latest": measures_sql("day", 7, _kernels_for(_LIN, 7), "latest"),
+        "measures_week_beta_lag4": measures_sql("week", 4, _kernels_for(_BETA, 4), "zero", doc_how="proportional"),
+        "measures_hour_exp_lag24": measures_sql("hour", 24, _kernels_for(_EXPK, 24), "zero"),
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_fingerprint": SQL_DEDUP_FINGERPRINT,
+        "knn_cosine_top5": SQL_KNN_COSINE,
+        "text_quality": SQL_TEXT_QUALITY,
+        "events_hourly": SQL_EVENTS_HOURLY,
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: full sento_measures pipeline at sf0.001."""
+    return _measures_query("day", 7, _ALMON2, "zero")(spark, "/root/testdata/sf0.001")

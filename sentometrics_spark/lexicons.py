@@ -1,0 +1,181 @@
+"""Lexicon / valence-shifter model (analogue of ``sento_lexicons``,
+/root/reference/R/sentolexicons.R:64-116).
+
+A :class:`Lexicons` object holds, per language:
+  - ``lex``:     {lexicon_name: {word: polarity}}   (lowercased unigrams, unique)
+  - ``valence``: {word: (y, t)} — bigram shifter value ``y`` and cluster type
+    ``t`` (1 negator, 2 amplifier, 3 deamplifier, 4 adversative conjunction,
+    /root/reference/R/sentolexicons.R:100-104).
+
+Lexicons are tiny relative to the corpus, so at execution time they travel as
+Spark broadcast variables into Arrow-batched UDF kernels (the Spark analogue
+of the reference's C++ ``unordered_map`` lexiconMap, /root/reference/src/utils.h:25-63)
+or as inline literal DataFrames for broadcast hash joins in the algebraic
+(pure-Catalyst) scoring path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class Lexicons:
+    # {lang: {lexicon_name: {word: y}}}
+    lex: dict[str, dict[str, dict[str, float]]]
+    # {lang: {word: (y, t)}}
+    valence: dict[str, dict[str, tuple[float, int]]] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        for lang, lexs in self.lex.items():
+            for name, words in lexs.items():
+                if "--" in name or "-" in name:
+                    raise ValueError(f"'-' not allowed in lexicon name: {name}")
+                for w in words:
+                    if w != w.lower():
+                        raise ValueError(f"lexicon words must be lowercase: {w}")
+
+    @property
+    def languages(self) -> list[str]:
+        return sorted(self.lex)
+
+    def lexicon_names(self, lang: str | None = None) -> list[str]:
+        if lang is not None:
+            return sorted(self.lex[lang])
+        names: set[str] = set()
+        for lexs in self.lex.values():
+            names.update(lexs)
+        return sorted(names)
+
+    def split_pos_neg(self) -> "Lexicons":
+        """do.split: each lexicon into _POS / _NEG sub-lexicons
+        (/root/reference/R/sentolexicons.R:86-92)."""
+        out: dict[str, dict[str, dict[str, float]]] = {}
+        for lang, lexs in self.lex.items():
+            out[lang] = {}
+            for name, words in lexs.items():
+                pos = {w: y for w, y in words.items() if y > 0}
+                neg = {w: y for w, y in words.items() if y < 0}
+                out[lang][f"{name}_POS"] = pos
+                out[lang][f"{name}_NEG"] = neg
+        return Lexicons(lex=out, valence=self.valence)
+
+    # ---- packing for the scoring kernels -------------------------------
+
+    def pack(self, lang: str) -> "LexiconPack":
+        lexs = self.lex[lang]
+        names = sorted(lexs)
+        vocab = sorted({w for words in lexs.values() for w in words})
+        word2id = {w: i for i, w in enumerate(vocab)}
+        pol = np.zeros((len(vocab), len(names)), dtype=np.float64)
+        for j, name in enumerate(names):
+            for w, y in lexs[name].items():
+                pol[word2id[w], j] = y
+        val = self.valence.get(lang, {})
+        # lexicon wins on conflict (documented rule, /root/reference/R/sentolexicons.R:21-23)
+        val = {w: yt for w, yt in val.items() if w not in word2id}
+        return LexiconPack(
+            lang=lang,
+            lexicon_names=names,
+            word2id=word2id,
+            polarity=pol,
+            valence_y={w: yt[0] for w, yt in val.items()},
+            valence_t={w: yt[1] for w, yt in val.items()},
+        )
+
+    def rows(self) -> list[tuple[str, str, str, float]]:
+        """(lang, lexicon, word, y) rows for a lexicon DataFrame."""
+        out = []
+        for lang in sorted(self.lex):
+            for name in sorted(self.lex[lang]):
+                for w, y in sorted(self.lex[lang][name].items()):
+                    out.append((lang, name, w, float(y)))
+        return out
+
+    def valence_rows(self) -> list[tuple[str, str, float, int]]:
+        out = []
+        for lang in sorted(self.valence):
+            for w, (y, t) in sorted(self.valence[lang].items()):
+                out.append((lang, w, float(y), int(t)))
+        return out
+
+
+@dataclass(frozen=True)
+class LexiconPack:
+    """Per-language arrays for numpy scoring kernels."""
+
+    lang: str
+    lexicon_names: list[str]
+    word2id: dict[str, int]
+    polarity: np.ndarray  # [V, nL]
+    valence_y: dict[str, float]
+    valence_t: dict[str, int]
+
+
+# --------------------------------------------------------------------------
+# Deterministic fixtures over the closed testdata vocabulary
+# (analogue of list_lexicons / list_valence_shifters fixtures used by the
+# reference test suite; words chosen from /root/testdata documents vocab).
+# --------------------------------------------------------------------------
+
+# Base polarities; per-language value = base * LANG_FACTOR[lang].
+BASE_LEXICONS: dict[str, dict[str, float]] = {
+    "LEXA": {
+        "fast": 1.0,
+        "slow": -1.0,
+        "big": 0.5,
+        "small": -0.5,
+        "merge": 0.75,
+        "filter": -0.25,
+        "spark": 1.5,
+        "hash": -0.75,
+    },
+    "LEXB": {
+        "fast": 2.0,
+        "slow": -2.0,
+        "dup": -1.0,
+        "join": 0.5,
+        "scan": -0.5,
+        "stream": 0.25,
+    },
+}
+
+LANG_FACTOR: dict[str, float] = {"en": 1.0, "fr": 0.9, "de": 1.1, "es": 0.8, "zh": 1.2}
+
+# Valence shifters: disjoint from lexicon words.
+# (word, y, t): t = 1 negator, 2 amplifier, 3 deamplifier, 4 adversative.
+BASE_VALENCE: list[tuple[str, float, int]] = [
+    ("a", -1.0, 1),
+    ("the", 1.5, 2),
+    ("data", 0.5, 3),
+    ("customer", 1.0, 4),
+]
+
+
+def fixture_lexicons(langs: tuple[str, ...] = ("en", "fr", "de", "es", "zh")) -> Lexicons:
+    lex = {
+        lang: {
+            name: {w: y * LANG_FACTOR[lang] for w, y in words.items()}
+            for name, words in BASE_LEXICONS.items()
+        }
+        for lang in langs
+    }
+    valence = {lang: {w: (y, t) for w, y, t in BASE_VALENCE} for lang in langs}
+    return Lexicons(lex=lex, valence=valence)
+
+
+def lexicon_values_sql() -> str:
+    """Inline SQL relation (lang, lexicon, word, y) of the fixture lexicons,
+    for DuckDB oracle queries (the driver only pre-registers the parquet
+    tables, so the lexicon ships inline)."""
+    rows = fixture_lexicons().rows()
+    vals = ",\n    ".join(f"('{la}','{lx}','{w}',{y!r})" for la, lx, w, y in rows)
+    return f"(SELECT * FROM (VALUES\n    {vals}\n) AS lexv(lang, lexicon, word, y))"
+
+
+def valence_values_sql() -> str:
+    rows = fixture_lexicons().valence_rows()
+    vals = ",\n    ".join(f"('{la}','{w}',{y!r},{t})" for la, w, y, t in rows)
+    return f"(SELECT * FROM (VALUES\n    {vals}\n) AS valv(lang, word, vy, vt))"

@@ -1,0 +1,233 @@
+"""Measures-panel operators (M1-M11) and peak extraction (O2, M7).
+
+Long format makes most of the reference's name-mangling machinery
+(`lexicon--feature--timeweight` columns) collapse into plain column
+predicates and group-bys:
+
+  - subset rows / select / delete  /root/reference/R/sentomeasures_methods.R:372-457
+  - aggregate dimension members    /root/reference/R/sentomeasures_methods.R:545-623
+  - global indices                 /root/reference/R/sentomeasures_methods.R:625-653
+  - scale (z-score)                /root/reference/R/sentomeasures_methods.R:193-212
+  - diff                           /root/reference/R/sentomeasures_methods.R:97-104
+  - peakdocs / peakdates           /root/reference/R/sentiment_engines.R:494-514,
+                                   /root/reference/R/sentomeasures_main.R:496-516
+  - wide <-> long                  /root/reference/R/utils.R:401-416
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+MEASURE_DIMS = ["lexicon", "feature", "timeweight"]
+
+
+def subset_measures(
+    measures: DataFrame,
+    expr: str | None = None,
+    select: dict[str, list[str]] | None = None,
+    delete: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """M1/M2: row filter by SQL expression and/or dimension-member
+    keep/drop. select/delete: {dim: [members]} with dim in lexicon/feature/
+    timeweight."""
+    out = measures
+    if expr:
+        out = out.filter(expr)
+    for dim, members in (select or {}).items():
+        if dim not in MEASURE_DIMS:
+            raise ValueError(f"unknown dimension: {dim}")
+        out = out.filter(F.col(dim).isin(members))
+    for dim, members in (delete or {}).items():
+        if dim not in MEASURE_DIMS:
+            raise ValueError(f"unknown dimension: {dim}")
+        out = out.filter(~F.col(dim).isin(members))
+    return out
+
+
+def aggregate_dimension(
+    measures: DataFrame,
+    dim: str,
+    merges: dict[str, list[str]],
+    keep_originals: bool = False,
+) -> DataFrame:
+    """M3: merge dimension members by MEAN (e.g. {'LEXAB': ['LEXA','LEXB']})
+    (/root/reference/R/sentomeasures_methods.R:545-623). Members not named
+    in any merge pass through unchanged."""
+    if dim not in MEASURE_DIMS:
+        raise ValueError(f"unknown dimension: {dim}")
+    mapping = {m: new for new, olds in merges.items() for m in olds}
+    merged_members = list(mapping)
+    map_col = F.col(dim)
+    for old, new in mapping.items():
+        map_col = F.when(F.col(dim) == old, F.lit(new)).otherwise(map_col)
+    other = [d for d in MEASURE_DIMS if d != dim]
+    merged = (
+        measures.withColumn(dim, map_col)
+        .groupBy("bucket_ts", *MEASURE_DIMS)
+        .agg(F.avg("value").alias("value"))
+        .select("bucket_ts", *MEASURE_DIMS, "value")
+    )
+    if keep_originals:
+        originals = measures.filter(F.col(dim).isin(merged_members)).select(
+            "bucket_ts", *MEASURE_DIMS, "value"
+        )
+        merged = merged.unionByName(originals)
+    return merged
+
+
+def global_indices(
+    measures: DataFrame,
+    lexicon_weights: dict[str, float] | None = None,
+    feature_weights: dict[str, float] | None = None,
+    time_weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """M4: per-bucket weighted global indices
+    (agg_global, /root/reference/R/sentomeasures_methods.R:625-653):
+    global_<dim> = mean over measures of value * w_<dim>(member); 'global'
+    is the mean of the three. Default weights: 1/|dim|."""
+
+    def wmap(col: str, weights: dict[str, float] | None) -> F.Column:
+        if not weights:
+            return F.lit(None).cast("double")
+        expr = F.lit(None).cast("double")
+        for k, v in weights.items():
+            expr = F.when(F.col(col) == k, F.lit(float(v))).otherwise(expr)
+        return expr
+
+    dims = measures.select(*MEASURE_DIMS).distinct().collect()
+    n_lex = len({r["lexicon"] for r in dims})
+    n_feat = len({r["feature"] for r in dims})
+    n_time = len({r["timeweight"] for r in dims})
+    w_lex = F.coalesce(wmap("lexicon", lexicon_weights), F.lit(1.0 / n_lex))
+    w_feat = F.coalesce(wmap("feature", feature_weights), F.lit(1.0 / n_feat))
+    w_time = F.coalesce(wmap("timeweight", time_weights), F.lit(1.0 / n_time))
+    agg = measures.groupBy("bucket_ts").agg(
+        F.avg(F.col("value") * w_lex).alias("global_lexicons"),
+        F.avg(F.col("value") * w_feat).alias("global_features"),
+        F.avg(F.col("value") * w_time).alias("global_time"),
+    )
+    return agg.withColumn(
+        "global",
+        (F.col("global_lexicons") + F.col("global_features") + F.col("global_time")) / 3.0,
+    )
+
+
+def scale_measures(measures: DataFrame, center: bool = True, scale: bool = True) -> DataFrame:
+    """M5: z-score per measure series (sd uses the n-1 sample convention,
+    matching R's scale())."""
+    w = Window.partitionBy(*MEASURE_DIMS)
+    v = F.col("value")
+    if center:
+        v = v - F.avg("value").over(w)
+    if scale:
+        v = v / F.stddev_samp("value").over(w)
+    return measures.withColumn("value", v)
+
+
+def diff_measures(measures: DataFrame, lag: int = 1, differences: int = 1) -> DataFrame:
+    """M6: lag-differencing per series, iterated ``differences`` times;
+    first lag*differences rows per series drop (as in base R diff)."""
+    out = measures
+    for _ in range(differences):
+        w = Window.partitionBy(*MEASURE_DIMS).orderBy("bucket_ts")
+        out = (
+            out.withColumn("__prev", F.lag("value", lag).over(w))
+            .filter(F.col("__prev").isNotNull())
+            .withColumn("value", F.col("value") - F.col("__prev"))
+            .drop("__prev")
+        )
+    return out
+
+
+def peakdocs(
+    sentiment: DataFrame,
+    n: int,
+    type: str = "both",
+    measure: tuple[str, str] | None = None,
+) -> DataFrame:
+    """O2: top-n documents by extreme sentiment. type: pos|neg|both(abs).
+    measure: restrict to one (lexicon, feature) pair, else use the row-mean
+    across measures (do.average, /root/reference/R/sentiment_engines.R:494-514).
+    Deterministic tiebreak by url."""
+    s = sentiment
+    if measure is not None:
+        s = s.filter((F.col("lexicon") == measure[0]) & (F.col("feature") == measure[1]))
+        scored = s.groupBy("url").agg(F.first("score").alias("m"))
+    else:
+        scored = s.groupBy("url").agg(F.avg("score").alias("m"))
+    if type == "both":
+        key = F.abs(F.col("m")).desc()
+    elif type == "pos":
+        key = F.col("m").desc()
+    elif type == "neg":
+        key = F.col("m").asc()
+    else:
+        raise ValueError(type)
+    return scored.orderBy(key, F.col("url")).limit(n)
+
+
+def peakdates(
+    measures: DataFrame,
+    n: int,
+    type: str = "both",
+    do_average: bool = True,
+) -> DataFrame:
+    """M7: top-n bucket dates with most extreme measure values
+    (/root/reference/R/sentomeasures_main.R:496-516)."""
+    if do_average:
+        scored = measures.groupBy("bucket_ts").agg(F.avg("value").alias("m"))
+    else:
+        scored = measures.select("bucket_ts", F.col("value").alias("m"))
+    if type == "both":
+        key = F.abs(F.col("m")).desc()
+    elif type == "pos":
+        key = F.col("m").desc()
+    elif type == "neg":
+        key = F.col("m").asc()
+    else:
+        raise ValueError(type)
+    top = scored.orderBy(key, F.col("bucket_ts")).limit(n)
+    return top.select("bucket_ts", "m").dropDuplicates(["bucket_ts"])
+
+
+def to_wide(measures: DataFrame) -> DataFrame:
+    """M9: long -> wide pivot with the reference's ``--``-mangled column
+    names (golden-output comparison only; the long form is primary)."""
+    name = F.concat_ws("--", *MEASURE_DIMS)
+    return (
+        measures.withColumn("__m", name)
+        .groupBy("bucket_ts")
+        .pivot("__m")
+        .agg(F.first("value"))
+    )
+
+
+def to_long(wide: DataFrame) -> DataFrame:
+    """M9 inverse: wide (bucket_ts, lex--feat--time ...) -> long."""
+    cols = [c for c in wide.columns if c != "bucket_ts"]
+    stack = ", ".join(f"'{c}', `{c}`" for c in cols)
+    out = wide.select(
+        "bucket_ts", F.expr(f"stack({len(cols)}, {stack}) AS (__m, value)")
+    )
+    parts = F.split("__m", "--")
+    return out.select(
+        "bucket_ts",
+        parts.getItem(0).alias("lexicon"),
+        parts.getItem(1).alias("feature"),
+        parts.getItem(2).alias("timeweight"),
+        "value",
+    )
+
+
+def merge_sentiment(*tables: DataFrame) -> DataFrame:
+    """O1: n-ary merge of long sentiment tables — union + NA->0 + sum on the
+    full key (merge.sentiment, /root/reference/R/sentiment_engines.R:415-450)."""
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t, allowMissingColumns=True)
+    keys = [c for c in ("url", "sentence_id", "warc_ts", "lang", "lexicon", "feature") if c in out.columns]
+    return out.fillna(0.0, subset=["score"]).groupBy(*keys).agg(
+        F.first("word_count").alias("word_count"), F.sum("score").alias("score")
+    )

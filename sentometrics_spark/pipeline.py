@@ -1,0 +1,103 @@
+"""End-to-end pipeline: the analogue of
+``sento_measures(corpus, lexicons, ctr)``
+(/root/reference/R/sentomeasures_main.R:245-251; lifecycle SURVEY.md §3).
+
+One lazy DataFrame DAG:
+
+    corpus -> compute_sentiment (Arrow UDF or pure-Catalyst algebraic)
+           -> aggregate_docs    (shuffle 1: (bucket, lexicon, feature))
+           -> measures_fill     (spine join)
+           -> aggregate_time    (shuffle 2: window partition by series)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+from sentometrics_spark.aggregate.doc_agg import aggregate_docs
+from sentometrics_spark.aggregate.kernels import setup_time_weights
+from sentometrics_spark.aggregate.time_agg import aggregate_time, measures_fill
+from sentometrics_spark.config import AggSpec
+from sentometrics_spark.lexicons import Lexicons
+from sentometrics_spark.scoring.algebraic import ALGEBRAIC_HOWS, compute_sentiment_algebraic
+from sentometrics_spark.scoring.udf_engine import compute_sentiment_udf
+
+
+def compute_sentiment(
+    pages: DataFrame,
+    lexicons: Lexicons,
+    how: str = "proportional",
+    mode: str | None = None,
+    engine: str = "auto",
+) -> DataFrame:
+    """C9 dispatcher. engine: 'auto' | 'udf' | 'algebraic'.
+
+    'auto' picks the pure-Catalyst algebraic plan when the (how, mode)
+    combination is expressible without Python (valence-free, or bigram with
+    count-family hows are left to the UDF for exactness), else the Arrow-UDF
+    engine."""
+    if engine == "algebraic" or (
+        engine == "auto" and mode in (None, "unigram") and not lexicons.valence and how in ALGEBRAIC_HOWS
+    ):
+        use_bigram = mode == "bigram" or (mode is None and bool(lexicons.valence))
+        return compute_sentiment_algebraic(pages, lexicons, how, use_valence_bigram=use_bigram)
+    return compute_sentiment_udf(pages, lexicons, how, mode=mode)
+
+
+@dataclass
+class SentoMeasures:
+    """Bundle mirroring the reference's sento_measures list
+    (/root/reference/R/sentomeasures_main.R:206-220), long-format."""
+
+    measures: DataFrame  # (bucket_ts, lexicon, feature, timeweight, value)
+    sentiment: DataFrame  # doc-level long sentiment
+    kernels: dict[str, np.ndarray]  # attribWeights$B
+    spec: AggSpec
+
+    @property
+    def dimensions(self) -> dict[str, list[str]]:
+        rows = (
+            self.measures.select("lexicon", "feature", "timeweight").distinct().collect()
+        )
+        return {
+            "lexicons": sorted({r["lexicon"] for r in rows}),
+            "features": sorted({r["feature"] for r in rows}),
+            "time": sorted({r["timeweight"] for r in rows}),
+        }
+
+    def nmeasures(self) -> int:
+        return self.measures.select("lexicon", "feature", "timeweight").distinct().count()
+
+    def nobs(self) -> int:
+        return self.measures.select("bucket_ts").distinct().count()
+
+
+def sento_measures(
+    pages: DataFrame,
+    lexicons: Lexicons,
+    spec: AggSpec,
+    engine: str = "auto",
+    mode: str | None = None,
+) -> SentoMeasures:
+    sentiment = compute_sentiment(pages, lexicons, spec.how_within, mode=mode, engine=engine)
+    measures_doc = aggregate_docs(
+        sentiment,
+        by=spec.by,
+        how=spec.how_docs,
+        do_ignore_zeros=spec.do_ignore_zeros,
+        alpha=spec.alpha_exp_docs,
+        keep_partials=False,
+    )
+    # the bucketed panel is tiny (#buckets x #measures); persist it so the
+    # spine-fill (which scans it three times: bounds, dims, join) and the
+    # rolling window do not re-execute the full corpus-scoring DAG
+    measures_doc = measures_doc.persist()
+    filled = measures_fill(measures_doc, by=spec.by, fill=spec.fill)
+    kernels = setup_time_weights(spec.time_kernels, spec.lag)
+    measures = aggregate_time(
+        filled.select("bucket_ts", "lexicon", "feature", "value"), kernels, spec.lag
+    )
+    return SentoMeasures(measures=measures, sentiment=sentiment, kernels=kernels, spec=spec)

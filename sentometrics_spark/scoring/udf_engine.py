@@ -1,0 +1,353 @@
+"""Arrow-batched scoring engine (C1-C6): the Spark analogue of the
+reference's RcppParallel C++ workers.
+
+One ``mapInPandas`` pass over the corpus; lexicons/valence shifters travel
+as a Spark broadcast (the analogue of the C++ ``unordered_map`` lexiconMap,
+/root/reference/src/utils.h:25-63). Inside a batch everything is numpy over
+a flattened token array — token->polarity lookup via a C-level pandas map,
+per-document reductions via ``np.add.at`` — no per-row Python in the hot
+unigram/bigram path. The cluster engine needs sequential per-document state
+(non-overlapping clusters, /root/reference/src/SentimentScorerClusters.h:89-90)
+and loops only over lexicon hits.
+
+Engines (dispatch mirrors compute_sentiment_lexicons,
+/root/reference/R/sentiment_engines.R:32-66):
+  unigram  SentimentScorerOnegrams.h:32-77
+  bigram   SentimentScorerBigrams.h:34-83   (valence table with 'y')
+  cluster  SentimentScorerClusters.h:34-102 (valence table with 't')
+
+Output: long sentiment table (url, warc_ts, lang, word_count, lexicon,
+feature, score).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sentometrics_spark.corpus import feature_columns
+from sentometrics_spark.lexicons import Lexicons
+
+_WORD_RE = re.compile(r"[a-z']+")
+
+OUT_SCHEMA = (
+    "url string, warc_ts timestamp, lang string, word_count int, "
+    "lexicon string, feature string, score double"
+)
+
+
+def tokenize_series(texts: pd.Series) -> pd.Series:
+    """T1: lowercase -> word tokens, punctuation-only and number tokens
+    skipped (tokenize_texts, /root/reference/R/sentiment_engines.R:13-17).
+    On the closed fixture vocabulary ([a-z ]+ texts) this is provably
+    identical to the ICU word-boundary split."""
+    return texts.str.lower().str.findall(_WORD_RE)
+
+
+def _positional_weights(how: str, pos: np.ndarray, n: np.ndarray) -> np.ndarray:
+    """update_token_weights position formulas (/root/reference/src/utils.h:108-120).
+    pos is 1-based token position, n the document token count."""
+    x = pos.astype(np.float64)
+    y = n.astype(np.float64)
+    if how == "UShaped":
+        return (x - (y + 1.0) / 2.0) ** 2
+    if how == "inverseUShaped":
+        return 0.25 - ((x - (y + 1.0) / 2.0) ** 2) / (y**2)
+    if how == "exponential":
+        return np.exp(5.0 * (x / y - 1.0))
+    if how == "inverseExponential":
+        return np.exp(5.0 * (1.0 - x / y))
+    raise ValueError(how)
+
+_POSITIONAL = ("UShaped", "inverseUShaped", "exponential", "inverseExponential")
+_UNSCALED = ("counts", "proportional", "proportionalPol", "proportionalSquareRoot", "TFIDF")
+
+
+def score_language_batch(
+    tokens: list[list[str]],
+    pack,
+    how: str,
+    mode: str,
+    tfidf: tuple[float, dict[str, float]] | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Score one language's documents. Returns (word_count [n], scores [n, nL]).
+
+    Exact port of the C++ scoring semantics; see module docstring.
+    """
+    n_docs = len(tokens)
+    nL = pack.polarity.shape[1]
+    lens = np.fromiter((len(t) for t in tokens), dtype=np.int64, count=n_docs)
+    scores = np.zeros((n_docs, nL), dtype=np.float64)
+    if n_docs == 0 or lens.sum() == 0:
+        return lens, scores
+
+    flat = [w for doc in tokens for w in doc]
+    tok_s = pd.Series(flat, dtype=object)
+    doc_idx = np.repeat(np.arange(n_docs), lens)
+    offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    pos_in_doc = np.arange(len(flat)) - offsets[doc_idx]  # 0-based
+
+    vid = tok_s.map(pack.word2id)
+    hit_mask = vid.notna().to_numpy()
+    hit_idx = np.flatnonzero(hit_mask)
+    hvid = vid.to_numpy()[hit_idx].astype(np.int64)
+    hdoc = doc_idx[hit_idx]
+    pol = pack.polarity[hvid]  # [H, nL]
+    shifters = np.ones(len(hit_idx), dtype=np.float64)
+
+    if mode == "bigram" and len(hit_idx):
+        # shifter = valence value of the immediately-preceding token
+        # (/root/reference/src/SentimentScorerBigrams.h:62-66)
+        vy = tok_s.map(pack.valence_y).to_numpy(dtype=np.float64, na_value=np.nan)
+        prev = hit_idx - 1
+        has_prev = (pos_in_doc[hit_idx] > 0)
+        prev_vy = np.where(has_prev, vy[np.maximum(prev, 0)], np.nan)
+        shifters = np.where(np.isnan(prev_vy), 1.0, prev_vy)
+
+    if mode == "cluster" and len(hit_idx):
+        scores_out = _score_clusters(
+            tokens, lens, offsets, hit_mask, vid, pack, how, tfidf
+        )
+        return lens, scores_out
+
+    # --- token weights -------------------------------------------------
+    if how == "counts":
+        w = np.ones(len(hit_idx))
+    elif how == "proportional":
+        w = 1.0 / lens[hdoc]
+    elif how == "proportionalSquareRoot":
+        w = 1.0 / np.sqrt(lens[hdoc])
+    elif how == "proportionalPol":
+        # per (doc, lexicon) count of polarized token occurrences
+        npol = np.zeros((n_docs, nL))
+        np.add.at(npol, hdoc, (pol != 0).astype(np.float64))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            w_mat = np.where(npol[hdoc] > 0, 1.0 / npol[hdoc], 0.0)  # [H, nL]
+        contrib = pol * w_mat * shifters[:, None]
+        np.add.at(scores, hdoc, contrib)
+        return lens, scores
+    elif how == "TFIDF":
+        if tfidf is None:
+            raise ValueError("TFIDF requires corpus-level (N, df) stats")
+        n_corpus, df_map = tfidf
+        dfv = tok_s.iloc[hit_idx].map(df_map).to_numpy(dtype=np.float64, na_value=0.0)
+        w = np.log10(n_corpus / (1.0 + dfv))
+    elif how in _POSITIONAL:
+        w_hit = _positional_weights(how, pos_in_doc[hit_idx] + 1, lens[hdoc])
+        if mode == "unigram":
+            # normalizer over ALL tokens (SentimentScorerOnegrams.h:63-66)
+            w_all = _positional_weights(how, pos_in_doc + 1, lens[doc_idx])
+            norm = np.zeros(n_docs)
+            np.add.at(norm, doc_idx, w_all)
+        else:
+            # bigram engine: normalizer over hit tokens only
+            # (SentimentScorerBigrams.h:55-60)
+            norm = np.zeros(n_docs)
+            np.add.at(norm, hdoc, w_hit)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            w = np.where(norm[hdoc] != 0, w_hit / norm[hdoc], 0.0)
+    else:
+        raise ValueError(f"unknown how: {how}")
+
+    contrib = pol * (w * shifters)[:, None]
+    np.add.at(scores, hdoc, contrib)
+    return lens, scores
+
+
+def _score_clusters(tokens, lens, offsets, hit_mask, vid, pack, how, tfidf):
+    """Cluster-valence engine: window of 4 before / 2 after each hit,
+    non-overlapping; impact n(1+max(0.8(wA-wD),-1)), negation flips sign
+    (/root/reference/src/SentimentScorerClusters.h:34-102,
+    compute_cluster_impact /root/reference/src/utils.h:184-191).
+
+    Loops per document over lexicon hits only (hits are sparse)."""
+    n_docs = len(tokens)
+    nL = pack.polarity.shape[1]
+    scores = np.zeros((n_docs, nL))
+    vt = pack.valence_t
+    w2id = pack.word2id
+    P = pack.polarity
+    vid_np = vid.to_numpy()
+    nB, nA = 4, 2
+
+    if how == "TFIDF":
+        n_corpus, df_map = tfidf
+    for d in range(n_docs):
+        toks = tokens[d]
+        n = lens[d]
+        if n == 0:
+            continue
+        off = offsets[d]
+        dmask = hit_mask[off : off + n]
+        if not dmask.any():
+            continue
+        token_scores: dict[int, np.ndarray] = {}
+        token_shift: dict[int, float] = {}
+        # word whose corpus df feeds a token's TFIDF weight: the C++ worker
+        # reuses the CENTER token's frequency variables for window hits
+        # (/root/reference/src/SentimentScorerClusters.h:74-80), replicated here.
+        weight_word: dict[int, str] = {}
+        lB = 0
+        j = 0
+        while j < n:
+            if dmask[j]:
+                token_scores[j] = P[int(vid_np[off + j])]
+                weight_word[j] = toks[j]
+                neg = amp = deamp = 0
+                st = max(lB, j - nB)
+                en = min(n, j + nA + 1)
+                for k in range(st, en):
+                    if k == j:
+                        continue
+                    if dmask[k]:
+                        token_scores[k] = P[int(vid_np[off + k])]
+                        weight_word[k] = toks[j]
+                    else:
+                        t = vt.get(toks[k])
+                        if t == 1:
+                            neg += 1
+                        elif t == 2:
+                            amp += 1
+                        elif t == 3:
+                            deamp += 1
+                nn = neg % 2
+                wA = (1 - nn) * amp
+                wD = nn * amp + deamp
+                impact = 1.0 + max(0.8 * (wA - wD), -1.0)
+                if nn == 1:
+                    impact *= -1.0
+                token_shift[j] = impact
+                lB = en + 1
+                j = en  # next examined index is en + 1, as in the C++
+            j += 1
+        idxs = np.fromiter(token_scores.keys(), dtype=np.int64)
+        pol = np.vstack([token_scores[i] for i in idxs])
+        shift = np.fromiter((token_shift.get(int(i), 1.0) for i in idxs), dtype=np.float64)
+        if how == "counts":
+            w = np.ones(len(idxs))
+        elif how == "proportional":
+            w = np.full(len(idxs), 1.0 / n)
+        elif how == "proportionalSquareRoot":
+            w = np.full(len(idxs), 1.0 / np.sqrt(n))
+        elif how == "proportionalPol":
+            npol = (pol != 0).sum(axis=0).astype(np.float64)  # per lexicon
+            with np.errstate(divide="ignore", invalid="ignore"):
+                wm = np.where(npol > 0, 1.0 / npol, 0.0)
+            scores[d] = (pol * shift[:, None] * wm[None, :]).sum(axis=0)
+            continue
+        elif how == "TFIDF":
+            dfv = np.fromiter(
+                (df_map.get(weight_word[int(i)], 0.0) for i in idxs), dtype=np.float64
+            )
+            w = np.log10(n_corpus / (1.0 + dfv))
+        elif how in _POSITIONAL:
+            w_raw = _positional_weights(how, idxs + 1, np.full(len(idxs), n))
+            norm = w_raw.sum()
+            w = w_raw / norm if norm != 0 else np.zeros(len(idxs))
+        else:
+            raise ValueError(how)
+        scores[d] = (pol * (shift * w)[:, None]).sum(axis=0)
+    return scores
+
+
+def tfidf_corpus_stats(pages: DataFrame, lexicons: Lexicons) -> dict[str, tuple[float, dict[str, float]]]:
+    """Corpus-level (N, df) per language, pinned per input snapshot (C6,
+    /root/reference/src/utils.h:193-210). df is only needed for lexicon
+    words (weights only multiply scores at lexicon hits), so the collected
+    map stays tiny at any corpus scale."""
+    spark = pages.sparkSession
+    lex_words = sorted(
+        {w for lexs in lexicons.lex.values() for words in lexs.values() for w in words}
+    )
+    tok = pages.select(
+        "url", "lang", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter(F.col("token").isin(lex_words))
+    df_rows = (
+        tok.distinct().groupBy("lang", "token").agg(F.count("*").alias("df")).collect()
+    )
+    n_rows = pages.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    out: dict[str, tuple[float, dict[str, float]]] = {}
+    for r in n_rows:
+        out[r["lang"]] = (float(r["n"]), {})
+    for r in df_rows:
+        out[r["lang"]][1][r["token"]] = float(r["df"])
+    return out
+
+
+def compute_sentiment_udf(
+    pages: DataFrame,
+    lexicons: Lexicons,
+    how: str = "proportional",
+    mode: str | None = None,
+) -> DataFrame:
+    """C9: one mapInPandas pass -> long sentiment table.
+
+    mode: None => auto (unigram if no valence; bigram if valence 'y';
+    cluster if valence 't' — compute_sentiment docs,
+    /root/reference/R/sentiment_engines.R:36-51). Explicit 'unigram' ignores
+    valence."""
+    spark = pages.sparkSession
+    if mode is None:
+        mode = "bigram" if lexicons.valence else "unigram"
+    if mode not in ("unigram", "bigram", "cluster"):
+        raise ValueError(f"unknown mode: {mode}")
+
+    # fail fast, driver-side, on languages without a lexicon
+    # (/root/reference/R/sentiment_engines.R:79-81)
+    known = set(lexicons.lex)
+    missing = [r["lang"] for r in pages.select("lang").distinct().collect() if r["lang"] not in known]
+    if missing:
+        raise ValueError(f"no lexicon found for language(s): {sorted(missing)}")
+
+    feats = feature_columns(pages)
+    packs = {lang: lexicons.pack(lang) for lang in lexicons.languages}
+    tfidf_stats = tfidf_corpus_stats(pages, lexicons) if how == "TFIDF" else None
+    bc = spark.sparkContext.broadcast((packs, tfidf_stats))
+
+    in_cols = ["url", "warc_ts", "lang", "text", *feats]
+    n_feat = len(feats)
+
+    def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        packs_b, tfidf_b = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_parts = []
+            for lang, grp in pdf.groupby("lang", sort=False):
+                pack = packs_b.get(lang)
+                if pack is None:
+                    raise ValueError(f"no lexicon for language: {lang}")
+                toks = tokenize_series(grp["text"]).tolist()
+                tf = tfidf_b.get(lang) if tfidf_b else None
+                lens, scores = score_language_batch(toks, pack, how, mode, tf)
+                nL = len(pack.lexicon_names)
+                n = len(grp)
+                # expand to long: docs x lexicons x features
+                rep = nL * n_feat
+                fvals = grp[feats].to_numpy(dtype=np.float64)  # [n, F]
+                # score_lf[d, l, f] = scores[d, l] * fvals[d, f]
+                score_lf = (scores[:, :, None] * fvals[:, None, :]).reshape(-1)
+                out_parts.append(
+                    pd.DataFrame(
+                        {
+                            "url": np.repeat(grp["url"].to_numpy(), rep),
+                            "warc_ts": np.repeat(grp["warc_ts"].to_numpy(), rep),
+                            "lang": lang,
+                            "word_count": np.repeat(lens, rep).astype(np.int32),
+                            "lexicon": np.tile(
+                                np.repeat(np.array(pack.lexicon_names, dtype=object), n_feat), n
+                            ),
+                            "feature": np.tile(np.array(feats, dtype=object), nL * n),
+                            "score": score_lf,
+                        }
+                    )
+                )
+            if out_parts:
+                yield pd.concat(out_parts, ignore_index=True)
+
+    return pages.select(*in_cols).mapInPandas(score_partition, schema=OUT_SCHEMA)

@@ -113,6 +113,50 @@ def aggregate_docs(
     return agg.select(*cols)
 
 
+def aggregate_sentences(
+    sentiment: DataFrame,
+    how: str = "equal_weight",
+    do_ignore_zeros: bool = True,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """O4: sentence -> document roll-up (aggregate_sentences,
+    /root/reference/R/sentomeasures_main.R:336-353): per-document weights
+    from the same weights_across schemes with by=id; value = sum(w*s) over
+    the document's sentences; word_count = sum of sentence word counts.
+
+    With do.ignoreZeros, zero-score sentences drop out of the weights via
+    the reference's (x*num)/x NaN trick — here an explicit null-out."""
+    s = sentiment
+    score = _ignore_zeros(F.col("score")) if do_ignore_zeros else F.col("score")
+
+    if how in ("exponential", "inverseExponential"):
+        doc_wc = (
+            s.select("url", "sentence_id", "word_count")
+            .distinct()
+            .groupBy("url")
+            .agg(F.sum("word_count").cast("double").alias("__bucket_wc"))
+        )
+        s = s.join(doc_wc, "url")
+    num = _weight_numerator(how, alpha)
+    num_eff = F.when(score.isNotNull(), num)
+
+    # distinct per-doc sentence word counts for the summed word_count
+    wc = (
+        s.select("url", "sentence_id", "word_count")
+        .distinct()
+        .groupBy("url")
+        .agg(F.sum("word_count").alias("word_count"))
+    )
+    agg = s.groupBy("url", *MEASURE_KEYS).agg(
+        F.first("warc_ts").alias("warc_ts"),
+        F.first("lang").alias("lang"),
+        F.coalesce(F.sum(num_eff * score) / F.sum(num_eff), F.lit(0.0)).alias("score"),
+    )
+    return agg.join(wc, "url").select(
+        "url", "warc_ts", "lang", "word_count", *MEASURE_KEYS, "score"
+    )
+
+
 def doc_weights(
     sentiment: DataFrame,
     by: str = "day",

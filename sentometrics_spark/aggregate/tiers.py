@@ -80,13 +80,14 @@ def build_all_tiers(
     how: str = "proportional",
     do_ignore_zeros: bool = True,
 ) -> dict[str, DataFrame]:
-    """hour tier from documents; each coarser tier from the previous one."""
+    """Rollup lattice: hour from documents; day from hour; week and month
+    BOTH from day (ISO weeks straddle month boundaries, so week and month
+    are siblings, not a chain)."""
     tiers: dict[str, DataFrame] = {}
     tiers["hour"] = base_tier(sentiment, how, do_ignore_zeros, by="hour")
-    prev = tiers["hour"]
-    for t in TIER_ORDER[1:]:
-        tiers[t] = rollup(prev, t)
-        prev = tiers[t]
+    tiers["day"] = rollup(tiers["hour"], "day")
+    tiers["week"] = rollup(tiers["day"], "week")
+    tiers["month"] = rollup(tiers["day"], "month")
     return tiers
 
 

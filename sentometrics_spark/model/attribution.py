@@ -1,0 +1,143 @@
+"""Prediction attribution (R8): decompose model predictions back to
+documents, lags, lexicons, features, and time-weighting schemes
+(attributions, /root/reference/R/attribution.R:109-223).
+
+For a model prediction at bucket t:
+
+    pred_t - b0 = sum_m coef_m * measure_{m,t}
+    measure_{m,t} = sum_i B_tw(m)[i] * docagg_{lex(m),feat(m), t-(lag-1)+i}
+    docagg_{lf,b} = sum_d W_{d,b,lf} * s_{d,lf}
+
+so each decomposition regroups the same triple sum; the four roll-ups must
+reconcile per date (reference invariant,
+/root/reference/tests/testthat/test_attribution.R:47-60).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sentometrics_spark.aggregate.doc_agg import MEASURE_KEYS
+
+
+def coef_df(spark, coefs: pd.Series) -> DataFrame:
+    """Coefficient series indexed by 'lexicon--feature--timeweight'."""
+    rows = []
+    for name, c in coefs.items():
+        lx, f, tw = name.split("--")
+        rows.append((lx, f, tw, float(c)))
+    return spark.createDataFrame(rows, "lexicon string, feature string, timeweight string, coef double")
+
+
+def _indexed(filled: DataFrame) -> DataFrame:
+    w = Window.partitionBy(*MEASURE_KEYS).orderBy("bucket_ts")
+    return filled.withColumn("rn", F.row_number().over(w))
+
+
+def kernel_df(spark, kernels: dict[str, np.ndarray], lag: int) -> DataFrame:
+    rows = [
+        (tw, i, float(w[i]))  # i = 0 is the most lagged position
+        for tw, w in kernels.items()
+        for i in range(lag)
+    ]
+    return spark.createDataFrame(rows, "timeweight string, lag_index int, kw double")
+
+
+def attributions_dims(measures: DataFrame, coefs: DataFrame, dim: str) -> DataFrame:
+    """Per-lexicon / per-feature / per-timeweight attribution
+    (attributions_dims, /root/reference/R/attribution.R:88-107)."""
+    if dim not in ("lexicon", "feature", "timeweight"):
+        raise ValueError(dim)
+    return (
+        measures.join(F.broadcast(coefs), MEASURE_KEYS + ["timeweight"])
+        .groupBy("bucket_ts", dim)
+        .agg(F.sum(F.col("coef") * F.col("value")).alias("attrib"))
+    )
+
+
+def attributions_lags(
+    filled_docagg: DataFrame,
+    coefs: DataFrame,
+    kernels: dict[str, np.ndarray],
+    lag: int,
+) -> DataFrame:
+    """Per-lag attribution (attributions_lags,
+    /root/reference/R/attribution.R:29-86): contribution of the bucket
+    lagged (lag-1-i) steps behind each prediction date."""
+    spark = filled_docagg.sparkSession
+    idx = _indexed(filled_docagg)
+    kdf = kernel_df(spark, kernels, lag)
+    # target rn = src rn + (lag-1 - lag_index)
+    contrib = (
+        idx.alias("src")
+        .join(F.broadcast(kdf), F.lit(True))
+        .withColumn("tgt_rn", F.col("rn") + (F.lit(lag - 1) - F.col("lag_index")))
+        .join(F.broadcast(coefs), MEASURE_KEYS + ["timeweight"])
+        .withColumn("part", F.col("coef") * F.col("kw") * F.col("value"))
+    )
+    tgt = idx.select(
+        *MEASURE_KEYS, F.col("rn").alias("tgt_rn"), F.col("bucket_ts").alias("pred_ts")
+    ).dropDuplicates(["tgt_rn", *MEASURE_KEYS])
+    return (
+        contrib.join(tgt, ["tgt_rn", *MEASURE_KEYS])
+        .filter(F.col("tgt_rn") >= lag)
+        .groupBy("pred_ts", "lag_index")
+        .agg(F.sum("part").alias("attrib"))
+    )
+
+
+def attributions_docs(
+    sentiment: DataFrame,
+    weights: DataFrame,
+    filled_docagg: DataFrame,
+    coefs: DataFrame,
+    kernels: dict[str, np.ndarray],
+    lag: int,
+    by: str,
+) -> DataFrame:
+    """Per-document attribution (attributions_docs,
+    /root/reference/R/attribution.R:2-27): coef x kernel weight x document
+    weight x document sentiment, rolled to each prediction date the
+    document's bucket feeds."""
+    from sentometrics_spark.aggregate.doc_agg import bucket_col
+
+    spark = sentiment.sparkSession
+    idx = _indexed(filled_docagg).select(*MEASURE_KEYS, "bucket_ts", "rn")
+    kdf = kernel_df(spark, kernels, lag)
+    s = sentiment.withColumn("bucket_ts", bucket_col(F.col("warc_ts"), by))
+    docpart = (
+        s.join(weights, ["url", "bucket_ts", *MEASURE_KEYS])
+        .join(idx, ["bucket_ts", *MEASURE_KEYS])
+        .join(F.broadcast(coefs.groupBy(*MEASURE_KEYS).pivot("timeweight").agg(F.first("coef"))), MEASURE_KEYS, "inner")
+    )
+    # explode kernel positions: doc bucket at rn feeds prediction at
+    # rn + (lag-1-lag_index)
+    tws = list(kernels)
+    parts = None
+    for tw in tws:
+        p = (
+            docpart.join(F.broadcast(kdf.filter(F.col("timeweight") == tw)), F.lit(True))
+            .withColumn("tgt_rn", F.col("rn") + (F.lit(lag - 1) - F.col("lag_index")))
+            .withColumn(
+                "part",
+                F.coalesce(F.col(f"`{tw}`"), F.lit(0.0))
+                * F.col("kw")
+                * F.col("weight")
+                * F.col("score"),
+            )
+            .select("url", *MEASURE_KEYS, "tgt_rn", "part")
+        )
+        parts = p if parts is None else parts.unionByName(p)
+    tgt = _indexed(filled_docagg).select(
+        *MEASURE_KEYS, F.col("rn").alias("tgt_rn"), F.col("bucket_ts").alias("pred_ts")
+    ).dropDuplicates(["tgt_rn", *MEASURE_KEYS])
+    return (
+        parts.join(tgt, ["tgt_rn", *MEASURE_KEYS])
+        .filter(F.col("tgt_rn") >= lag)
+        .groupBy("pred_ts", "url")
+        .agg(F.sum("part").alias("attrib"))
+    )

@@ -1,0 +1,237 @@
+"""Driver-side sparse regression layer (R1-R7): elastic net via coordinate
+descent in numpy (no sklearn in this container), information-criterion /
+time-series-CV calibration, rolling re-estimation.
+
+The measures panel is small (#buckets x #measures), so this runs on the
+collected pivot — the same topology as the reference, where glmnet runs
+in-process on the assembled panel (/root/reference/R/sentomodel.R:313-503).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+
+@dataclass(frozen=True)
+class ModelCtr:
+    """R1: model-control validation (ctr_model, /root/reference/R/sentomodel.R:86-178)."""
+
+    model: str = "gaussian"
+    calibration: str = "BIC"  # BIC | AIC | Cp | cv
+    alphas: tuple[float, ...] = (0.0, 0.25, 0.5, 0.75, 1.0)
+    n_lambdas: int = 50
+    h: int = 0  # prediction horizon
+    do_difference: bool = False
+    cv_train: int = 20
+    cv_test: int = 5
+
+    def __post_init__(self) -> None:
+        if self.model not in ("gaussian",):
+            raise ValueError(f"unsupported model family: {self.model}")
+        if self.calibration not in ("BIC", "AIC", "Cp", "cv"):
+            raise ValueError(f"unknown calibration: {self.calibration}")
+        if any(a < 0 or a > 1 for a in self.alphas):
+            raise ValueError("alphas must lie in [0, 1]")
+
+
+def align_variables(y: pd.Series, X: pd.DataFrame, h: int = 0, do_difference: bool = False):
+    """R2: shift y forward by horizon h relative to X
+    (align_variables, /root/reference/R/utils.R:223-269)."""
+    if do_difference:
+        y = y.diff().dropna()
+        X = X.iloc[: len(y)]
+    if h > 0:
+        y_al = y.iloc[h:].reset_index(drop=True)
+        X_al = X.iloc[: len(X) - h].reset_index(drop=True)
+    elif h < 0:
+        y_al = y.iloc[: len(y) + h].reset_index(drop=True)
+        X_al = X.iloc[-h:].reset_index(drop=True)
+    else:
+        y_al, X_al = y.reset_index(drop=True), X.reset_index(drop=True)
+    n = min(len(y_al), len(X_al))
+    return y_al.iloc[:n], X_al.iloc[:n]
+
+
+def clean_panel(X: pd.DataFrame, threshold: float = 0.5) -> pd.DataFrame:
+    """R3: drop duplicated columns and columns with > threshold zeros
+    (clean_panel, /root/reference/R/utils.R:271-296)."""
+    X = X.loc[:, ~X.T.duplicated()]
+    frac_zero = (X == 0).mean()
+    return X.loc[:, frac_zero <= threshold]
+
+
+def _soft(z: float, g: float) -> float:
+    if z > g:
+        return z - g
+    if z < -g:
+        return z + g
+    return 0.0
+
+
+def elastic_net_cd(
+    X: np.ndarray,
+    y: np.ndarray,
+    alpha: float,
+    lam: float,
+    tol: float = 1e-8,
+    max_iter: int = 1000,
+    warm: np.ndarray | None = None,
+) -> tuple[np.ndarray, float]:
+    """Standardized coordinate-descent elastic net (glmnet objective:
+    1/(2n)||y - b0 - Xb||^2 + lam*(alpha*|b|_1 + (1-alpha)/2*|b|_2^2))."""
+    n, p = X.shape
+    xm, xs = X.mean(0), X.std(0)
+    xs[xs == 0] = 1.0
+    Xs = (X - xm) / xs
+    ym = y.mean()
+    yc = y - ym
+    b = np.zeros(p) if warm is None else warm.copy()
+    r = yc - Xs @ b
+    for _ in range(max_iter):
+        delta = 0.0
+        for j in range(p):
+            bj = b[j]
+            z = (Xs[:, j] @ r) / n + bj
+            bn = _soft(z, lam * alpha) / (1.0 + lam * (1 - alpha))
+            if bn != bj:
+                r += Xs[:, j] * (bj - bn)
+                b[j] = bn
+                delta = max(delta, abs(bn - bj))
+        if delta < tol:
+            break
+    coefs = b / xs
+    intercept = ym - float(xm @ coefs)
+    return coefs, intercept
+
+
+def _lambda_path(X: np.ndarray, y: np.ndarray, alpha: float, n_lambdas: int) -> np.ndarray:
+    n = len(y)
+    Xs = (X - X.mean(0)) / np.where(X.std(0) == 0, 1.0, X.std(0))
+    lmax = np.abs(Xs.T @ (y - y.mean())).max() / (n * max(alpha, 1e-3))
+    return np.logspace(np.log10(lmax), np.log10(lmax * 1e-4), n_lambdas)
+
+
+def _df_enet(X: np.ndarray, coefs: np.ndarray, lam: float, alpha: float) -> float:
+    """Degrees of freedom: lasso df = |active|; ridge/enet df via the trace
+    of the hat matrix on the active set (compute_df,
+    /root/reference/src/compute_df.cpp:11-47)."""
+    active = np.flatnonzero(coefs != 0)
+    if len(active) == 0:
+        return 0.0
+    if alpha == 1.0:
+        return float(len(active))
+    Xa = X[:, active]
+    Xs = (Xa - Xa.mean(0)) / np.where(Xa.std(0) == 0, 1.0, Xa.std(0))
+    n = len(X)
+    G = Xs.T @ Xs / n
+    ridge = lam * (1 - alpha)
+    try:
+        H = Xs @ np.linalg.solve(G + ridge * np.eye(len(active)), Xs.T / n)
+        return float(np.trace(H))
+    except np.linalg.LinAlgError:
+        return float(len(active))
+
+
+def _criterion(kind: str, y, yhat, df, sigma2) -> float:
+    """BIC/AIC/Cp-like criteria (/root/reference/R/utils.R:389-399)."""
+    n = len(y)
+    rss = float(((y - yhat) ** 2).sum())
+    if kind == "BIC":
+        return rss / (n * sigma2) + (np.log(n) / n) * df
+    if kind == "AIC":
+        return rss / (n * sigma2) + (2.0 / n) * df
+    if kind == "Cp":
+        return rss / n + (2.0 / n) * df * sigma2
+    raise ValueError(kind)
+
+
+def create_cv_slices(n: int, train: int, test: int) -> list[tuple[np.ndarray, np.ndarray]]:
+    """R4-cv: rolling-origin time-series CV slices (create_cv_slices,
+    /root/reference/R/utils.R:207-221)."""
+    out = []
+    start = 0
+    while start + train + test <= n:
+        out.append(
+            (np.arange(start, start + train), np.arange(start + train, start + train + test))
+        )
+        start += test
+    return out
+
+
+@dataclass
+class SentoModel:
+    coefs: pd.Series
+    intercept: float
+    alpha: float
+    lam: float
+    criterion: float
+    ctr: ModelCtr
+
+    def predict(self, X: pd.DataFrame) -> np.ndarray:
+        return X[self.coefs.index].to_numpy() @ self.coefs.to_numpy() + self.intercept
+
+
+def sento_model(y: pd.Series, X: pd.DataFrame, ctr: ModelCtr = ModelCtr()) -> SentoModel:
+    """R4: calibrate (alpha, lambda) over the grid by IC or rolling CV,
+    then fit the final elastic net (run_sento_model,
+    /root/reference/R/sentomodel.R:369-503)."""
+    y_al, X_al = align_variables(y, X, ctr.h, ctr.do_difference)
+    X_al = clean_panel(X_al)
+    Xn, yn = X_al.to_numpy(dtype=float), y_al.to_numpy(dtype=float)
+    n = len(yn)
+    # sigma2 estimate from OLS-ish ridge fit
+    sigma2 = max(float(np.var(yn)), 1e-12)
+
+    best = None
+    for alpha in ctr.alphas:
+        lams = _lambda_path(Xn, yn, alpha, ctr.n_lambdas)
+        warm = None
+        for lam in lams:
+            coefs, b0 = elastic_net_cd(Xn, yn, alpha, lam, warm=warm)
+            warm = coefs * np.where(Xn.std(0) == 0, 1.0, Xn.std(0))
+            if ctr.calibration == "cv":
+                errs = []
+                for tr, te in create_cv_slices(n, ctr.cv_train, ctr.cv_test):
+                    c2, i2 = elastic_net_cd(Xn[tr], yn[tr], alpha, lam)
+                    errs.append(float(((yn[te] - (Xn[te] @ c2 + i2)) ** 2).mean()))
+                crit = float(np.mean(errs)) if errs else np.inf
+            else:
+                yhat = Xn @ coefs + b0
+                df = _df_enet(Xn, coefs, lam, alpha)
+                crit = _criterion(ctr.calibration, yn, yhat, df, sigma2)
+            if best is None or crit < best[0]:
+                best = (crit, alpha, lam, coefs, b0)
+    crit, alpha, lam, coefs, b0 = best
+    return SentoModel(
+        coefs=pd.Series(coefs, index=X_al.columns),
+        intercept=b0,
+        alpha=alpha,
+        lam=lam,
+        criterion=crit,
+        ctr=ctr,
+    )
+
+
+def sento_model_iter(
+    y: pd.Series, X: pd.DataFrame, ctr: ModelCtr = ModelCtr(), n_windows: int = 5, window: int | None = None
+) -> pd.DataFrame:
+    """R5: rolling re-estimation + 1-step-ahead out-of-sample predictions
+    (run_sento_modelIter, /root/reference/R/sentomodel.R:506-596)."""
+    n = len(y)
+    window = window or max(20, n - n_windows)
+    rows = []
+    for t in range(window, min(window + n_windows, n)):
+        m = sento_model(y.iloc[t - window : t], X.iloc[t - window : t], ctr)
+        pred = float(m.predict(X.iloc[[t]])[0])
+        rows.append({"t": t, "pred": pred, "actual": float(y.iloc[t])})
+    out = pd.DataFrame(rows)
+    if len(out):
+        err = out["pred"] - out["actual"]
+        out.attrs["RMSFE"] = float(np.sqrt((err**2).mean()))
+        out.attrs["MAD"] = float(err.abs().mean())
+        da = (np.sign(out["pred"].diff().dropna()) == np.sign(out["actual"].diff().dropna()))
+        out.attrs["MDA"] = float(da.mean()) if len(da) else np.nan
+    return out

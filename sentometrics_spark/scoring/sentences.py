@@ -1,0 +1,234 @@
+"""Sentence-level scoring (T2 + C4): ICU-style sentence split, then each
+sentence scored as its own text; dispatch unigram/bigram/cluster by valence
+type (compute_sentiment_sentences, /root/reference/src/compute_sentiment_sentences.cpp:14-49,
+worker /root/reference/src/SentimentScorerSentences.h:36-110).
+
+Replicated quirks of the reference worker (code is the contract, not docs):
+  - ``", "`` is replaced by the marker token ``c_c`` before word-splitting
+    (/root/reference/R/sentiment_engines.R:18-27);
+  - ``check_for_commas`` is only invoked on lexicon hits, and a hit is never
+    ``c_c`` — so nPuncts stays 0: word_count INCLUDES the c_c markers and
+    cluster start never clips at a preceding comma;
+  - ``set_cluster_bounds`` EXTENDS the after-window to just before the next
+    comma at-or-after j+nA+1 (/root/reference/src/utils.h:242-275);
+  - cluster window nB=5 before / nA=2 after; adversative conjunctions
+    (t=4) weight (1 + 0.25*(n_before - n_after));
+  - sentence impact: wA=(1-n)*amp*0.8, wD=max(-1, (-n*amp-deamp)*0.8),
+    impact=(1+wA+wD)*(1+0.25*adv), negated for odd negators
+    (/root/reference/src/utils.h:212-240).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from sentometrics_spark.corpus import feature_columns
+from sentometrics_spark.lexicons import Lexicons
+from sentometrics_spark.scoring.udf_engine import (
+    _POSITIONAL,
+    _positional_weights,
+    score_language_batch,
+)
+
+_SENT_SPLIT = re.compile(r"(?<=[.!?])\s+")
+_WORD_RE = re.compile(r"[a-z_']+")  # keeps the c_c marker token
+
+SENT_OUT_SCHEMA = (
+    "url string, sentence_id int, warc_ts timestamp, lang string, word_count int, "
+    "lexicon string, feature string, score double"
+)
+
+
+def split_sentences(text: str) -> list[list[str]]:
+    """T2: sentence split -> per-sentence word tokens with ', ' replaced by
+    the c_c marker; empty sentences dropped."""
+    out = []
+    for sn in _SENT_SPLIT.split(text):
+        toks = _WORD_RE.findall(sn.replace(", ", " c_c ").lower())
+        if toks:
+            out.append(toks)
+    return out
+
+
+def _sentence_cluster_scores(tokens: list[str], pack, how: str, tfidf) -> np.ndarray:
+    """One sentence under the cluster-valence approach."""
+    n = len(tokens)
+    nL = pack.polarity.shape[1]
+    w2 = pack.word2id
+    vt = pack.valence_t
+    nB, nA = 5, 2
+    token_scores: dict[int, np.ndarray] = {}
+    token_shift: dict[int, float] = {}
+    weight_word: dict[int, str] = {}
+    lB = 0
+    for j, tok in enumerate(tokens):
+        vid = w2.get(tok)
+        if vid is None:
+            continue
+        token_scores[j] = pack.polarity[vid]
+        weight_word[j] = tok
+        neg = amp = deamp = adv = 0
+        st = max(lB, j - nB)
+        en = min(n, j + nA + 1)
+        for m in range(en, n):  # window extends to the next comma marker
+            if tokens[m] == "c_c":
+                en = m
+                break
+        for k in range(st, en):
+            if k == j:
+                continue
+            kvid = w2.get(tokens[k])
+            if kvid is not None:
+                token_scores[k] = pack.polarity[kvid]
+                weight_word[k] = tok
+            else:
+                t = vt.get(tokens[k])
+                if t == 1:
+                    neg += 1
+                elif t == 2:
+                    amp += 1
+                elif t == 3:
+                    deamp += 1
+                elif t == 4:
+                    adv += 1 if k < j else -1
+        nn = neg % 2
+        wA = (1 - nn) * amp * 0.8
+        wD = (-nn * amp - deamp) * 0.8
+        if wD < -1:
+            wD = -1.0
+        impact = (1.0 + (wA + wD)) * (1.0 + 0.25 * adv)
+        if nn == 1:
+            impact = -impact
+        token_shift[j] = impact
+        # NOTE: unlike the doc-level cluster worker, the sentence worker does
+        # NOT reset lB/j (no non-overlap jump) — clusters may overlap.
+    if not token_scores:
+        return np.zeros(nL)
+    idxs = np.fromiter(token_scores.keys(), dtype=np.int64)
+    pol = np.vstack([token_scores[i] for i in idxs])
+    shift = np.fromiter((token_shift.get(int(i), 1.0) for i in idxs), dtype=np.float64)
+    if how == "counts":
+        w = np.ones(len(idxs))
+    elif how == "proportional":
+        w = np.full(len(idxs), 1.0 / n)
+    elif how == "proportionalSquareRoot":
+        w = np.full(len(idxs), 1.0 / np.sqrt(n))
+    elif how == "proportionalPol":
+        npol = (pol != 0).sum(axis=0).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            wm = np.where(npol > 0, 1.0 / npol, 0.0)
+        return (pol * shift[:, None] * wm[None, :]).sum(axis=0)
+    elif how == "TFIDF":
+        n_corpus, df_map = tfidf
+        dfv = np.fromiter(
+            (df_map.get(weight_word[int(i)], 0.0) for i in idxs), dtype=np.float64
+        )
+        w = np.log10(n_corpus / (1.0 + dfv))
+    elif how in _POSITIONAL:
+        w_raw = _positional_weights(how, idxs + 1, np.full(len(idxs), n))
+        norm = w_raw.sum()
+        w = w_raw / norm if norm != 0 else np.zeros(len(idxs))
+    else:
+        raise ValueError(how)
+    return (pol * (shift * w)[:, None]).sum(axis=0)
+
+
+def compute_sentiment_sentences_udf(
+    pages: DataFrame,
+    lexicons: Lexicons,
+    how: str = "proportional",
+    valence_use: str = "t",
+) -> DataFrame:
+    """C4: sentence-level long sentiment (url, sentence_id, ...). Valence
+    dispatch mirrors valenceType resolution
+    (/root/reference/R/sentiment_engines.R:36-40): no valence -> unigram;
+    valence_use='y' -> bigram; valence_use='t' -> cluster."""
+    from pyspark.sql import functions as F
+
+    spark = pages.sparkSession
+    known = set(lexicons.lex)
+    missing = [
+        r["lang"] for r in pages.select("lang").distinct().collect() if r["lang"] not in known
+    ]
+    if missing:
+        raise ValueError(f"no lexicon found for language(s): {sorted(missing)}")
+
+    has_valence = bool(lexicons.valence)
+    if not has_valence:
+        mode = "unigram"
+    elif valence_use == "y":
+        mode = "bigram"
+    else:
+        mode = "cluster"
+
+    feats = feature_columns(pages)
+    n_feat = len(feats)
+    packs = {lang: lexicons.pack(lang) for lang in lexicons.languages}
+
+    tfidf_stats = None
+    if how == "TFIDF":
+        # sentence-level (N, df): N = #sentences per language, df = #sentences
+        # containing the token — restricted to lexicon words (see udf_engine)
+        raise NotImplementedError(
+            "TFIDF at sentence level needs a sentence-frequency pre-pass; "
+            "planned alongside the streaming ingest"
+        )
+
+    bc = spark.sparkContext.broadcast((packs, tfidf_stats))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        packs_b, tfidf_b = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for lang, grp in pdf.groupby("lang", sort=False):
+                pack = packs_b[lang]
+                nL = len(pack.lexicon_names)
+                for row in grp.itertuples(index=False):
+                    sentences = split_sentences(row.text)
+                    if not sentences:
+                        continue
+                    if mode == "cluster":
+                        mat = np.vstack(
+                            [
+                                _sentence_cluster_scores(s, pack, how, None)
+                                for s in sentences
+                            ]
+                        )
+                        lens = np.fromiter((len(s) for s in sentences), dtype=np.int64)
+                    else:
+                        lens, mat = score_language_batch(sentences, pack, how, mode)
+                    n_sent = len(sentences)
+                    rep = nL * n_feat
+                    fvals = np.array([getattr(row, f) for f in feats], dtype=np.float64)
+                    score_lf = (mat[:, :, None] * fvals[None, None, :]).reshape(-1)
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "url": row.url,
+                                "sentence_id": np.repeat(
+                                    np.arange(1, n_sent + 1, dtype=np.int32), rep
+                                ),
+                                "warc_ts": row.warc_ts,
+                                "lang": lang,
+                                "word_count": np.repeat(lens, rep).astype(np.int32),
+                                "lexicon": np.tile(
+                                    np.repeat(np.array(pack.lexicon_names, dtype=object), n_feat),
+                                    n_sent,
+                                ),
+                                "feature": np.tile(np.array(feats, dtype=object), nL * n_sent),
+                                "score": score_lf,
+                            }
+                        )
+                    )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    in_cols = ["url", "warc_ts", "lang", "text", *feats]
+    return pages.select(*in_cols).mapInPandas(run, schema=SENT_OUT_SCHEMA)

@@ -312,6 +312,24 @@ def compute_sentiment_udf(
     in_cols = ["url", "warc_ts", "lang", "text", *feats]
     n_feat = len(feats)
 
+    # all languages must share the lexicon-name set so the wide score block
+    # has a fixed layout (true by sento_lexicons construction per language)
+    lex_names = lexicons.lexicon_names()
+    for lang in lexicons.languages:
+        if sorted(lexicons.lex[lang]) != lex_names:
+            raise ValueError("lexicon names must be identical across languages")
+    n_lex = len(lex_names)
+    k = n_lex * n_feat
+
+    # The UDF emits the (lexicon x feature) score block as K plain double
+    # columns — no row expansion or repeated strings cross the Arrow
+    # boundary (serialization, not the numpy kernel, otherwise dominates).
+    # The long format is produced JVM-side by a codegen'd stack().
+    wide_schema = (
+        "url string, warc_ts timestamp, lang string, word_count int, "
+        + ", ".join(f"s_{i} double" for i in range(k))
+    )
+
     def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         packs_b, tfidf_b = bc.value
         for pdf in batches:
@@ -325,29 +343,26 @@ def compute_sentiment_udf(
                 toks = tokenize_series(grp["text"]).tolist()
                 tf = tfidf_b.get(lang) if tfidf_b else None
                 lens, scores = score_language_batch(toks, pack, how, mode, tf)
-                nL = len(pack.lexicon_names)
-                n = len(grp)
-                # expand to long: docs x lexicons x features
-                rep = nL * n_feat
                 fvals = grp[feats].to_numpy(dtype=np.float64)  # [n, F]
-                # score_lf[d, l, f] = scores[d, l] * fvals[d, f]
-                score_lf = (scores[:, :, None] * fvals[:, None, :]).reshape(-1)
-                out_parts.append(
-                    pd.DataFrame(
-                        {
-                            "url": np.repeat(grp["url"].to_numpy(), rep),
-                            "warc_ts": np.repeat(grp["warc_ts"].to_numpy(), rep),
-                            "lang": lang,
-                            "word_count": np.repeat(lens, rep).astype(np.int32),
-                            "lexicon": np.tile(
-                                np.repeat(np.array(pack.lexicon_names, dtype=object), n_feat), n
-                            ),
-                            "feature": np.tile(np.array(feats, dtype=object), nL * n),
-                            "score": score_lf,
-                        }
-                    )
-                )
+                score_lf = (scores[:, :, None] * fvals[:, None, :]).reshape(len(grp), k)
+                cols = {
+                    "url": grp["url"].to_numpy(),
+                    "warc_ts": grp["warc_ts"].to_numpy(),
+                    "lang": lang,
+                    "word_count": lens.astype(np.int32),
+                }
+                for i in range(k):
+                    cols[f"s_{i}"] = score_lf[:, i]
+                out_parts.append(pd.DataFrame(cols))
             if out_parts:
                 yield pd.concat(out_parts, ignore_index=True)
 
-    return pages.select(*in_cols).mapInPandas(score_partition, schema=OUT_SCHEMA)
+    wide = pages.select(*in_cols).mapInPandas(score_partition, schema=wide_schema)
+    stack_args = []
+    i = 0
+    for lx in lex_names:
+        for f in feats:
+            stack_args.append(f"'{lx}', '{f}', `s_{i}`")
+            i += 1
+    stack_expr = f"stack({k}, {', '.join(stack_args)}) AS (lexicon, feature, score)"
+    return wide.select("url", "warc_ts", "lang", "word_count", F.expr(stack_expr))

@@ -129,12 +129,12 @@ def decode(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
     (n,) = struct.unpack(">i", blob[:4])
     if n == 0:
         return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
-    first_ts, first_val = struct.unpack(">qd", blob[4:16])
+    first_ts, first_val = struct.unpack(">qd", blob[4:20])
     ts = np.empty(n, dtype=np.int64)
     vals = np.empty(n, dtype=np.float64)
     ts[0] = first_ts
     vals[0] = first_val
-    r = _BitReader(blob[16:])
+    r = _BitReader(blob[20:])
     prev_ts, prev_delta = first_ts, 0
     prev_bits = struct.unpack(">Q", struct.pack(">d", first_val))[0]
     prev_lz, prev_mlen = -1, -1

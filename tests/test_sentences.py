@@ -1,0 +1,134 @@
+"""Sentence-level engine (T2, C4) + sentence->doc roll-up (O4)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sentometrics_spark.aggregate.doc_agg import aggregate_sentences
+from sentometrics_spark.lexicons import Lexicons
+from sentometrics_spark.scoring.sentences import (
+    _sentence_cluster_scores,
+    compute_sentiment_sentences_udf,
+    split_sentences,
+)
+
+
+def test_split_sentences_markers():
+    toks = split_sentences("Fast cars, slow roads. The end!")
+    assert toks == [["fast", "cars", "c_c", "slow", "roads"], ["the", "end"]]
+    assert split_sentences("") == []
+    # word_count includes the c_c marker (reference quirk: nPuncts never
+    # increments because check_for_commas only fires on lexicon hits)
+    assert len(toks[0]) == 5
+
+
+@pytest.fixture()
+def pack():
+    lex = Lexicons(
+        lex={"en": {"L": {"fast": 1.0, "slow": -2.0}}},
+        valence={
+            "en": {
+                "a": (-1.0, 1),
+                "the": (1.5, 2),
+                "data": (0.5, 3),
+                "customer": (1.0, 4),
+            }
+        },
+    )
+    return lex.pack("en")
+
+
+def cscore(pack, tokens, how="counts"):
+    return _sentence_cluster_scores(tokens, pack, how, None)[0]
+
+
+def test_sentence_cluster_impacts(pack):
+    # lone hit
+    assert cscore(pack, ["x", "fast"]) == pytest.approx(1.0)
+    # negator: flip
+    assert cscore(pack, ["a", "fast"]) == pytest.approx(-1.0)
+    # amplifier: (1 + 0.8)
+    assert cscore(pack, ["the", "fast"]) == pytest.approx(1.8)
+    # deamplifier: (1 - 0.8)
+    assert cscore(pack, ["data", "fast"]) == pytest.approx(0.2)
+    # adversative before hit: (1 + 0.25)
+    assert cscore(pack, ["customer", "fast"]) == pytest.approx(1.25)
+    # adversative after hit: (1 - 0.25)
+    assert cscore(pack, ["fast", "x", "customer"]) == pytest.approx(0.75)
+    # negator + amplifier: n=1 -> wA=0, wD=-0.8 -> (1-0.8)*-1
+    assert cscore(pack, ["a", "the", "fast"]) == pytest.approx(-0.2)
+    # two deamplifiers: wD clipped at -1 -> 0
+    assert cscore(pack, ["data", "data", "fast"]) == pytest.approx(0.0)
+    # nB=5: negator 5 back IS in window (sentence window is wider than doc)
+    assert cscore(pack, ["a", "x", "x", "x", "x", "fast"]) == pytest.approx(-1.0)
+    assert cscore(pack, ["a", "x", "x", "x", "x", "x", "fast"]) == pytest.approx(1.0)
+
+
+def test_sentence_cluster_window_extends_to_comma(pack):
+    # after-window normally ends at j+2, but extends to the next comma:
+    # negator at j+4 with comma at j+5 IS included
+    assert cscore(pack, ["fast", "x", "x", "x", "a", "c_c", "y"]) == pytest.approx(-1.0)
+    # without a comma after, j+4 is outside the window
+    assert cscore(pack, ["fast", "x", "x", "x", "a", "z", "y"]) == pytest.approx(1.0)
+
+
+def test_sentence_clusters_may_overlap(pack):
+    # unlike the doc-level worker there is no non-overlap jump: both hits
+    # see the negator between them
+    got = cscore(pack, ["fast", "a", "slow"])
+    # fast: negator after (within nA=2) -> -1; slow: negator before -> +2
+    assert got == pytest.approx(-1.0 + 2.0)
+
+
+def _mini_pages(spark, rows):
+    return spark.createDataFrame(
+        [(f"u{i}", "2024-01-01 00:00:00", t, "en", 1.0) for i, t in enumerate(rows)],
+        "url string, warc_ts string, text string, lang string, feat_all double",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+
+
+def test_sentence_udf_end_to_end(spark):
+    lex = Lexicons(
+        lex={"en": {"L": {"fast": 1.0, "slow": -2.0}}},
+        valence={"en": {"a": (-1.0, 1), "the": (1.5, 2)}},
+    )
+    pages = _mini_pages(spark, ["A fast car. The slow, bad road.", "nothing here"])
+    out = compute_sentiment_sentences_udf(pages, lex, "counts").toPandas()
+    u0 = out[out.url == "u0"].sort_values("sentence_id")
+    # sentence 1: 'a fast car' -> negator before fast -> -1
+    assert u0[u0.sentence_id == 1]["score"].iloc[0] == pytest.approx(-1.0)
+    # sentence 2: 'the slow c_c bad road' -> amplifier before slow -> -2*1.8
+    assert u0[u0.sentence_id == 2]["score"].iloc[0] == pytest.approx(-3.6)
+    assert u0[u0.sentence_id == 1]["word_count"].iloc[0] == 3
+    assert u0[u0.sentence_id == 2]["word_count"].iloc[0] == 5  # incl c_c
+    # doc with no sentences scoring still emits rows with 0
+    u1 = out[out.url == "u1"]
+    assert (u1["score"] == 0).all()
+
+
+def test_aggregate_sentences_rollup(spark):
+    lex = Lexicons(lex={"en": {"L": {"fast": 1.0, "slow": -2.0}}})
+    pages = _mini_pages(spark, ["fast one. slow two here. neutral words."])
+    sent = compute_sentiment_sentences_udf(pages, lex, "counts")
+    # equal_weight + ignoreZeros: zero-score sentence 3 excluded
+    doc = aggregate_sentences(sent, how="equal_weight", do_ignore_zeros=True).toPandas()
+    assert doc["score"].iloc[0] == pytest.approx((1.0 + -2.0) / 2)
+    assert doc["word_count"].iloc[0] == 2 + 3 + 2
+    # without ignoreZeros the zero sentence enters the denominator
+    doc2 = aggregate_sentences(sent, how="equal_weight", do_ignore_zeros=False).toPandas()
+    assert doc2["score"].iloc[0] == pytest.approx((1.0 - 2.0 + 0.0) / 3)
+    # proportional: weights by sentence word counts over non-null set
+    doc3 = aggregate_sentences(sent, how="proportional", do_ignore_zeros=True).toPandas()
+    assert doc3["score"].iloc[0] == pytest.approx((2 * 1.0 + 3 * -2.0) / 5)
+
+
+def test_sentence_bigram_mode(spark):
+    lex = Lexicons(
+        lex={"en": {"L": {"fast": 1.0}}},
+        valence={"en": {"a": (-1.0, 1), "the": (2.0, 2)}},
+    )
+    pages = _mini_pages(spark, ["the fast one. a fast two."])
+    out = compute_sentiment_sentences_udf(pages, lex, "counts", valence_use="y").toPandas()
+    s = out.sort_values("sentence_id")["score"].tolist()
+    assert s[0] == pytest.approx(2.0)  # 'the fast' -> y=2.0
+    assert s[1] == pytest.approx(-1.0)  # 'a fast' -> y=-1.0

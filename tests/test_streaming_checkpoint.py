@@ -1,0 +1,116 @@
+"""Structured Streaming ingest (micro-batch -> hour-tier partials) and
+checkpoint/resume semantics (resume-equals-cold-run)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sentometrics_spark.aggregate.tiers import base_tier
+from sentometrics_spark.lexicons import Lexicons, fixture_lexicons
+from sentometrics_spark.scoring.algebraic import compute_sentiment_algebraic
+from sentometrics_spark.storage.checkpoint import CheckpointedRun, partition_key_col
+from sentometrics_spark import streaming
+
+KEY = ["bucket_ts", "lexicon", "feature"]
+
+
+def test_stream_equals_batch(spark, pages, tmp_path):
+    """availableNow micro-batch run over file chunks must produce a
+    finalized hour tier identical to the batch tier over the whole input."""
+    lex = Lexicons(lex=fixture_lexicons().lex)
+    src = str(tmp_path / "incoming")
+    # write the corpus as 4 file chunks (micro-batches)
+    pages.withColumn("part", (F.crc32("url") % 4).cast("int")).repartition(
+        "part"
+    ).write.partitionBy("part").mode("overwrite").parquet(src)
+
+    schema = spark.read.parquet(src).drop("part").schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .load(src)
+    )
+    q = streaming.stream_to_hour_tier(
+        stream,
+        lex,
+        partials_path=str(tmp_path / "partials"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    got = (
+        streaming.finalize_hour_tier(spark, str(tmp_path / "partials"))
+        .select(*KEY, "value")
+        .toPandas()
+        .sort_values(KEY)
+        .reset_index(drop=True)
+    )
+    sent = compute_sentiment_algebraic(pages, lex, "proportional")
+    exp = (
+        base_tier(sent, how="proportional", by="hour")
+        .select(*KEY, "value")
+        .toPandas()
+        .sort_values(KEY)
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    np.testing.assert_allclose(got["value"], exp["value"], atol=1e-12, rtol=1e-9)
+
+    # compaction preserves the finalized tier
+    streaming.compact_partials(spark, str(tmp_path / "partials"))
+    got2 = (
+        streaming.finalize_hour_tier(spark, str(tmp_path / "partials"))
+        .select(*KEY, "value")
+        .toPandas()
+        .sort_values(KEY)
+        .reset_index(drop=True)
+    )
+    np.testing.assert_allclose(got2["value"], exp["value"], atol=1e-12, rtol=1e-9)
+
+
+def _score_fn(lex):
+    def fn(df):
+        return compute_sentiment_algebraic(df, lex, "counts")
+
+    return fn
+
+
+def test_checkpoint_resume_equals_cold_run(spark, pages, tmp_path):
+    lex = Lexicons(lex=fixture_lexicons().lex)
+
+    # cold run: everything in one go
+    cold = CheckpointedRun(spark, str(tmp_path / "cold"))
+    m1 = cold.run(pages, _score_fn(lex), batch_partitions=1000)
+    assert m1["partitions"] > 0 and m1["rows_out"] > 0
+
+    # interrupted run: process only the first batch of partitions, then
+    # resume with a second CheckpointedRun over the same root
+    inter = CheckpointedRun(spark, str(tmp_path / "inter"), run_id="first")
+    keyed = pages.withColumn("__pk", partition_key_col())
+    some_keys = [r["__pk"] for r in keyed.select("__pk").distinct().limit(40).collect()]
+    part1 = keyed.filter(F.col("__pk").isin(some_keys)).drop("__pk")
+    inter.run(part1, _score_fn(lex), batch_partitions=1000)
+    done_before = inter.done_keys().count()
+    assert done_before > 0
+
+    resumed = CheckpointedRun(spark, str(tmp_path / "inter"), run_id="resume")
+    m2 = resumed.run(pages, _score_fn(lex), batch_partitions=1000)
+    # resume processed only the pending partitions
+    assert resumed.done_keys().count() > done_before
+    assert m2["partitions"] == resumed.done_keys().count() - done_before
+
+    a = cold.results().toPandas().sort_values(["url", "lexicon", "feature"]).reset_index(drop=True)
+    b = resumed.results().toPandas().sort_values(["url", "lexicon", "feature"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    np.testing.assert_allclose(a["score"], b["score"], atol=1e-12)
+
+
+def test_pending_is_empty_after_full_run(spark, pages, tmp_path):
+    lex = Lexicons(lex=fixture_lexicons().lex)
+    run = CheckpointedRun(spark, str(tmp_path / "full"))
+    run.run(pages, _score_fn(lex), batch_partitions=1000)
+    assert run.pending(pages).count() == 0
+    # idempotent re-run: no new work
+    m = run.run(pages, _score_fn(lex), batch_partitions=1000)
+    assert m["partitions"] == 0

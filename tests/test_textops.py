@@ -1,0 +1,161 @@
+"""Training-data pipeline ops: dedup (exact/minhash/simhash/jaccard),
+similarity search (brute force / LSH / IVF), text stats, multimodal
+plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sentometrics_spark.textops import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, docs):
+    """Append exact and near duplicates of known docs."""
+    base = docs.limit(5).collect()
+    rows = []
+    for i, r in enumerate(base):
+        rows.append((10_000 + i, r["text"], r["lang"], r["source"], r["n_chars"]))  # exact dup
+        toks = r["text"].split(" ")
+        toks[0] = "zzz"  # near dup: one token changed
+        rows.append((20_000 + i, " ".join(toks), r["lang"], r["source"], r["n_chars"]))
+    extra = spark.createDataFrame(rows, docs.schema)
+    return docs.unionByName(extra).cache()
+
+
+def test_exact_duplicates(docs_with_dups):
+    groups = dedup.exact_duplicates(docs_with_dups).collect()
+    assert len(groups) == 5
+    for g in groups:
+        assert g["group_size"] == 2
+        assert g["keep_id"] == min(g["members"])
+
+
+def test_minhash_lsh_finds_near_dups(docs_with_dups):
+    pairs = dedup.minhash_dedup_candidates(docs_with_dups, k=32, bands=8).collect()
+    found = {(p["id_a"], p["id_b"]) for p in pairs}
+    # each planted near-dup (orig, 20000+i) and exact dup (orig, 10000+i)
+    # must be among candidates
+    origs = [p for p in found if p[1] >= 10_000]
+    assert len(origs) >= 10, f"only {len(origs)} planted pairs found: {sorted(found)[:20]}"
+
+
+def test_ngram_jaccard(docs_with_dups):
+    pairs = dedup.ngram_jaccard_pairs(docs_with_dups, threshold=0.5).toPandas()
+    keyed = {(a, b): j for a, b, j in zip(pairs.id_a, pairs.id_b, pairs.jaccard)}
+    # the 5 planted exact dups have jaccard exactly 1.0
+    for i in range(5):
+        assert keyed.get((i, 10_000 + i)) == pytest.approx(1.0)
+    # the 5 planted near dups (one token changed) are found below 1.0
+    near = pairs[(pairs.id_a < 5) & (pairs.id_b >= 20_000)]
+    assert len(near) == 5
+    assert (near["jaccard"] < 1.0).all() and (near["jaccard"] > 0.5).all()
+
+
+def test_simhash_near_pairs(docs_with_dups):
+    pairs = dedup.simhash_near_pairs(docs_with_dups, max_hamming=6).toPandas()
+    keyed = {(a, b): h for a, b, h in zip(pairs.id_a, pairs.id_b, pairs.hamming)}
+    # planted exact dups: identical simhash -> hamming 0 (other natural
+    # collisions can exist on the tiny closed vocabulary)
+    for i in range(5):
+        assert keyed.get((i, 10_000 + i)) == 0
+    # planted near dups (one token changed): small hamming, found within 6
+    near = [(a, b) for (a, b) in keyed if a < 5 and b == 20_000 + a]
+    assert len(near) >= 3
+
+
+def test_brute_force_vs_lsh_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = emb.filter(F.col("vec_id") >= 5)
+    exact = similarity.brute_force_topk(cand, queries, k=10).toPandas()
+    approx = similarity.lsh_topk(cand, queries, k=10, bits=4, n_tables=8, dim=64).toPandas()
+    # recall@10 of LSH vs exact
+    recall = 0.0
+    for q in exact["q_id"].unique():
+        e = set(exact[exact.q_id == q]["vec_id"])
+        a = set(approx[approx.q_id == q]["vec_id"])
+        recall += len(e & a) / len(e)
+    recall /= exact["q_id"].nunique()
+    assert recall >= 0.3, f"LSH recall@10 too low: {recall}"
+    # exact results ordered by cosine desc
+    for q in exact["q_id"].unique():
+        c = exact[exact.q_id == q].sort_values("rnk")["cosine"].to_numpy()
+        assert (np.diff(c) <= 1e-12).all()
+
+
+def test_ivf_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cand = emb.filter(F.col("vec_id") >= 5)
+    assigned, cent = similarity.ivf_assign(cand, n_cells=8, sample=400)
+    queries = (
+        emb.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+        .toPandas()
+    )
+    got = similarity.ivf_topk(emb, queries, cent, assigned, k=5, n_probe=4).toPandas()
+    assert set(got["q_id"]) == {0, 1, 2}
+    assert (got.groupby("q_id").size() == 5).all()
+    exact = similarity.brute_force_topk(
+        cand,
+        spark.createDataFrame(queries[["q_id", "q_emb"]]),
+        k=5,
+    ).toPandas()
+    recall = 0.0
+    for q in (0, 1, 2):
+        e = set(exact[exact.q_id == q]["vec_id"])
+        a = set(got[got.q_id == q]["vec_id"])
+        recall += len(e & a) / 5
+    assert recall / 3 >= 0.5
+
+
+def test_language_id(docs):
+    out = textstats.language_id(docs).toPandas()
+    assert {"lang_pred", "lang_score"} <= set(out.columns)
+    # fixture texts share one vocabulary, so this only checks mechanics:
+    # scores in [0,1], prediction one of the profiled langs
+    assert out["lang_score"].between(0, 1).all()
+    assert out["lang_pred"].isin(["en", "fr", "de", "es"]).all()
+
+
+def test_quality_and_tokens(docs):
+    out = textstats.quality_score(docs).toPandas()
+    assert out["quality"].between(0, 1).all()
+    assert (out["n_tokens"] > 0).all()
+    tok = docs.select(
+        textstats.token_count().alias("ws"), textstats.bpe_ish_token_count().alias("bpe")
+    ).toPandas()
+    assert (tok["bpe"] >= tok["ws"] * 0).all() and (tok["bpe"] > 0).all()
+
+
+def test_fingerprint(docs_with_dups):
+    out = textstats.fingerprint(docs_with_dups).toPandas()
+    # exact dups share both fingerprint values
+    by_id = out.set_index("doc_id")
+    for i in range(5):
+        orig = by_id.loc[i]
+        dup = by_id.loc[10_000 + i]
+        assert orig["fp_full"] == dup["fp_full"]
+        assert orig["fp_min"] == dup["fp_min"]
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synth_media(spark, n=30)
+    feats = multimodal.extract_features(media).toPandas()
+    assert len(feats) == 30
+    assert feats["ok"].all()
+    assert feats["feature"].map(len).eq(16).all()
+    # deterministic: same payload -> same feature
+    again = multimodal.extract_features(media).toPandas()
+    a = feats.sort_values("media_id")["feature"].map(tuple).tolist()
+    b = again.sort_values("media_id")["feature"].map(tuple).tolist()
+    assert a == b
+    plan = multimodal.frame_sample_plan(media, every_ms=200).toPandas()
+    assert (plan.groupby("media_id").size() == 5).all()  # 1000ms / 200ms

@@ -1,0 +1,79 @@
+"""Tier-rollup engine: composability (day rollup of hour tier == direct day
+aggregation), retention, and the TierStore round-trip."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sentometrics_spark.aggregate.doc_agg import aggregate_docs
+from sentometrics_spark.aggregate.tiers import (
+    RetentionPolicy,
+    TierStore,
+    base_tier,
+    build_all_tiers,
+    rollup,
+)
+from sentometrics_spark.lexicons import Lexicons, fixture_lexicons
+from sentometrics_spark.scoring.algebraic import compute_sentiment_algebraic
+
+KEY = ["bucket_ts", "lexicon", "feature"]
+
+
+@pytest.fixture(scope="module")
+def sent(pages, lexicons):
+    return compute_sentiment_algebraic(pages, Lexicons(lex=lexicons.lex), "proportional").cache()
+
+
+@pytest.mark.parametrize("how", ["equal_weight", "proportional", "inverseProportional"])
+@pytest.mark.parametrize("tier", ["day", "week", "month"])
+def test_tier_composability(sent, how, tier):
+    """Rolling up the hour tier must equal aggregating documents directly at
+    the coarser tier (the partial-sum exactness contract)."""
+    hour = base_tier(sent, how=how, by="hour")
+    composed = rollup(hour, tier).select(*KEY, "value").toPandas().sort_values(KEY)
+    direct = (
+        aggregate_docs(sent, by=tier, how=how, keep_partials=False)
+        .select(*KEY, "value")
+        .toPandas()
+        .sort_values(KEY)
+    )
+    assert len(composed) == len(direct)
+    np.testing.assert_allclose(
+        composed["value"].to_numpy(), direct["value"].to_numpy(), atol=1e-12, rtol=1e-9
+    )
+
+
+def test_chained_tiers(sent):
+    tiers = build_all_tiers(sent, how="proportional")
+    counts = {t: df.select("bucket_ts").distinct().count() for t, df in tiers.items()}
+    assert counts["hour"] > counts["day"] > counts["week"] > counts["month"]
+    # month tier composed hour->day->week? No: week doesn't nest in month.
+    # build_all_tiers chains hour->day->week and hour->day->month? verify the
+    # month tier equals direct aggregation:
+    direct = aggregate_docs(sent, by="month", how="proportional", keep_partials=False)
+    got = tiers["month"].select(*KEY, "value").toPandas().sort_values(KEY)
+    exp = direct.select(*KEY, "value").toPandas().sort_values(KEY)
+    np.testing.assert_allclose(got["value"].to_numpy(), exp["value"].to_numpy(), atol=1e-12, rtol=1e-9)
+
+
+def test_bucket_relative_scheme_rejected(sent):
+    with pytest.raises(ValueError, match="not tier-composable"):
+        base_tier(sent, how="exponential")
+
+
+def test_tier_store_roundtrip_and_retention(spark, sent, tmp_path):
+    store = TierStore(spark, str(tmp_path / "tiers"))
+    hour = base_tier(sent, how="proportional", by="hour")
+    store.write("hour", hour)
+    back = store.read("hour")
+    assert back.count() == hour.count()
+    got = back.select(*KEY, "value").toPandas().sort_values(KEY)
+    exp = hour.select(*KEY, "value").toPandas().sort_values(KEY)
+    np.testing.assert_allclose(got["value"].to_numpy(), exp["value"].to_numpy(), atol=1e-12)
+
+    # retention: keep last 24 hours relative to max bucket
+    n_kept = store.apply_retention("hour", RetentionPolicy(hour=24))
+    kept = store.read("hour")
+    assert kept.count() == n_kept
+    mn, mx = kept.agg(F.min("bucket_ts"), F.max("bucket_ts")).collect()[0]
+    assert (mx - mn).total_seconds() <= 24 * 3600

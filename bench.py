@@ -89,6 +89,10 @@ def run_benchmarks(cpus: int, sf_dir: str) -> dict:
     lex = fixture_lexicons()
     lex_nv = Lexicons(lex=lex.lex)
 
+    # warm-up: spawn + import the Python UDF workers once so per-query
+    # timings measure compute, not interpreter startup
+    compute_sentiment_udf(pages.limit(2000), lex_nv, "counts", mode="unigram").count()
+
     timings: dict[str, float] = {}
     extra: dict[str, float] = {"n_docs": n_docs, "replicate": REPLICATE, "cpus": cpus}
 
@@ -178,7 +182,12 @@ def main() -> None:
                 [sys.executable, __file__, "--once", f"--cpus={c}"],
                 capture_output=True,
                 text=True,
-                env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+                env={
+                    **os.environ,
+                    "SPARK_GRAFT_SF_DIR": sf_dir,
+                    # enough volume that compute dominates scheduling overhead
+                    "SPARK_GRAFT_REPLICATE": os.environ.get("SPARK_GRAFT_REPLICATE", "200"),
+                },
             )
             line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
             results[c] = json.loads(line)

@@ -113,6 +113,75 @@ def aggregate_docs(
     return agg.select(*cols)
 
 
+def aggregate_docs_salted(
+    sentiment: DataFrame,
+    by: str = "day",
+    how: str = "equal_weight",
+    do_ignore_zeros: bool = True,
+    alpha: float = 0.1,
+    n_salts: int = 16,
+    keep_partials: bool = True,
+) -> DataFrame:
+    """Skew-safe A4 (north rule): hot buckets (a viral domain/hour at
+    Common-Crawl scale) overload single reducers in the plain
+    groupBy(bucket, lexicon, feature). Classic two-phase aggregation:
+
+      phase 1: groupBy(bucket, lexicon, feature, salt) partial sums,
+               salt = pmod(xxhash64(url), n_salts) — deterministic, so a
+               retried task lands in the same salt bucket;
+      phase 2: de-salt with a second (tiny) aggregation of the partials.
+
+    Exactness: identical to aggregate_docs because the weight numerators are
+    doc-local or depend only on bucket totals computed separately — partial
+    sums re-associate. Not available for the bucket-relative exponential
+    schemes' denominators? They are: __bucket_wc is computed with its own
+    salted two-phase sum below."""
+    if how not in ("equal_weight", "proportional", "inverseProportional",
+                   "exponential", "inverseExponential"):
+        raise ValueError(f"unknown docs how: {how}")
+    s = sentiment.withColumn("bucket_ts", bucket_col(F.col("warc_ts"), by))
+    salt = F.pmod(F.xxhash64("url"), F.lit(n_salts)).alias("__salt")
+
+    if how in ("exponential", "inverseExponential"):
+        doc_wc = (
+            s.select("url", "bucket_ts", "word_count")
+            .distinct()
+            .withColumn("__salt", salt)
+            .groupBy("bucket_ts", "__salt")
+            .agg(F.sum("word_count").cast("double").alias("__wc_part"))
+            .groupBy("bucket_ts")
+            .agg(F.sum("__wc_part").alias("__bucket_wc"))
+        )
+        s = s.join(doc_wc, "bucket_ts")
+
+    score = _ignore_zeros(F.col("score")) if do_ignore_zeros else F.col("score")
+    num = _weight_numerator(how, alpha)
+    num_eff = F.when(score.isNotNull(), num)
+
+    phase1 = s.withColumn("__salt", salt).groupBy(
+        "bucket_ts", *MEASURE_KEYS, "__salt"
+    ).agg(
+        F.sum(num_eff * score).alias("wsum"),
+        F.sum(num_eff).alias("wden"),
+        F.count(F.when(score.isNotNull(), 1)).alias("n_docs_in"),
+        F.count("*").alias("n_docs"),
+    )
+    agg = (
+        phase1.groupBy("bucket_ts", *MEASURE_KEYS)
+        .agg(
+            F.sum("wsum").alias("wsum"),
+            F.sum("wden").alias("wden"),
+            F.sum("n_docs_in").alias("n_docs_in"),
+            F.sum("n_docs").alias("n_docs"),
+        )
+        .withColumn("value", F.coalesce(F.col("wsum") / F.col("wden"), F.lit(0.0)))
+    )
+    cols = ["bucket_ts", *MEASURE_KEYS, "value"]
+    if keep_partials:
+        cols += ["wsum", "wden", "n_docs_in", "n_docs"]
+    return agg.select(*cols)
+
+
 def aggregate_sentences(
     sentiment: DataFrame,
     how: str = "equal_weight",

@@ -140,6 +140,38 @@ def add_features(
     return out
 
 
+def drop_features(df: DataFrame, names: list[str]) -> DataFrame:
+    """S4: feature deletion with the reference's guards — core columns are
+    undeletable; if the last feature is dropped the dummy feature re-enters
+    (docvars<- replacement, /root/reference/R/sentocorpus.R:283-300)."""
+    for n in names:
+        if n in REQUIRED_COLS:
+            raise ValueError(f"cannot delete required column: {n}")
+        if not n.startswith("feat_"):
+            raise ValueError(f"not a feature column: {n}")
+    out = df.drop(*names)
+    if not feature_columns(out):
+        out = out.withColumn("feat_dummy", F.lit(1.0))
+    return out
+
+
+def read_corpus(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """S5: ingest from other storage formats (the as.sento_corpus analogue,
+    /root/reference/R/sentocorpus.R:407-459) and validate."""
+    readers = {
+        "parquet": lambda: spark.read.parquet(path),
+        "json": lambda: spark.read.json(path),
+        "csv": lambda: spark.read.option("header", True).csv(path),
+        "iceberg": lambda: spark.read.format("iceberg").load(path),
+    }
+    if fmt not in readers:
+        raise ValueError(f"unsupported corpus format: {fmt}")
+    df = readers[fmt]()
+    if "warc_ts" in df.columns and dict(df.dtypes).get("warc_ts") == "string":
+        df = df.withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    return validate_corpus(df)
+
+
 def corpus_summarize(df: DataFrame, by: str = "day") -> DataFrame:
     """Per-bucket corpus stats: #docs, token stats, per-feature active-doc
     counts (corpus_summarize, /root/reference/R/sentocorpus.R:337-404)."""

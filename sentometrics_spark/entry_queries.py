@@ -227,8 +227,23 @@ SELECT strftime(bucket_ts, '{TSFMT_DUCK}') AS bucket_ts, lexicon, feature,
 FROM agg"""
 
 
-def measures_sql(by: str, lag: int, kernels: dict[str, np.ndarray], fill: str, doc_how: str = "equal_weight") -> str:
+def measures_cte(by: str, lag: int, kernels: dict[str, np.ndarray], fill: str, doc_how: str = "equal_weight") -> str:
+    """CTE chain ending in rolled(bucket_ts, lexicon, feature, timeweight,
+    value) — shared by the full-pipeline oracle and the panel-op oracles."""
+    return measures_sql(by, lag, kernels, fill, doc_how, raw=True)
+
+
+def measures_sql(by: str, lag: int, kernels: dict[str, np.ndarray], fill: str, doc_how: str = "equal_weight", raw: bool = False) -> str:
     """Full-pipeline oracle: sentiment -> doc agg -> spine fill -> rolling."""
+    final = (
+        ""
+        if raw
+        else (
+            f"\nSELECT strftime(bucket_ts, '{TSFMT_DUCK}') AS bucket_ts, lexicon, feature,\n"
+            "       timeweight, floor(value * 1000000 + 0.5 + 1e-9) / 1000000.0 AS value\n"
+            "FROM rolled"
+        )
+    )
     step = {"hour": "INTERVAL 1 HOUR", "day": "INTERVAL 1 DAY", "week": "INTERVAL 7 DAY", "month": "INTERVAL 1 MONTH"}[by]
     num = _DOC_NUM[doc_how]
     ker_rows = ",\n    ".join(
@@ -286,10 +301,7 @@ rolled AS (
               AND src.rn = tgt.rn - k.off
   WHERE tgt.rn >= {lag}
   GROUP BY 1, 2, 3, 4
-)
-SELECT strftime(bucket_ts, '{TSFMT_DUCK}') AS bucket_ts, lexicon, feature,
-       timeweight, floor(value * 1000000 + 0.5 + 1e-9) / 1000000.0 AS value
-FROM rolled"""
+){final}"""
 
 
 # ---------------------------------------------------------------------------
@@ -591,6 +603,179 @@ FROM events GROUP BY 1, 2"""
 
 
 # ---------------------------------------------------------------------------
+# tier rollup, panel ops, peaks, split lexicons, events LOCF, sentence path
+# ---------------------------------------------------------------------------
+
+
+def q_tier_day_from_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day tier composed from hour-tier partial sums; the oracle aggregates
+    documents directly at day level — the tier-composability contract."""
+    from sentometrics_spark.aggregate.tiers import base_tier, rollup
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pages = build_pages(spark, sf_dir, with_html=False)
+    sent = compute_sentiment_algebraic(pages, _no_valence(), "proportional")
+    hour = base_tier(sent, how="proportional", by="hour")
+    day = rollup(hour, "day")
+    return _fmt_ts(day, "bucket_ts").select(
+        "bucket_ts", "lexicon", "feature", _r6("value").alias("value")
+    )
+
+
+def _measures_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared measures panel (day, lag 7, almon kernels) for panel-op queries."""
+    pages = build_pages(spark, sf_dir, with_html=False)
+    sent = compute_sentiment_algebraic(pages, _no_valence(), "proportional")
+    m = aggregate_docs(sent, by="day", how="equal_weight", keep_partials=False)
+    filled = measures_fill(m.select("bucket_ts", "lexicon", "feature", "value"), by="day", fill="zero")
+    kernels = setup_time_weights(_ALMON2, 7)
+    return aggregate_time(filled, kernels, 7, check_lag=False)
+
+
+_PANEL_FINAL = """
+SELECT strftime(bucket_ts, '{fmt}') AS bucket_ts, lexicon, feature, timeweight,
+       floor(value * 1000000 + 0.5 + 1e-9) / 1000000.0 AS value
+FROM {src}"""
+
+
+def q_measures_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentometrics_spark.measures import scale_measures
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = scale_measures(_measures_base(spark, sf_dir))
+    return _fmt_ts(out, "bucket_ts").select(
+        "bucket_ts", "lexicon", "feature", "timeweight", _r6("value").alias("value")
+    )
+
+
+def q_measures_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentometrics_spark.measures import diff_measures
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = diff_measures(_measures_base(spark, sf_dir), lag=1)
+    return _fmt_ts(out, "bucket_ts").select(
+        "bucket_ts", "lexicon", "feature", "timeweight", _r6("value").alias("value")
+    )
+
+
+def q_measures_dims_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentometrics_spark.measures import aggregate_dimension
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = aggregate_dimension(_measures_base(spark, sf_dir), "lexicon", {"LEXAB": ["LEXA", "LEXB"]})
+    return _fmt_ts(out, "bucket_ts").select(
+        "bucket_ts", "lexicon", "feature", "timeweight", _r6("value").alias("value")
+    )
+
+
+def q_measures_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentometrics_spark.measures import global_indices
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = global_indices(_measures_base(spark, sf_dir))
+    return _fmt_ts(out, "bucket_ts").select(
+        "bucket_ts",
+        _r6("global_lexicons").alias("global_lexicons"),
+        _r6("global_features").alias("global_features"),
+        _r6("global_time").alias("global_time"),
+        _r6("global").alias("global_index"),
+    )
+
+
+def q_peakdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentometrics_spark.measures import peakdocs
+
+    pages = build_pages(spark, sf_dir, with_html=False)
+    sent = compute_sentiment_algebraic(pages, _no_valence(), "counts")
+    top = peakdocs(sent, 10, type="both")
+    return top.select("url", _r6("m").alias("m"))
+
+
+def q_peakdates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentometrics_spark.measures import peakdates
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    top = peakdates(_measures_base(spark, sf_dir), 5, type="both")
+    return _fmt_ts(top, "bucket_ts").select("bucket_ts", _r6("m").alias("m"))
+
+
+def q_sent_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """do.split POS/NEG sub-lexicon scoring (sento_lexicons do.split,
+    /root/reference/R/sentolexicons.R:86-92)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pages = build_pages(spark, sf_dir, with_html=False)
+    split = _no_valence().split_pos_neg()
+    sent = compute_sentiment_udf(pages, split, "counts", mode="unigram")
+    return _fmt_ts(sent, "warc_ts").select(
+        "url", "warc_ts", "lang",
+        F.col("word_count").cast("long").alias("word_count"),
+        "lexicon", "feature", _r6("score").alias("score"),
+    )
+
+
+def sql_sent_split() -> str:
+    lex = lexicon_values_sql()
+    split_lex = f"""(SELECT lang,
+        concat(lexicon, CASE WHEN y > 0 THEN '_POS' ELSE '_NEG' END) AS lexicon,
+        word, y FROM {lex} WHERE y <> 0)"""
+    base = sentiment_cte("counts").replace(lex, split_lex)
+    return base + _SENT_FINAL
+
+
+def q_events_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-type average with LOCF gap fill on a continuous hour
+    spine (generic time-series fill over the events table)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket_ts"), "event_type"
+    ).agg(F.avg("value").alias("value"))
+    filled = measures_fill(hourly, by="hour", fill="latest", series_keys=["event_type"])
+    return _fmt_ts(filled, "bucket_ts").select(
+        "bucket_ts", "event_type", _r6("value").alias("value")
+    )
+
+
+SQL_EVENTS_LOCF = f"""WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket_ts, event_type, AVG(value) AS value
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(bucket_ts) AS mn, max(bucket_ts) AS mx FROM hourly),
+spine AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket_ts FROM bounds),
+types AS (SELECT DISTINCT event_type FROM hourly),
+grid AS (SELECT s.bucket_ts, t.event_type FROM spine s CROSS JOIN types t),
+filled AS (
+  SELECT g.bucket_ts, g.event_type,
+         last_value(h.value IGNORE NULLS) OVER (
+           PARTITION BY g.event_type ORDER BY g.bucket_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+  FROM grid g LEFT JOIN hourly h
+    ON g.bucket_ts = h.bucket_ts AND g.event_type = h.event_type
+)
+SELECT strftime(bucket_ts, '{TSFMT_DUCK}') AS bucket_ts, event_type,
+       floor(value * 1000000 + 0.5 + 1e-9) / 1000000.0 AS value
+FROM filled"""
+
+
+def q_sentence_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence engine + sentence->doc roll-up. The fixture corpus has no
+    punctuation, so every document is a single sentence and the roll-up must
+    equal document-level counts scoring exactly — a cross-engine oracle."""
+    from sentometrics_spark.aggregate.doc_agg import aggregate_sentences
+    from sentometrics_spark.scoring.sentences import compute_sentiment_sentences_udf
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pages = build_pages(spark, sf_dir, with_html=False)
+    sent = compute_sentiment_sentences_udf(pages, _no_valence(), "counts")
+    doc = aggregate_sentences(sent, how="equal_weight", do_ignore_zeros=True)
+    return _fmt_ts(doc, "warc_ts").select(
+        "url", "warc_ts", "lang",
+        F.col("word_count").cast("long").alias("word_count"),
+        "lexicon", "feature", _r6("score").alias("score"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -631,6 +816,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "measures_day_linear_lag7_latest": _measures_query("day", 7, _LIN, "latest"),
         "measures_week_beta_lag4": _measures_query("week", 4, _BETA, "zero", doc_how="proportional"),
         "measures_hour_exp_lag24": _measures_query("hour", 24, _EXPK, "zero"),
+        # tier rollups (north rule)
+        "tier_day_from_hour": q_tier_day_from_hour,
+        # panel ops (M1-M9) + peaks (O2, M7)
+        "measures_scale": q_measures_scale,
+        "measures_diff": q_measures_diff,
+        "measures_dims_merge": q_measures_dims_merge,
+        "measures_global": q_measures_global,
+        "peakdocs_top10": q_peakdocs,
+        "peakdates_top5": q_peakdates,
+        # split lexicons + sentence engine
+        "sent_split_pos_neg": q_sent_split,
+        "sentence_doc_rollup": q_sentence_rollup,
+        # generic time-series fill on events
+        "events_locf": q_events_locf,
         # training-data ops
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -641,8 +840,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return q
 
 
+def _panel_oracles() -> dict[str, str]:
+    """Panel-op oracles on the shared day/lag-7/almon measures CTE."""
+    base = measures_cte("day", 7, _kernels_for(_ALMON2, 7), "zero", "equal_weight")
+    r6 = lambda e: f"floor(({e}) * 1000000 + 0.5 + 1e-9) / 1000000.0"
+    ts = f"strftime(bucket_ts, '{TSFMT_DUCK}') AS bucket_ts"
+    w = "PARTITION BY lexicon, feature, timeweight"
+    return {
+        "measures_scale": base
+        + f""",
+scaled AS (
+  SELECT bucket_ts, lexicon, feature, timeweight,
+         (value - AVG(value) OVER ({w})) / stddev_samp(value) OVER ({w}) AS value
+  FROM rolled
+)
+SELECT {ts}, lexicon, feature, timeweight, {r6('value')} AS value FROM scaled""",
+        "measures_diff": base
+        + f""",
+diffed AS (
+  SELECT bucket_ts, lexicon, feature, timeweight,
+         value - lag(value) OVER ({w} ORDER BY bucket_ts) AS value
+  FROM rolled
+)
+SELECT {ts}, lexicon, feature, timeweight, {r6('value')} AS value
+FROM diffed WHERE value IS NOT NULL""",
+        "measures_dims_merge": base
+        + f""",
+merged AS (
+  SELECT bucket_ts, 'LEXAB' AS lexicon, feature, timeweight, AVG(value) AS value
+  FROM rolled GROUP BY 1, 3, 4
+)
+SELECT {ts}, lexicon, feature, timeweight, {r6('value')} AS value FROM merged""",
+        "measures_global": base
+        + f""",
+gidx AS (
+  SELECT bucket_ts,
+         AVG(value / 2.0) AS gl, AVG(value / 3.0) AS gf, AVG(value / 4.0) AS gt
+  FROM rolled GROUP BY 1
+)
+SELECT {ts}, {r6('gl')} AS global_lexicons, {r6('gf')} AS global_features,
+       {r6('gt')} AS global_time, {r6('(gl + gf + gt) / 3.0')} AS global_index
+FROM gidx""",
+        "peakdates_top5": base
+        + f""",
+scored AS (SELECT bucket_ts, AVG(value) AS m FROM rolled GROUP BY 1),
+top AS (SELECT * FROM scored ORDER BY abs(m) DESC, bucket_ts LIMIT 5)
+SELECT {ts}, {r6('m')} AS m FROM top""",
+    }
+
+
+SQL_PEAKDOCS = (
+    sentiment_cte("counts")
+    + """,
+scored AS (SELECT url, AVG(score) AS m FROM sent GROUP BY 1),
+top AS (SELECT * FROM scored ORDER BY abs(m) DESC, url LIMIT 10)
+SELECT url, floor(m * 1000000 + 0.5 + 1e-9) / 1000000.0 AS m FROM top"""
+)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        # tier composability: the oracle aggregates documents directly at day
+        "tier_day_from_hour": agg_docs_sql("proportional", "day"),
+        **_panel_oracles(),
+        "peakdocs_top10": SQL_PEAKDOCS,
+        "sent_split_pos_neg": sql_sent_split(),
+        # single-sentence fixture corpus: sentence path == doc-level counts
+        "sentence_doc_rollup": sentiment_cte("counts") + _SENT_FINAL,
+        "events_locf": SQL_EVENTS_LOCF,
         "corpus_pages": SQL_CORPUS_PAGES,
         "corpus_summarize_day": SQL_CORPUS_SUMMARIZE,
         "extract_text_invariant": SQL_EXTRACT_INVARIANT,

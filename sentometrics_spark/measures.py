@@ -141,16 +141,34 @@ def diff_measures(measures: DataFrame, lag: int = 1, differences: int = 1) -> Da
     return out
 
 
+def as_sentiment(df: DataFrame) -> DataFrame:
+    """O3: validate/coerce an external table into the long sentiment shape
+    (as.sentiment, /root/reference/R/sentiment_engines.R:568-608). Requires
+    url/warc_ts/word_count/lexicon/score; a missing feature column gets the
+    dummy (names without '--' get '--dummyFeature' in the reference)."""
+    required = ("url", "warc_ts", "word_count", "lexicon", "score")
+    for c in required:
+        if c not in df.columns:
+            raise ValueError(f"sentiment table missing column: {c}")
+    out = df
+    if "feature" not in out.columns:
+        out = out.withColumn("feature", F.lit("dummyFeature"))
+    if dict(out.dtypes)["score"] not in ("double", "float"):
+        out = out.withColumn("score", F.col("score").cast("double"))
+    return out
+
+
 def peakdocs(
     sentiment: DataFrame,
-    n: int,
+    n: float,
     type: str = "both",
     measure: tuple[str, str] | None = None,
 ) -> DataFrame:
     """O2: top-n documents by extreme sentiment. type: pos|neg|both(abs).
     measure: restrict to one (lexicon, feature) pair, else use the row-mean
     across measures (do.average, /root/reference/R/sentiment_engines.R:494-514).
-    Deterministic tiebreak by url."""
+    n < 1 selects the documents beyond that quantile of the ranking metric
+    (reference n<1 = quantile rule). Deterministic tiebreak by url."""
     s = sentiment
     if measure is not None:
         s = s.filter((F.col("lexicon") == measure[0]) & (F.col("feature") == measure[1]))
@@ -158,14 +176,18 @@ def peakdocs(
     else:
         scored = s.groupBy("url").agg(F.avg("score").alias("m"))
     if type == "both":
-        key = F.abs(F.col("m")).desc()
+        metric = F.abs(F.col("m"))
     elif type == "pos":
-        key = F.col("m").desc()
+        metric = F.col("m")
     elif type == "neg":
-        key = F.col("m").asc()
+        metric = -F.col("m")
     else:
         raise ValueError(type)
-    return scored.orderBy(key, F.col("url")).limit(n)
+    scored = scored.withColumn("__metric", metric)
+    if 0 < n < 1:
+        q = scored.approxQuantile("__metric", [1.0 - n], 0.0)[0]
+        return scored.filter(F.col("__metric") >= q).drop("__metric")
+    return scored.orderBy(F.col("__metric").desc(), F.col("url")).limit(int(n)).drop("__metric")
 
 
 def peakdates(

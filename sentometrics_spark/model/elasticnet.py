@@ -215,6 +215,40 @@ def sento_model(y: pd.Series, X: pd.DataFrame, ctr: ModelCtr = ModelCtr()) -> Se
     )
 
 
+def model_performance(preds: pd.DataFrame) -> dict[str, float]:
+    """R6: out-of-sample metrics — RMSFE, MAD, MDA
+    (model_performance, /root/reference/R/sentomodel.R:598-632)."""
+    err = preds["pred"] - preds["actual"]
+    out = {
+        "RMSFE": float(np.sqrt((err**2).mean())),
+        "MAD": float(err.abs().mean()),
+    }
+    if len(preds) > 1:
+        da = np.sign(preds["pred"].diff().dropna()) == np.sign(preds["actual"].diff().dropna())
+        out["MDA"] = float(da.mean())
+    return out
+
+
+def get_loss_data(iter_results: dict[str, pd.DataFrame], loss: str = "errorSq") -> pd.DataFrame:
+    """R7: loss matrix across modelIter objects for model-confidence-set
+    analysis (get_loss_data, /root/reference/R/sentomodel.R:851-878)."""
+    cols = {}
+    for name, preds in iter_results.items():
+        err = preds["pred"] - preds["actual"]
+        if loss == "errorSq":
+            cols[name] = (err**2).to_numpy()
+        elif loss == "AD":
+            cols[name] = err.abs().to_numpy()
+        elif loss == "error":
+            cols[name] = err.to_numpy()
+        elif loss == "DA":
+            da = (np.sign(preds["pred"]) == np.sign(preds["actual"])).astype(float)
+            cols[name] = (1.0 - da).to_numpy()
+        else:
+            raise ValueError(loss)
+    return pd.DataFrame(cols)
+
+
 def sento_model_iter(
     y: pd.Series, X: pd.DataFrame, ctr: ModelCtr = ModelCtr(), n_windows: int = 5, window: int | None = None
 ) -> pd.DataFrame:

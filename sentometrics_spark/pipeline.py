@@ -101,3 +101,38 @@ def sento_measures(
         filled.select("bucket_ts", "lexicon", "feature", "value"), kernels, spec.lag
     )
     return SentoMeasures(measures=measures, sentiment=sentiment, kernels=kernels, spec=spec)
+
+
+def measures_update(
+    sm: SentoMeasures,
+    pages_incoming: DataFrame,
+    lexicons: Lexicons,
+    engine: str = "auto",
+    mode: str | None = None,
+) -> SentoMeasures:
+    """M8: incremental recompute — score only documents whose url is not in
+    the existing sentiment table (left_anti by id), merge with the retained
+    doc-level scores, re-run the aggregation with the stored spec
+    (measures_update, /root/reference/R/sentomeasures_measures_xyz.R:158-176).
+    At scale, this is the batch face of the checkpoint/resume design
+    (storage/checkpoint.py) and of the streaming partials table."""
+    existing_ids = sm.sentiment.select("url").distinct()
+    new_pages = pages_incoming.join(existing_ids, "url", "left_anti")
+    new_sent = compute_sentiment(new_pages, lexicons, sm.spec.how_within, mode=mode, engine=engine)
+    merged = sm.sentiment.unionByName(new_sent)
+
+    from sentometrics_spark.aggregate.doc_agg import aggregate_docs
+
+    measures_doc = aggregate_docs(
+        merged,
+        by=sm.spec.by,
+        how=sm.spec.how_docs,
+        do_ignore_zeros=sm.spec.do_ignore_zeros,
+        alpha=sm.spec.alpha_exp_docs,
+        keep_partials=False,
+    ).persist()
+    filled = measures_fill(measures_doc, by=sm.spec.by, fill=sm.spec.fill)
+    measures = aggregate_time(
+        filled.select("bucket_ts", "lexicon", "feature", "value"), sm.kernels, sm.spec.lag
+    )
+    return SentoMeasures(measures=measures, sentiment=merged, kernels=sm.kernels, spec=sm.spec)

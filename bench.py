@@ -70,7 +70,7 @@ def force(df) -> int:
     return df.agg(F.count("*")).collect()[0][0]
 
 
-def run_benchmarks(cpus: int, sf_dir: str) -> dict:
+def run_benchmarks(cpus: int, sf_dir: str, q1_only: bool = False) -> dict:
     from pyspark.sql import functions as F
 
     from sentometrics_spark.aggregate.doc_agg import aggregate_docs
@@ -117,6 +117,18 @@ def run_benchmarks(cpus: int, sf_dir: str) -> dict:
     extra["rolled_points"] = n_points
     extra["points_per_sec"] = round(n_points / timings["q1_pipeline_udf_hour_almon24"], 1)
     extra["docs_per_sec_q1"] = round(n_docs / timings["q1_pipeline_udf_hour_almon24"], 1)
+
+    if q1_only:
+        result = {
+            "metric": "flagship_wall_sec",
+            "value": timings["q1_pipeline_udf_hour_almon24"],
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_dir,
+            **extra,
+        }
+        spark.stop()
+        return result
 
     # q2: scoring only, UDF engine (compare vs reference ~5.3k docs/s/core)
     timed("q2_score_udf_counts", lambda: force(
@@ -176,23 +188,30 @@ def main() -> None:
         # SPARK_GRAFT_SCALE_N for cluster runs.
         n_low = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
         n_high = 4 * n_low
-        results = {}
-        for c in (n_low, n_high):
-            out = subprocess.run(
-                [sys.executable, __file__, "--once", f"--cpus={c}"],
-                capture_output=True,
-                text=True,
-                env={
-                    **os.environ,
-                    "SPARK_GRAFT_SF_DIR": sf_dir,
-                    # enough volume that compute dominates scheduling overhead
-                    "SPARK_GRAFT_REPLICATE": os.environ.get("SPARK_GRAFT_REPLICATE", "200"),
-                },
-            )
-            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-            results[c] = json.loads(line)
-        t_low = results[n_low]["queries"]["q1_pipeline_udf_hour_almon24"]
-        t_high = results[n_high]["queries"]["q1_pipeline_udf_hour_almon24"]
+        n_runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
+        times: dict[int, list[float]] = {n_low: [], n_high: []}
+        docs = {n_low: 0, n_high: 0}
+        # interleave the two levels so ambient load on this shared box hits
+        # both equally; take the MIN time per level (the noise-robust
+        # statistic for throughput)
+        for _ in range(n_runs):
+            for c in (n_low, n_high):
+                out = subprocess.run(
+                    [sys.executable, __file__, "--once", "--q1-only", f"--cpus={c}"],
+                    capture_output=True,
+                    text=True,
+                    env={
+                        **os.environ,
+                        "SPARK_GRAFT_SF_DIR": sf_dir,
+                        # enough volume that compute dominates overhead
+                        "SPARK_GRAFT_REPLICATE": os.environ.get("SPARK_GRAFT_REPLICATE", "200"),
+                    },
+                )
+                line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+                r = json.loads(line)
+                times[c].append(r["queries"]["q1_pipeline_udf_hour_almon24"])
+                docs[c] = r["n_docs"]
+        t_low, t_high = min(times[n_low]), min(times[n_high])
         eff = (t_low / t_high) / 4.0
         print(json.dumps({
             "metric": f"scaling_efficiency_{n_low}_to_{n_high}",
@@ -200,8 +219,10 @@ def main() -> None:
             "unit": "ratio",
             f"t_local{n_low}_sec": t_low,
             f"t_local{n_high}_sec": t_high,
-            f"docs_per_sec_local{n_low}": results[n_low]["docs_per_sec_q1"],
-            f"docs_per_sec_local{n_high}": results[n_high]["docs_per_sec_q1"],
+            f"docs_per_sec_local{n_low}": round(docs[n_low] / t_low, 1),
+            f"docs_per_sec_local{n_high}": round(docs[n_high] / t_high, 1),
+            "all_times": {str(k): v for k, v in times.items()},
+            "runs": n_runs,
             "sf": sf_dir,
         }))
         return
@@ -211,7 +232,7 @@ def main() -> None:
             if a.startswith("--cpus="):
                 cpus = int(a.split("=")[1])
 
-    print(json.dumps(run_benchmarks(cpus, sf_dir)))
+    print(json.dumps(run_benchmarks(cpus, sf_dir, q1_only="--q1-only" in sys.argv)))
 
 
 if __name__ == "__main__":

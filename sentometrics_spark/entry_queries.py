@@ -776,6 +776,47 @@ def q_sentence_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# non-SQL-expressible operators (driver records rows-only checks — no oracle)
+# ---------------------------------------------------------------------------
+
+
+def q_sent_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-valence scoring (C3): sequential per-document state, not
+    SQL-expressible; correctness is pinned by the pandas-oracle pytest suite."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pages = build_pages(spark, sf_dir, with_html=False)
+    sent = compute_sentiment_udf(pages, fixture_lexicons(), "counts", mode="cluster")
+    return _fmt_ts(sent, "warc_ts").select(
+        "url", "warc_ts", "lang",
+        F.col("word_count").cast("long").alias("word_count"),
+        "lexicon", "feature", _r6("score").alias("score"),
+    )
+
+
+def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs (banded signatures)."""
+    from sentometrics_spark.textops.dedup import minhash_dedup_candidates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_dedup_candidates(docs, k=32, bands=8).orderBy("id_a", "id_b")
+
+
+def q_gorilla_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gorilla compression of the measures panel: one blob per series;
+    returns (series, n_points, blob_bytes) — round-trip exactness is pinned
+    by the hypothesis tests."""
+    from sentometrics_spark.storage.gorilla import compress_series_df
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    packed = compress_series_df(_measures_base(spark, sf_dir))
+    return packed.select(
+        "lexicon", "feature", "timeweight",
+        F.col("n_points").cast("long").alias("n_points"),
+        F.length("blob").cast("long").alias("blob_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -830,6 +871,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_doc_rollup": q_sentence_rollup,
         # generic time-series fill on events
         "events_locf": q_events_locf,
+        # non-SQL-expressible (rows-only driver check; pandas-oracle pytest'd)
+        "sent_cluster_counts": q_sent_cluster,
+        "minhash_lsh_candidates": q_minhash_candidates,
+        "gorilla_pack_series": q_gorilla_pack,
         # training-data ops
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -138,6 +138,50 @@ def _sentence_cluster_scores(tokens: list[str], pack, how: str, tfidf) -> np.nda
     return (pol * (shift * w)[:, None]).sum(axis=0)
 
 
+def sentence_tfidf_stats(pages: DataFrame, lexicons: Lexicons) -> dict[str, tuple[float, dict[str, float]]]:
+    """Sentence-level (N, df) per language for TFIDF: the reference builds
+    frequency maps over the unlisted SENTENCES (make_frequency_maps on the
+    flattened sentence list, /root/reference/src/compute_sentiment_sentences.cpp:31-34),
+    so N = #sentences and df = #sentences containing the token. Restricted
+    to lexicon words (TFIDF weights only multiply scores at lexicon hits),
+    keeping the collected map tiny at corpus scale."""
+    lex_words = {
+        lang: {w for words in lexs.values() for w in words}
+        for lang, lexs in lexicons.lex.items()
+    }
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            langs, tokens = [], []
+            for lang, grp in pdf.groupby("lang", sort=False):
+                words = lex_words.get(lang, set())
+                for text in grp["text"]:
+                    for s in split_sentences(text):
+                        langs.append(lang)
+                        tokens.append("")  # sentence-count marker
+                        for t in set(s) & words:
+                            langs.append(lang)
+                            tokens.append(t)
+            if langs:
+                yield pd.DataFrame({"lang": langs, "token": tokens})
+
+    counts = (
+        pages.select("lang", "text")
+        .mapInPandas(gen, schema="lang string, token string")
+        .groupBy("lang", "token")
+        .count()
+        .collect()
+    )
+    out: dict[str, tuple[float, dict[str, float]]] = {}
+    n_by_lang = {r["lang"]: float(r["count"]) for r in counts if r["token"] == ""}
+    for lang, n in n_by_lang.items():
+        out[lang] = (n, {})
+    for r in counts:
+        if r["token"]:
+            out[r["lang"]][1][r["token"]] = float(r["count"])
+    return out
+
+
 def compute_sentiment_sentences_udf(
     pages: DataFrame,
     lexicons: Lexicons,
@@ -170,14 +214,7 @@ def compute_sentiment_sentences_udf(
     n_feat = len(feats)
     packs = {lang: lexicons.pack(lang) for lang in lexicons.languages}
 
-    tfidf_stats = None
-    if how == "TFIDF":
-        # sentence-level (N, df): N = #sentences per language, df = #sentences
-        # containing the token — restricted to lexicon words (see udf_engine)
-        raise NotImplementedError(
-            "TFIDF at sentence level needs a sentence-frequency pre-pass; "
-            "planned alongside the streaming ingest"
-        )
+    tfidf_stats = sentence_tfidf_stats(pages, lexicons) if how == "TFIDF" else None
 
     bc = spark.sparkContext.broadcast((packs, tfidf_stats))
 
@@ -189,6 +226,7 @@ def compute_sentiment_sentences_udf(
             out = []
             for lang, grp in pdf.groupby("lang", sort=False):
                 pack = packs_b[lang]
+                tf = tfidf_b.get(lang) if tfidf_b else None
                 nL = len(pack.lexicon_names)
                 for row in grp.itertuples(index=False):
                     sentences = split_sentences(row.text)
@@ -197,13 +235,13 @@ def compute_sentiment_sentences_udf(
                     if mode == "cluster":
                         mat = np.vstack(
                             [
-                                _sentence_cluster_scores(s, pack, how, None)
+                                _sentence_cluster_scores(s, pack, how, tf)
                                 for s in sentences
                             ]
                         )
                         lens = np.fromiter((len(s) for s in sentences), dtype=np.int64)
                     else:
-                        lens, mat = score_language_batch(sentences, pack, how, mode)
+                        lens, mat = score_language_batch(sentences, pack, how, mode, tf)
                     n_sent = len(sentences)
                     rep = nL * n_feat
                     fvals = np.array([getattr(row, f) for f in feats], dtype=np.float64)

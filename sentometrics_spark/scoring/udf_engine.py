@@ -284,13 +284,19 @@ def compute_sentiment_udf(
     lexicons: Lexicons,
     how: str = "proportional",
     mode: str | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """C9: one mapInPandas pass -> long sentiment table.
 
     mode: None => auto (unigram if no valence; bigram if valence 'y';
     cluster if valence 't' — compute_sentiment docs,
     /root/reference/R/sentiment_engines.R:36-51). Explicit 'unigram' ignores
-    valence."""
+    valence.
+
+    tokens_col: T3 caller-supplied tokenization override — the name of an
+    array<string> column of pre-tokenized unigrams that replaces the
+    internal tokenizer (tokens= passthrough,
+    /root/reference/R/sentiment_engines.R:11-12,234-240)."""
     spark = pages.sparkSession
     if mode is None:
         mode = "bigram" if lexicons.valence else "unigram"
@@ -309,7 +315,8 @@ def compute_sentiment_udf(
     tfidf_stats = tfidf_corpus_stats(pages, lexicons) if how == "TFIDF" else None
     bc = spark.sparkContext.broadcast((packs, tfidf_stats))
 
-    in_cols = ["url", "warc_ts", "lang", "text", *feats]
+    text_in = tokens_col if tokens_col is not None else "text"
+    in_cols = ["url", "warc_ts", "lang", text_in, *feats]
     n_feat = len(feats)
 
     # all languages must share the lexicon-name set so the wide score block
@@ -340,7 +347,10 @@ def compute_sentiment_udf(
                 pack = packs_b.get(lang)
                 if pack is None:
                     raise ValueError(f"no lexicon for language: {lang}")
-                toks = tokenize_series(grp["text"]).tolist()
+                if tokens_col is not None:
+                    toks = [list(t) for t in grp[tokens_col]]
+                else:
+                    toks = tokenize_series(grp["text"]).tolist()
                 tf = tfidf_b.get(lang) if tfidf_b else None
                 lens, scores = score_language_batch(toks, pack, how, mode, tf)
                 fvals = grp[feats].to_numpy(dtype=np.float64)  # [n, F]

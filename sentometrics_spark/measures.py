@@ -244,12 +244,12 @@ def to_long(wide: DataFrame) -> DataFrame:
 
 
 def merge_sentiment(*tables: DataFrame) -> DataFrame:
-    """O1: n-ary merge of long sentiment tables — union + NA->0 + sum on the
-    full key (merge.sentiment, /root/reference/R/sentiment_engines.R:415-450)."""
+    """O1: n-ary merge of long sentiment tables. The reference chains
+    full-outer joins keyed on ALL shared columns — identical rows collapse,
+    rows differing in any value stay separate, and values missing on one
+    side become 0 (merge.sentiment, /root/reference/R/sentiment_engines.R:432-447).
+    In long form that is a union + NA->0 + distinct."""
     out = tables[0]
     for t in tables[1:]:
         out = out.unionByName(t, allowMissingColumns=True)
-    keys = [c for c in ("url", "sentence_id", "warc_ts", "lang", "lexicon", "feature") if c in out.columns]
-    return out.fillna(0.0, subset=["score"]).groupBy(*keys).agg(
-        F.first("word_count").alias("word_count"), F.sum("score").alias("score")
-    )
+    return out.fillna(0.0, subset=["score"]).dropDuplicates()

@@ -83,3 +83,23 @@ def test_loss_data_and_performance():
     loss = get_loss_data({"m1": preds, "m2": preds}, "errorSq")
     assert loss.shape == (3, 2)
     np.testing.assert_allclose(loss["m1"], [0.01, 0.01, 0.09])
+
+
+def test_merge_sentiment_union_semantics(spark):
+    """Identical rows collapse; rows differing in score stay separate
+    (/root/reference/R/sentiment_engines.R examples: nrow(m5) > nrow(m4))."""
+    from sentometrics_spark.measures import merge_sentiment
+
+    schema = "url string, warc_ts string, word_count int, lexicon string, feature string, score double"
+    a = spark.createDataFrame(
+        [("u1", "2024-01-01", 5, "L", "f", 1.0), ("u2", "2024-01-01", 5, "L", "f", 2.0)], schema
+    )
+    b = spark.createDataFrame(
+        [("u1", "2024-01-01", 5, "L", "f", 1.0),  # identical -> collapses
+         ("u2", "2024-01-01", 5, "L", "f", 9.0),  # different score -> extra row
+         ("u3", "2024-01-01", 5, "L", "f", None)], schema  # NA -> 0
+    )
+    out = merge_sentiment(a, b).toPandas()
+    assert len(out) == 4
+    assert out[out.url == "u3"]["score"].iloc[0] == 0.0
+    assert sorted(out[out.url == "u2"]["score"]) == [2.0, 9.0]

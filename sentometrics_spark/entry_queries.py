@@ -775,6 +775,52 @@ def q_sentence_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) of the events stream —
+    the classic stateful stream op, expressed as lag + cumulative sum."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.date_format(F.min("ts"), TSFMT_SPARK).alias("session_start"),
+        F.date_format(F.max("ts"), TSFMT_SPARK).alias("session_end"),
+        F.count("*").cast("long").alias("n_events"),
+        _r6(F.sum("value")).alias("sum_value"),
+    ).select(
+        F.col("user_id").cast("long"), F.col("session_id").cast("long"),
+        "session_start", "session_end", "n_events", "sum_value",
+    )
+
+
+SQL_EVENTS_SESSIONIZE = f"""WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(session_id AS BIGINT) AS session_id,
+       strftime(MIN(ts), '{TSFMT_DUCK}') AS session_start,
+       strftime(MAX(ts), '{TSFMT_DUCK}') AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       floor(SUM(value) * 1000000 + 0.5 + 1e-9) / 1000000.0 AS sum_value
+FROM sess GROUP BY 1, 2"""
+
+
 # ---------------------------------------------------------------------------
 # non-SQL-expressible operators (driver records rows-only checks — no oracle)
 # ---------------------------------------------------------------------------
@@ -871,6 +917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_doc_rollup": q_sentence_rollup,
         # generic time-series fill on events
         "events_locf": q_events_locf,
+        "events_sessionize": q_events_sessionize,
         # non-SQL-expressible (rows-only driver check; pandas-oracle pytest'd)
         "sent_cluster_counts": q_sent_cluster,
         "minhash_lsh_candidates": q_minhash_candidates,
@@ -953,6 +1000,7 @@ def oracle_sql() -> dict[str, str]:
         # single-sentence fixture corpus: sentence path == doc-level counts
         "sentence_doc_rollup": sentiment_cte("counts") + _SENT_FINAL,
         "events_locf": SQL_EVENTS_LOCF,
+        "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "corpus_pages": SQL_CORPUS_PAGES,
         "corpus_summarize_day": SQL_CORPUS_SUMMARIZE,
         "extract_text_invariant": SQL_EXTRACT_INVARIANT,

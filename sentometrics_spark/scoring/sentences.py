@@ -228,43 +228,50 @@ def compute_sentiment_sentences_udf(
                 pack = packs_b[lang]
                 tf = tfidf_b.get(lang) if tfidf_b else None
                 nL = len(pack.lexicon_names)
-                for row in grp.itertuples(index=False):
-                    sentences = split_sentences(row.text)
-                    if not sentences:
-                        continue
-                    if mode == "cluster":
-                        mat = np.vstack(
-                            [
-                                _sentence_cluster_scores(s, pack, how, tf)
-                                for s in sentences
-                            ]
-                        )
-                        lens = np.fromiter((len(s) for s in sentences), dtype=np.int64)
-                    else:
-                        lens, mat = score_language_batch(sentences, pack, how, mode, tf)
-                    n_sent = len(sentences)
-                    rep = nL * n_feat
-                    fvals = np.array([getattr(row, f) for f in feats], dtype=np.float64)
-                    score_lf = (mat[:, :, None] * fvals[None, None, :]).reshape(-1)
-                    out.append(
-                        pd.DataFrame(
-                            {
-                                "url": row.url,
-                                "sentence_id": np.repeat(
-                                    np.arange(1, n_sent + 1, dtype=np.int32), rep
-                                ),
-                                "warc_ts": row.warc_ts,
-                                "lang": lang,
-                                "word_count": np.repeat(lens, rep).astype(np.int32),
-                                "lexicon": np.tile(
-                                    np.repeat(np.array(pack.lexicon_names, dtype=object), n_feat),
-                                    n_sent,
-                                ),
-                                "feature": np.tile(np.array(feats, dtype=object), nL * n_sent),
-                                "score": score_lf,
-                            }
-                        )
+                # flatten the whole group to sentence level, score once
+                sentences: list[list[str]] = []
+                doc_of_sent: list[int] = []
+                sent_id: list[int] = []
+                for d, text in enumerate(grp["text"]):
+                    sns = split_sentences(text)
+                    for i, s in enumerate(sns):
+                        sentences.append(s)
+                        doc_of_sent.append(d)
+                        sent_id.append(i + 1)
+                if not sentences:
+                    continue
+                if mode == "cluster":
+                    mat = np.vstack(
+                        [_sentence_cluster_scores(s, pack, how, tf) for s in sentences]
                     )
+                    lens = np.fromiter((len(s) for s in sentences), dtype=np.int64)
+                else:
+                    lens, mat = score_language_batch(sentences, pack, how, mode, tf)
+                n_sent = len(sentences)
+                rep = nL * n_feat
+                doc_of_sent = np.asarray(doc_of_sent)
+                sent_id = np.asarray(sent_id, dtype=np.int32)
+                fvals = grp[feats].to_numpy(dtype=np.float64)[doc_of_sent]  # [S, F]
+                score_lf = (mat[:, :, None] * fvals[:, None, :]).reshape(-1)
+                urls = grp["url"].to_numpy()[doc_of_sent]
+                tss = grp["warc_ts"].to_numpy()[doc_of_sent]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "url": np.repeat(urls, rep),
+                            "sentence_id": np.repeat(sent_id, rep),
+                            "warc_ts": np.repeat(tss, rep),
+                            "lang": lang,
+                            "word_count": np.repeat(lens, rep).astype(np.int32),
+                            "lexicon": np.tile(
+                                np.repeat(np.array(pack.lexicon_names, dtype=object), n_feat),
+                                n_sent,
+                            ),
+                            "feature": np.tile(np.array(feats, dtype=object), nL * n_sent),
+                            "score": score_lf,
+                        }
+                    )
+                )
             if out:
                 yield pd.concat(out, ignore_index=True)
 

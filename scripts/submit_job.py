@@ -27,17 +27,22 @@ def main() -> None:
     ap.add_argument("--how-docs", default="proportional")
     ap.add_argument("--salts", type=int, default=16)
     ap.add_argument("--resume-root", default=None)
+    ap.add_argument("--master", default=None, help="only for local testing; spark-submit sets this")
+    ap.add_argument("--driver-memory", default=None, help="only for local testing")
     args = ap.parse_args()
-
-    from pyspark.sql import SparkSession
 
     from sentometrics_spark.aggregate.doc_agg import aggregate_docs_salted
     from sentometrics_spark.aggregate.tiers import TierStore, rollup
     from sentometrics_spark.corpus import validate_corpus
     from sentometrics_spark.lexicons import fixture_lexicons
     from sentometrics_spark.scoring.udf_engine import compute_sentiment_udf
+    from sentometrics_spark.session import build_session
 
-    spark = SparkSession.builder.appName("sentometrics-tiers").getOrCreate()
+    spark = build_session(
+        master=args.master,
+        app_name="sentometrics-tiers",
+        driver_memory=args.driver_memory,
+    )
     t0 = time.time()
 
     if args.format == "iceberg":

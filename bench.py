@@ -161,6 +161,18 @@ def run_benchmarks(cpus: int, sf_dir: str, q1_only: bool = False) -> dict:
     # q7: brute-force knn
     timed("q7_knn_cosine", lambda: force(eq.q_knn_cosine(spark, sf_dir)))
 
+    # q8: fused scoring + map-side bucket pre-aggregation (the 100TB path:
+    # the shuffle sees per-batch partials, not per-doc long rows)
+    def q8():
+        from sentometrics_spark.scoring.fused import finalize_partials, score_to_bucket_partials
+
+        return force(finalize_partials(
+            score_to_bucket_partials(pages, lex_nv, "proportional", "proportional", by="hour")
+        ))
+
+    timed("q8_fused_score_agg", q8)
+    extra["docs_per_sec_q8"] = round(n_docs / timings["q8_fused_score_agg"], 1)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_suite_wall_sec",

@@ -105,7 +105,7 @@ def aggregate_docs(
         F.count("*").alias("n_docs"),
     )
     agg = agg.withColumn(
-        "value", F.coalesce(F.col("wsum") / F.col("wden"), F.lit(0.0))
+        "value", F.coalesce(F.try_divide(F.col("wsum"), F.col("wden")), F.lit(0.0))
     )
     cols = ["bucket_ts", *MEASURE_KEYS, "value"]
     if keep_partials:
@@ -174,7 +174,7 @@ def aggregate_docs_salted(
             F.sum("n_docs_in").alias("n_docs_in"),
             F.sum("n_docs").alias("n_docs"),
         )
-        .withColumn("value", F.coalesce(F.col("wsum") / F.col("wden"), F.lit(0.0)))
+        .withColumn("value", F.coalesce(F.try_divide(F.col("wsum"), F.col("wden")), F.lit(0.0)))
     )
     cols = ["bucket_ts", *MEASURE_KEYS, "value"]
     if keep_partials:

@@ -70,7 +70,7 @@ def rollup(lower_tier: DataFrame, to: str) -> DataFrame:
             F.sum("n_docs_in").alias("n_docs_in"),
             F.sum("n_docs").alias("n_docs"),
         )
-        .withColumn("value", F.coalesce(F.col("wsum") / F.col("wden"), F.lit(0.0)))
+        .withColumn("value", F.coalesce(F.try_divide(F.col("wsum"), F.col("wden")), F.lit(0.0)))
     )
     return agg.select("bucket_ts", *MEASURE_KEYS, "value", *PARTIAL_COLS)
 

@@ -87,7 +87,7 @@ def finalize_hour_tier(spark: SparkSession, partials_path: str) -> DataFrame:
             F.sum("n_docs_in").alias("n_docs_in"),
             F.sum("n_docs").alias("n_docs"),
         )
-        .withColumn("value", F.coalesce(F.col("wsum") / F.col("wden"), F.lit(0.0)))
+        .withColumn("value", F.coalesce(F.try_divide(F.col("wsum"), F.col("wden")), F.lit(0.0)))
     )
 
 

@@ -891,6 +891,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scoring — valence bigram (C2), algebraic + UDF engines
         "sent_bigram_counts": _sent_query("counts", bigram=True),
         "sent_udf_proportional": _sent_udf_query("proportional", "unigram"),
+        "sent_udf_ushaped": _sent_udf_query("UShaped", "unigram"),
+        "sent_udf_tfidf": _sent_udf_query("TFIDF", "unigram"),
+        "sent_udf_prop_pol": _sent_udf_query("proportionalPol", "unigram"),
         "sent_udf_bigram_counts": _sent_udf_query("counts", "bigram"),
         # doc aggregation (A1-A4)
         "agg_day_equal": _agg_docs_query("equal_weight", "day"),
@@ -1015,6 +1018,9 @@ def oracle_sql() -> dict[str, str]:
         "sent_inv_exp_within": sentiment_cte("inverseExponential") + _SENT_FINAL,
         "sent_bigram_counts": sentiment_cte("counts", bigram=True) + _SENT_FINAL,
         "sent_udf_proportional": sentiment_cte("proportional") + _SENT_FINAL,
+        "sent_udf_ushaped": sentiment_cte("UShaped") + _SENT_FINAL,
+        "sent_udf_tfidf": sentiment_cte("TFIDF") + _SENT_FINAL,
+        "sent_udf_prop_pol": sentiment_cte("proportionalPol") + _SENT_FINAL,
         "sent_udf_bigram_counts": sentiment_cte("counts", bigram=True) + _SENT_FINAL,
         "agg_day_equal": agg_docs_sql("equal_weight", "day"),
         "agg_day_proportional": agg_docs_sql("proportional", "day"),

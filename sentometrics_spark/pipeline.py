@@ -74,6 +74,28 @@ class SentoMeasures:
     def nobs(self) -> int:
         return self.measures.select("bucket_ts").distinct().count()
 
+    def summary(self) -> dict:
+        """M10: print/summary introspection (reference print.sento_measures /
+        summary, /root/reference/R/sentomeasures_methods.R:215-269)."""
+        from pyspark.sql import functions as F
+
+        dims = self.dimensions
+        span = self.measures.agg(
+            F.min("bucket_ts").alias("first"), F.max("bucket_ts").alias("last")
+        ).collect()[0]
+        return {
+            "by": self.spec.by,
+            "lag": self.spec.lag,
+            "fill": self.spec.fill,
+            "how_within": self.spec.how_within,
+            "how_docs": self.spec.how_docs,
+            "dimensions": dims,
+            "nmeasures": len(dims["lexicons"]) * len(dims["features"]) * len(dims["time"]),
+            "nobs": self.nobs(),
+            "first_bucket": str(span["first"]),
+            "last_bucket": str(span["last"]),
+        }
+
 
 def sento_measures(
     pages: DataFrame,

@@ -103,3 +103,14 @@ def test_merge_sentiment_union_semantics(spark):
     assert len(out) == 4
     assert out[out.url == "u3"]["score"].iloc[0] == 0.0
     assert sorted(out[out.url == "u2"]["score"]) == [2.0, 9.0]
+
+
+def test_summary_introspection(pages, lexicons):
+    from sentometrics_spark.config import AggSpec, TimeKernelSpec
+
+    lex = Lexicons(lex=fixture_lexicons().lex)
+    sm = sento_measures(pages, lex, AggSpec(by="week", lag=2, time_kernels=(TimeKernelSpec("linear"),)))
+    s = sm.summary()
+    assert s["by"] == "week" and s["lag"] == 2
+    assert s["nmeasures"] == 2 * 3 * 1
+    assert s["nobs"] > 0 and s["first_bucket"] < s["last_bucket"]

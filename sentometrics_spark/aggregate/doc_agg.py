@@ -62,7 +62,10 @@ def _weight_numerator(how: str, alpha: float) -> Column:
     if how == "proportional":
         return wc
     if how == "inverseProportional":
-        return F.lit(1.0) / wc
+        # null for zero-token docs: double division is non-ANSI here and
+        # 1/0 = Infinity would poison the bucket's wsum/wden when
+        # do_ignore_zeros=False; a null weight drops the doc cleanly.
+        return F.when(wc > 0, F.lit(1.0) / wc)
     if how == "exponential":
         return 10.0 * alpha * (wc / F.col("__bucket_wc") - 1.0)
     if how == "inverseExponential":

@@ -116,6 +116,23 @@ def feature_columns(df: DataFrame) -> list[str]:
     return [c for c in df.columns if c.startswith("feat_")]
 
 
+def check_language_coverage(pages: DataFrame, known: set, validate: str = "fail") -> None:
+    """Fail fast, driver-side, on corpus languages without a lexicon
+    (/root/reference/R/sentiment_engines.R:79-81). The check is one extra
+    full-column scan job before every scoring pass; at 100 TB that doubles
+    scan cost for a validation, so production pipelines pass
+    validate='skip' once per snapshot after validating it up front."""
+    if validate == "skip":
+        return
+    if validate != "fail":
+        raise ValueError(f"validate_langs must be 'fail' or 'skip', got: {validate}")
+    missing = [
+        r["lang"] for r in pages.select("lang").distinct().collect() if r["lang"] not in known
+    ]
+    if missing:
+        raise ValueError(f"no lexicon found for language(s): {sorted(missing)}")
+
+
 def add_features(
     df: DataFrame,
     keywords: dict[str, str] | None = None,

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sentometrics_spark.corpus import feature_columns
+from sentometrics_spark.corpus import check_language_coverage, feature_columns
 from sentometrics_spark.lexicons import Lexicons
 
 ALGEBRAIC_HOWS = (
@@ -48,7 +48,15 @@ def lexicon_df(spark: SparkSession, lexicons: Lexicons) -> DataFrame:
 
 
 def valence_df(spark: SparkSession, lexicons: Lexicons) -> DataFrame:
-    rows = lexicons.valence_rows()
+    """'Lexicon wins' conflict rule: a valence word that also appears in any
+    lexicon of the same language is dropped, matching Lexicons.pack()
+    (/root/reference/R/sentolexicons.R:21-23) — otherwise the algebraic and
+    UDF engines diverge whenever the vocabularies overlap."""
+    rows = [
+        (lang, w, y, t)
+        for lang, w, y, t in lexicons.valence_rows()
+        if not any(w in words for words in lexicons.lex.get(lang, {}).values())
+    ]
     return spark.createDataFrame(rows, "lang string, word string, vy double, vt int")
 
 
@@ -100,6 +108,7 @@ def compute_sentiment_algebraic(
     lexicons: Lexicons,
     how: str = "counts",
     use_valence_bigram: bool = False,
+    validate_langs: str = "fail",
 ) -> DataFrame:
     """Unigram (or bigram-valence) scoring as a Catalyst plan."""
     if how not in ALGEBRAIC_HOWS:
@@ -112,13 +121,9 @@ def compute_sentiment_algebraic(
     spark = pages.sparkSession
     lexdf = lexicon_df(spark, lexicons)
 
-    # fail fast on languages without a lexicon, like the reference
-    # (/root/reference/R/sentiment_engines.R:79-81) — otherwise the inner
-    # join below would silently drop those documents.
-    known = set(lexicons.lex)
-    missing = [r["lang"] for r in pages.select("lang").distinct().collect() if r["lang"] not in known]
-    if missing:
-        raise ValueError(f"no lexicon found for language(s): {sorted(missing)}")
+    # fail fast on languages without a lexicon — otherwise the inner join
+    # below would silently drop those documents.
+    check_language_coverage(pages, set(lexicons.lex), validate_langs)
 
     feats = feature_columns(pages)
     docs = pages.select(

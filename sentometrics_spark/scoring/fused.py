@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from sentometrics_spark.aggregate.doc_agg import ZERO_EPS
 from sentometrics_spark.aggregate.tiers import COMPOSABLE_DOC_HOWS
-from sentometrics_spark.corpus import feature_columns
+from sentometrics_spark.corpus import check_language_coverage, feature_columns
 from sentometrics_spark.lexicons import Lexicons
 from sentometrics_spark.scoring.udf_engine import flat_from_texts, score_flat
 
@@ -49,6 +49,7 @@ def score_to_bucket_partials(
     by: str = "hour",
     do_ignore_zeros: bool = True,
     mode: str = "unigram",
+    validate_langs: str = "fail",
 ) -> DataFrame:
     """One mapInPandas pass: score + reduce to bucket partials. Finalize
     with ``finalize_partials`` (or feed tiers.rollup directly)."""
@@ -60,12 +61,7 @@ def score_to_bucket_partials(
     if by not in _TRUNC:
         raise ValueError(f"fused path supports hour/day buckets, got: {by}")
     spark = pages.sparkSession
-    known = set(lexicons.lex)
-    missing = [
-        r["lang"] for r in pages.select("lang").distinct().collect() if r["lang"] not in known
-    ]
-    if missing:
-        raise ValueError(f"no lexicon found for language(s): {sorted(missing)}")
+    check_language_coverage(pages, set(lexicons.lex), validate_langs)
 
     feats = feature_columns(pages)
     n_feat = len(feats)
@@ -104,7 +100,10 @@ def score_to_bucket_partials(
                 elif how_docs == "proportional":
                     num = wc
                 else:  # inverseProportional
-                    num = 1.0 / wc
+                    # mask zero-token docs: 1/0 = inf would propagate NaN
+                    # through np.add.at into the whole bucket's partials;
+                    # aggregate_docs drops such docs (null weight), so must we.
+                    num = np.where(wc > 0, 1.0 / np.where(wc > 0, wc, 1.0), 0.0)
 
                 if do_ignore_zeros:
                     in_set = np.abs(s_lf) >= ZERO_EPS  # [n, K]

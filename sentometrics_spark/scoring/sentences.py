@@ -27,7 +27,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from sentometrics_spark.corpus import feature_columns
+from sentometrics_spark.corpus import check_language_coverage, feature_columns
 from sentometrics_spark.lexicons import Lexicons
 from sentometrics_spark.scoring.udf_engine import (
     _POSITIONAL,
@@ -187,6 +187,7 @@ def compute_sentiment_sentences_udf(
     lexicons: Lexicons,
     how: str = "proportional",
     valence_use: str = "t",
+    validate_langs: str = "fail",
 ) -> DataFrame:
     """C4: sentence-level long sentiment (url, sentence_id, ...). Valence
     dispatch mirrors valenceType resolution
@@ -195,12 +196,7 @@ def compute_sentiment_sentences_udf(
     from pyspark.sql import functions as F
 
     spark = pages.sparkSession
-    known = set(lexicons.lex)
-    missing = [
-        r["lang"] for r in pages.select("lang").distinct().collect() if r["lang"] not in known
-    ]
-    if missing:
-        raise ValueError(f"no lexicon found for language(s): {sorted(missing)}")
+    check_language_coverage(pages, set(lexicons.lex), validate_langs)
 
     has_valence = bool(lexicons.valence)
     if not has_valence:

@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sentometrics_spark.corpus import feature_columns
+from sentometrics_spark.corpus import check_language_coverage, feature_columns
 from sentometrics_spark.lexicons import Lexicons
 
 _WORD_RE = re.compile(r"[a-z']+")
@@ -328,23 +328,63 @@ def tfidf_corpus_stats(pages: DataFrame, lexicons: Lexicons) -> dict[str, tuple[
     """Corpus-level (N, df) per language, pinned per input snapshot (C6,
     /root/reference/src/utils.h:193-210). df is only needed for lexicon
     words (weights only multiply scores at lexicon hits), so the collected
-    map stays tiny at any corpus scale."""
+    map stays tiny at any corpus scale.
+
+    df is computed with the SAME tokenizer the scoring engine uses
+    (flat_from_texts) in a mapInPandas pass, so the frequency maps count
+    exactly the tokens that get scored — the reference builds both maps
+    from one tokenization (/root/reference/src/utils.h:193-210); a separate
+    SQL-split here would diverge on any punctuated text."""
     spark = pages.sparkSession
-    lex_words = sorted(
-        {w for lexs in lexicons.lex.values() for words in lexs.values() for w in words}
+    packs = {lang: lexicons.pack(lang) for lang in lexicons.languages}
+    bc = spark.sparkContext.broadcast(packs)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        packs_b = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            langs: list[str] = []
+            tokens: list[str] = []
+            counts: list[int] = []
+            for lang, grp in pdf.groupby("lang", sort=False):
+                pack = packs_b.get(lang)
+                if pack is None:
+                    raise ValueError(f"no lexicon for language: {lang}")
+                vocab = sorted(pack.word2id)
+                n_docs, _lens, doc_idx, _pos, vid, _vy, _vt = flat_from_texts(
+                    grp["text"], pack
+                )
+                hit = ~np.isnan(vid)
+                if hit.any():
+                    pairs = np.unique(
+                        np.stack([doc_idx[hit], vid[hit].astype(np.int64)]), axis=1
+                    )
+                    vids, dfc = np.unique(pairs[1], return_counts=True)
+                    for v, c in zip(vids, dfc):
+                        langs.append(lang)
+                        tokens.append(vocab[int(v)])
+                        counts.append(int(c))
+                langs.append(lang)
+                tokens.append("")  # doc-count marker
+                counts.append(int(n_docs))
+            if langs:
+                yield pd.DataFrame({"lang": langs, "token": tokens, "c": counts})
+
+    rows = (
+        pages.select("lang", "text")
+        .mapInPandas(gen, schema="lang string, token string, c long")
+        .groupBy("lang", "token")
+        .agg(F.sum("c").alias("c"))
+        .collect()
     )
-    tok = pages.select(
-        "url", "lang", F.explode(F.split(F.lower("text"), " ")).alias("token")
-    ).filter(F.col("token").isin(lex_words))
-    df_rows = (
-        tok.distinct().groupBy("lang", "token").agg(F.count("*").alias("df")).collect()
-    )
-    n_rows = pages.groupBy("lang").agg(F.count("*").alias("n")).collect()
     out: dict[str, tuple[float, dict[str, float]]] = {}
-    for r in n_rows:
-        out[r["lang"]] = (float(r["n"]), {})
-    for r in df_rows:
-        out[r["lang"]][1][r["token"]] = float(r["df"])
+    for r in rows:
+        if r["token"] == "":
+            out[r["lang"]] = (float(r["c"]), out.get(r["lang"], (0.0, {}))[1])
+    for r in rows:
+        if r["token"]:
+            out[r["lang"]][1][r["token"]] = float(r["c"])
     return out
 
 
@@ -354,6 +394,7 @@ def compute_sentiment_udf(
     how: str = "proportional",
     mode: str | None = None,
     tokens_col: str | None = None,
+    validate_langs: str = "fail",
 ) -> DataFrame:
     """C9: one mapInPandas pass -> long sentiment table.
 
@@ -372,12 +413,7 @@ def compute_sentiment_udf(
     if mode not in ("unigram", "bigram", "cluster"):
         raise ValueError(f"unknown mode: {mode}")
 
-    # fail fast, driver-side, on languages without a lexicon
-    # (/root/reference/R/sentiment_engines.R:79-81)
-    known = set(lexicons.lex)
-    missing = [r["lang"] for r in pages.select("lang").distinct().collect() if r["lang"] not in known]
-    if missing:
-        raise ValueError(f"no lexicon found for language(s): {sorted(missing)}")
+    check_language_coverage(pages, set(lexicons.lex), validate_langs)
 
     feats = feature_columns(pages)
     packs = {lang: lexicons.pack(lang) for lang in lexicons.languages}

@@ -49,12 +49,33 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str = "doc_id", n: int = 3, threshold: float = 0.8
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs sharing >= 1
-    shingle. |A ∩ B| from the shingle self-join; |A ∪ B| = |A|+|B|-∩."""
+    shingle. |A ∩ B| from the shingle self-join; |A ∪ B| = |A|+|B|-∩.
+
+    max_shingle_df caps the document frequency of shingles entering the
+    self-join: one hot shingle ("click here to") appearing in d documents
+    would otherwise create O(d^2) candidate rows — quadratic blow-up at
+    corpus scale. Dropping high-df shingles is standard practice and keeps
+    the join sparse; it only LOWERS n_inter for pairs sharing boilerplate,
+    never invents a pair. |A|/|B| denominators still count all shingles, so
+    reported jaccard is a lower bound for pairs touched by hot shingles and
+    exact otherwise (near-dup pairs share mostly low-df shingles)."""
     sh = shingles(df, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (

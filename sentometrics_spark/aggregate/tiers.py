@@ -14,8 +14,16 @@ exactly across tiers:
 
 The bucket-RELATIVE schemes (exponential, inverseExponential — num depends
 on the bucket's total word count) are NOT composable from (wsum, wden)
-alone; composing them requires re-weighting from retained per-doc stats.
-``rollup`` refuses them (documented limitation, SURVEY.md §7).
+alone; ``rollup`` refuses them. They ARE composable from a richer partial
+set because num_d = 10a*(wc_d/W - 1) is AFFINE in wc_d: retaining per
+(bucket, lexicon, feature) the sums (s_sum = sum s_d, wcs_sum = sum wc_d*s_d,
+wc_in = sum wc_d, n_in) over the non-null set, plus the bucket total word
+count W, any coarser bucket B' with W' = sum W recombines exactly:
+
+    sum num*s = (c/W')*wcs_sum - c*s_sum
+    sum num   = (c/W')*wc_in   - c*n_in        (c = 10*alpha)
+
+— see base_tier_exponential / rollup_exponential.
 
 Tier storage layout (TierStore): one partitioned parquet/Iceberg table per
 tier, partitioned by bucket_date for partition-pruned reads and
@@ -73,6 +81,79 @@ def rollup(lower_tier: DataFrame, to: str) -> DataFrame:
         .withColumn("value", F.coalesce(F.try_divide(F.col("wsum"), F.col("wden")), F.lit(0.0)))
     )
     return agg.select("bucket_ts", *MEASURE_KEYS, "value", *PARTIAL_COLS)
+
+
+EXP_PARTIAL_COLS = ["s_sum", "wcs_sum", "wc_in", "n_docs_in", "n_docs", "bucket_wc"]
+
+
+def _exp_value(c: float):
+    """value = ((c/W)*wcs_sum - c*s_sum) / ((c/W)*wc_in - c*n_in), the
+    weighted mean under num_d = c*(wc_d/W - 1) re-expanded from partials.
+    (inverseExponential negates every num_d, which cancels in the ratio —
+    the reference's two schemes produce identical weighted means; formulas
+    /root/reference/R/sentomeasures_main.R:553-576.)"""
+    w = F.col("bucket_wc")
+    num = (F.lit(c) / w) * F.col("wcs_sum") - F.lit(c) * F.col("s_sum")
+    den = (F.lit(c) / w) * F.col("wc_in") - F.lit(c) * F.col("n_docs_in")
+    return F.coalesce(F.try_divide(num, den), F.lit(0.0))
+
+
+def base_tier_exponential(
+    sentiment: DataFrame,
+    by: str = "hour",
+    alpha: float = 0.1,
+    do_ignore_zeros: bool = True,
+) -> DataFrame:
+    """Finest tier for the bucket-relative exponential/inverseExponential
+    doc weighting, carrying the affine partials that make coarser tiers
+    exact (see module docstring)."""
+    from sentometrics_spark.aggregate.doc_agg import ZERO_EPS, bucket_col
+
+    s = sentiment.withColumn("bucket_ts", bucket_col(F.col("warc_ts"), by))
+    doc_wc = (
+        s.select("url", "bucket_ts", "word_count")
+        .distinct()
+        .groupBy("bucket_ts")
+        .agg(F.sum("word_count").cast("double").alias("bucket_wc"))
+    )
+    score = (
+        F.when(F.abs(F.col("score")) < ZERO_EPS, F.lit(None)).otherwise(F.col("score"))
+        if do_ignore_zeros
+        else F.col("score")
+    )
+    wc = F.col("word_count").cast("double")
+    agg = (
+        s.withColumn("__s", score)
+        .groupBy("bucket_ts", *MEASURE_KEYS)
+        .agg(
+            F.sum("__s").alias("s_sum"),
+            F.sum(wc * F.col("__s")).alias("wcs_sum"),
+            F.sum(F.when(F.col("__s").isNotNull(), wc)).alias("wc_in"),
+            F.count(F.when(F.col("__s").isNotNull(), 1)).alias("n_docs_in"),
+            F.count("*").alias("n_docs"),
+        )
+        .join(doc_wc, "bucket_ts")
+        .na.fill(0.0, ["s_sum", "wcs_sum", "wc_in"])
+    )
+    c = 10.0 * alpha
+    return agg.withColumn("value", _exp_value(c)).select(
+        "bucket_ts", *MEASURE_KEYS, "value", *EXP_PARTIAL_COLS
+    )
+
+
+def rollup_exponential(lower_tier: DataFrame, to: str, alpha: float = 0.1) -> DataFrame:
+    """Compose the next tier for exponential doc weighting from the affine
+    partials — no rescan of documents; exactly equals direct aggregation at
+    the coarser bucket."""
+    if to not in TIER_ORDER:
+        raise ValueError(f"unknown tier: {to}")
+    agg = lower_tier.groupBy(
+        F.date_trunc(to, F.col("bucket_ts")).alias("bucket_ts"), *MEASURE_KEYS
+    ).agg(*[F.sum(col).alias(col) for col in EXP_PARTIAL_COLS])
+    c = 10.0 * alpha
+    return agg.withColumn("value", _exp_value(c)).select(
+        "bucket_ts", *MEASURE_KEYS, "value", *EXP_PARTIAL_COLS
+    )
 
 
 def build_all_tiers(

@@ -28,6 +28,9 @@ from sentometrics_spark.corpus import (
     TS_DAYS_MOD,
     TS_MIN_MOD,
     TS_MIN_MULT,
+    URL_SQL,
+    URL_SQL_DUCKDB,
+    WARC_TS_SQL_SPARK,
     build_pages,
     corpus_summarize,
     extract_text,
@@ -822,6 +825,200 @@ FROM sess GROUP BY 1, 2"""
 
 
 # ---------------------------------------------------------------------------
+# driver-gate closers: oracle-paired queries for previously pytest-only ops
+# (S3/S5/S6, T3, O1, O3, M1/M2, M8, M9, M10/M11, K7, A3-inverseExponential,
+#  exponential tier composability)
+# ---------------------------------------------------------------------------
+
+
+def q_measures_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1/M2: row filter + dimension select/delete on the measures panel."""
+    from sentometrics_spark.measures import subset_measures
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = subset_measures(
+        _measures_base(spark, sf_dir),
+        expr="value > 0.0123456789",
+        select={"lexicon": ["LEXA"]},
+        delete={"feature": ["feat_srca"]},
+    )
+    return _fmt_ts(out, "bucket_ts").select(
+        "bucket_ts", "lexicon", "feature", "timeweight", _r6("value").alias("value")
+    )
+
+
+def q_measures_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7: per-measure mean/sd/max/min."""
+    from sentometrics_spark.aggregate.time_agg import compute_stats
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    st = compute_stats(_measures_base(spark, sf_dir))
+    return st.select(
+        "lexicon", "feature", "timeweight",
+        _r6("mean").alias("mean"), _r6("sd").alias("sd"),
+        _r6("max").alias("max"), _r6("min").alias("min"),
+    )
+
+
+def q_merge_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: n-ary sentiment merge — two disjoint sub-corpora scored
+    independently then merged must equal scoring the whole corpus (doc-local
+    how), exercising unionByName + duplicate collapse."""
+    from sentometrics_spark.measures import merge_sentiment
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pages = build_pages(spark, sf_dir, with_html=False)
+    s1 = compute_sentiment_udf(pages.filter(F.col("feat_srca") == 1.0), _no_valence(), "counts", mode="unigram")
+    s2 = compute_sentiment_udf(pages.filter(F.col("feat_srca") == 0.0), _no_valence(), "counts", mode="unigram")
+    merged = merge_sentiment(s1, s2)
+    return _fmt_ts(merged, "warc_ts").select(
+        "url", "warc_ts", "lang",
+        F.col("word_count").cast("long").alias("word_count"),
+        "lexicon", "feature", _r6("score").alias("score"),
+    )
+
+
+def q_measures_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8: incremental update — half the corpus pre-processed, the full
+    corpus arriving; result must equal the full recompute (the oracle)."""
+    from sentometrics_spark.config import AggSpec
+    from sentometrics_spark.pipeline import measures_update, sento_measures
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pages = build_pages(spark, sf_dir, with_html=False)
+    spec = AggSpec(
+        how_within="proportional", how_docs="equal_weight",
+        time_kernels=_ALMON2, by="day", lag=7, fill="zero",
+    )
+    sm0 = sento_measures(pages.filter(F.col("feat_srca") == 1.0), _no_valence(), spec, engine="algebraic")
+    sm1 = measures_update(sm0, pages, _no_valence(), engine="algebraic")
+    return _fmt_ts(sm1.measures, "bucket_ts").select(
+        "bucket_ts", "lexicon", "feature", "timeweight", _r6("value").alias("value")
+    )
+
+
+def q_add_features_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 count-mode: normalized keyword counts as a feature column."""
+    from sentometrics_spark.corpus import add_features
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pages = build_pages(spark, sf_dir, with_html=False)
+    out = add_features(pages, keywords={"data": "data"}, do_binary=False)
+    return out.select("url", _r6("feat_data").alias("feat_data"))
+
+
+def q_read_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S6: export the corpus (sink) and re-ingest through read_corpus
+    (validating reader); output must equal the directly-built corpus."""
+    import tempfile
+
+    from sentometrics_spark.corpus import read_corpus
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pages = build_pages(spark, sf_dir, with_html=False)
+    path = tempfile.mkdtemp(prefix="corpus_roundtrip_") + "/pages"
+    pages.write.mode("overwrite").parquet(path)
+    back = read_corpus(spark, path, fmt="parquet")
+    return _fmt_ts(back, "warc_ts").select(
+        "url", "warc_ts", "lang",
+        _r6("feat_spark").alias("feat_spark"),
+        _r6("feat_nonspark").alias("feat_nonspark"),
+        _r6("feat_srca").alias("feat_srca"),
+        F.size(F.split("text", " ")).cast("long").alias("word_count"),
+    )
+
+
+def q_tokens_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: caller-supplied tokenization override — pre-tokenized column fed
+    to the UDF engine must equal internal tokenization on this corpus."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pages = build_pages(spark, sf_dir, with_html=False).withColumn(
+        "toks", F.split(F.lower("text"), " ")
+    )
+    sent = compute_sentiment_udf(pages, _no_valence(), "counts", mode="unigram", tokens_col="toks")
+    return _fmt_ts(sent, "warc_ts").select(
+        "url", "warc_ts", "lang",
+        F.col("word_count").cast("long").alias("word_count"),
+        "lexicon", "feature", _r6("score").alias("score"),
+    )
+
+
+_WIDE_TWS = ("almon1", "almon1_inv", "almon2", "almon2_inv")
+
+
+def q_measures_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9: long -> wide pivot with the reference's '--'-mangled names."""
+    from sentometrics_spark.measures import subset_measures, to_wide
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    sub = subset_measures(
+        _measures_base(spark, sf_dir),
+        select={"lexicon": ["LEXA"], "feature": ["feat_spark"]},
+    )
+    wide = to_wide(sub)
+    cols = [f"LEXA--feat_spark--{tw}" for tw in _WIDE_TWS]
+    return _fmt_ts(wide, "bucket_ts").select(
+        "bucket_ts", *[_r6(F.col(f"`{c}`")).alias(c) for c in cols]
+    )
+
+
+def q_measures_introspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10/M11: panel introspection — nmeasures/nobs/dimension counts/date
+    span recomputed from the long panel."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    m = _measures_base(spark, sf_dir)
+    return m.agg(
+        F.countDistinct("lexicon", "feature", "timeweight").cast("long").alias("nmeasures"),
+        F.countDistinct("bucket_ts").cast("long").alias("nobs"),
+        F.countDistinct("lexicon").cast("long").alias("n_lexicons"),
+        F.countDistinct("feature").cast("long").alias("n_features"),
+        F.countDistinct("timeweight").cast("long").alias("n_time"),
+        F.date_format(F.min("bucket_ts"), TSFMT_SPARK).alias("first_bucket"),
+        F.date_format(F.max("bucket_ts"), TSFMT_SPARK).alias("last_bucket"),
+        F.count("*").cast("long").alias("n_points"),
+    )
+
+
+def q_as_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: coerce an external score table into the sentiment contract —
+    missing feature column gets dummyFeature, score cast to double."""
+    from sentometrics_spark.measures import as_sentiment
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw = docs.select(
+        F.expr(URL_SQL).alias("url"),
+        F.expr(WARC_TS_SQL_SPARK).alias("warc_ts"),
+        F.size(F.split("text", " ")).cast("long").alias("word_count"),
+        F.lit("LEXX").alias("lexicon"),
+        ((F.col("doc_id") % 7) - 3).cast("int").alias("score"),
+    )
+    out = as_sentiment(raw)
+    return _fmt_ts(out, "warc_ts").select(
+        "url", "warc_ts", "word_count", "lexicon", "feature", _r6("score").alias("score")
+    )
+
+
+def q_agg_day_inv_exponential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _agg_docs_query("inverseExponential", "day")(spark, sf_dir)
+
+
+def q_tier_day_from_hour_exp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential doc-weighting tier composability: day tier composed from
+    hour-tier AFFINE partials must equal direct day aggregation (oracle)."""
+    from sentometrics_spark.aggregate.tiers import base_tier_exponential, rollup_exponential
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pages = build_pages(spark, sf_dir, with_html=False)
+    sent = compute_sentiment_algebraic(pages, _no_valence(), "proportional")
+    hour = base_tier_exponential(sent, by="hour", alpha=0.1)
+    day = rollup_exponential(hour, "day", alpha=0.1)
+    return _fmt_ts(day, "bucket_ts").select(
+        "bucket_ts", "lexicon", "feature", _r6("value").alias("value")
+    )
+
+
+# ---------------------------------------------------------------------------
 # non-SQL-expressible operators (driver records rows-only checks — no oracle)
 # ---------------------------------------------------------------------------
 
@@ -921,6 +1118,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # generic time-series fill on events
         "events_locf": q_events_locf,
         "events_sessionize": q_events_sessionize,
+        # driver-gate closers (S3/S5/S6, T3, O1, O3, M1/M2, M8, M9, M10/M11,
+        # K7, A3-inverseExponential, exponential tier composability)
+        "measures_subset_select": q_measures_subset,
+        "measures_stats": q_measures_stats,
+        "merge_sentiment_split": q_merge_sentiment,
+        "measures_update_full": q_measures_update,
+        "add_features_count": q_add_features_count,
+        "read_corpus_roundtrip": q_read_corpus_roundtrip,
+        "sent_tokens_passthrough": q_tokens_passthrough,
+        "measures_wide_pivot": q_measures_wide,
+        "measures_introspect": q_measures_introspect,
+        "as_sentiment_coerce": q_as_sentiment,
+        "agg_day_inv_exponential": q_agg_day_inv_exponential,
+        "tier_day_from_hour_exp": q_tier_day_from_hour_exp,
         # non-SQL-expressible (rows-only driver check; pandas-oracle pytest'd)
         "sent_cluster_counts": q_sent_cluster,
         "minhash_lsh_candidates": q_minhash_candidates,
@@ -984,6 +1195,72 @@ SELECT {ts}, {r6('m')} AS m FROM top""",
     }
 
 
+def _gate_oracles() -> dict[str, str]:
+    """Oracles for the driver-gate closer queries."""
+    base = measures_cte("day", 7, _kernels_for(_ALMON2, 7), "zero", "equal_weight")
+    r6 = lambda e: f"floor(({e}) * 1000000 + 0.5 + 1e-9) / 1000000.0"
+    ts = f"strftime(bucket_ts, '{TSFMT_DUCK}') AS bucket_ts"
+    wide_cols = ",\n       ".join(
+        f"{r6(f'''MAX(CASE WHEN timeweight = '{tw}' THEN value END)''')} AS \"LEXA--feat_spark--{tw}\""
+        for tw in _WIDE_TWS
+    )
+    return {
+        "measures_subset_select": base
+        + f"""
+SELECT {ts}, lexicon, feature, timeweight, {r6('value')} AS value
+FROM rolled
+WHERE value > 0.0123456789 AND lexicon = 'LEXA' AND feature <> 'feat_srca'""",
+        "measures_stats": base
+        + f"""
+SELECT lexicon, feature, timeweight,
+       {r6('AVG(value)')} AS mean, {r6('stddev_samp(value)')} AS sd,
+       {r6('MAX(value)')} AS max, {r6('MIN(value)')} AS min
+FROM rolled GROUP BY 1, 2, 3""",
+        # disjoint sub-corpora merge == whole-corpus scoring (doc-local how)
+        "merge_sentiment_split": sentiment_cte("counts") + _SENT_FINAL,
+        # incremental update == full recompute
+        "measures_update_full": measures_sql("day", 7, _kernels_for(_ALMON2, 7), "zero"),
+        "add_features_count": "WITH "
+        + PAGES_CTE
+        + "\nSELECT url, "
+        + r6(r"len(regexp_extract_all(text, '\bdata\b')) / greatest(CAST(word_count AS DOUBLE), 1.0)")
+        + " AS feat_data\nFROM pages",
+        "read_corpus_roundtrip": SQL_CORPUS_PAGES,
+        "sent_tokens_passthrough": sentiment_cte("counts") + _SENT_FINAL,
+        "measures_wide_pivot": base
+        + f"""
+SELECT {ts},
+       {wide_cols}
+FROM rolled WHERE lexicon = 'LEXA' AND feature = 'feat_spark' GROUP BY bucket_ts""",
+        "measures_introspect": base
+        + f"""
+SELECT CAST(count(DISTINCT lexicon || '--' || feature || '--' || timeweight) AS BIGINT) AS nmeasures,
+       CAST(count(DISTINCT bucket_ts) AS BIGINT) AS nobs,
+       CAST(count(DISTINCT lexicon) AS BIGINT) AS n_lexicons,
+       CAST(count(DISTINCT feature) AS BIGINT) AS n_features,
+       CAST(count(DISTINCT timeweight) AS BIGINT) AS n_time,
+       strftime(MIN(bucket_ts), '{TSFMT_DUCK}') AS first_bucket,
+       strftime(MAX(bucket_ts), '{TSFMT_DUCK}') AS last_bucket,
+       CAST(count(*) AS BIGINT) AS n_points
+FROM rolled""",
+        "as_sentiment_coerce": f"""WITH raw AS (
+  SELECT {URL_SQL_DUCKDB} AS url,
+         TIMESTAMP '{TS_BASE}' + (doc_id % {TS_DAYS_MOD}) * INTERVAL 1 DAY
+           + ((doc_id * {TS_MIN_MULT}) % {TS_MIN_MOD}) * INTERVAL 1 MINUTE AS warc_ts,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS word_count,
+         'LEXX' AS lexicon,
+         CAST((doc_id % 7) - 3 AS DOUBLE) AS score
+  FROM documents
+)
+SELECT url, strftime(warc_ts, '{TSFMT_DUCK}') AS warc_ts, word_count, lexicon,
+       'dummyFeature' AS feature, {r6('score')} AS score
+FROM raw""",
+        "agg_day_inv_exponential": agg_docs_sql("inverseExponential", "day"),
+        # exponential tier composability: oracle aggregates docs directly at day
+        "tier_day_from_hour_exp": agg_docs_sql("exponential", "day"),
+    }
+
+
 SQL_PEAKDOCS = (
     sentiment_cte("counts")
     + """,
@@ -998,6 +1275,7 @@ def oracle_sql() -> dict[str, str]:
         # tier composability: the oracle aggregates documents directly at day
         "tier_day_from_hour": agg_docs_sql("proportional", "day"),
         **_panel_oracles(),
+        **_gate_oracles(),
         "peakdocs_top10": SQL_PEAKDOCS,
         "sent_split_pos_neg": sql_sent_split(),
         # single-sentence fixture corpus: sentence path == doc-level counts

@@ -77,3 +77,39 @@ def test_tier_store_roundtrip_and_retention(spark, sent, tmp_path):
     assert kept.count() == n_kept
     mn, mx = kept.agg(F.min("bucket_ts"), F.max("bucket_ts")).collect()[0]
     assert (mx - mn).total_seconds() <= 24 * 3600
+
+
+@pytest.mark.parametrize("tier", ["day", "week", "month"])
+@pytest.mark.parametrize("ignore_zeros", [True, False])
+def test_exponential_tier_composability(sent, tier, ignore_zeros):
+    """The bucket-relative exponential scheme composes exactly from the
+    affine partials (s_sum, wcs_sum, wc_in, n_in, bucket_wc)."""
+    from sentometrics_spark.aggregate.tiers import base_tier_exponential, rollup_exponential
+
+    hour = base_tier_exponential(sent, by="hour", alpha=0.1, do_ignore_zeros=ignore_zeros)
+    lower = hour
+    for t in ["day", "week", "month"]:
+        if t == "week" and tier == "month":
+            continue  # week does not nest in month: chain hour->day->month
+        lower = rollup_exponential(lower, t, alpha=0.1)
+        if t == tier:
+            break
+    direct = aggregate_docs(
+        sent, by=tier, how="exponential", do_ignore_zeros=ignore_zeros,
+        alpha=0.1, keep_partials=False,
+    )
+    got = lower.select(*KEY, "value").toPandas().sort_values(KEY).reset_index(drop=True)
+    exp = direct.select(*KEY, "value").toPandas().sort_values(KEY).reset_index(drop=True)
+    assert len(got) == len(exp)
+    np.testing.assert_allclose(got["value"].to_numpy(), exp["value"].to_numpy(), atol=1e-9, rtol=1e-7)
+
+
+def test_inverse_exponential_equals_exponential(sent):
+    """Negating every weight numerator cancels in the normalized ratio —
+    the reference's exponential and inverseExponential doc schemes produce
+    the same weighted mean (formulas /root/reference/R/sentomeasures_main.R:553-576)."""
+    a = aggregate_docs(sent, by="day", how="exponential", keep_partials=False)
+    b = aggregate_docs(sent, by="day", how="inverseExponential", keep_partials=False)
+    ga = a.select(*KEY, "value").toPandas().sort_values(KEY).reset_index(drop=True)
+    gb = b.select(*KEY, "value").toPandas().sort_values(KEY).reset_index(drop=True)
+    np.testing.assert_allclose(ga["value"].to_numpy(), gb["value"].to_numpy(), atol=1e-9)

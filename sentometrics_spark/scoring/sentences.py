@@ -29,14 +29,16 @@ from pyspark.sql import DataFrame
 
 from sentometrics_spark.corpus import check_language_coverage, feature_columns
 from sentometrics_spark.lexicons import Lexicons
+from sentometrics_spark.scoring.tokenize import (
+    split_sentence_strings,
+    tokenize_sentences,
+    tokenize_to_lists,
+)
 from sentometrics_spark.scoring.udf_engine import (
     _POSITIONAL,
     _positional_weights,
     score_language_batch,
 )
-
-_SENT_SPLIT = re.compile(r"(?<=[.!?])\s+")
-_WORD_RE = re.compile(r"[a-z_']+")  # keeps the c_c marker token
 
 SENT_OUT_SCHEMA = (
     "url string, sentence_id int, warc_ts timestamp, lang string, word_count int, "
@@ -45,14 +47,36 @@ SENT_OUT_SCHEMA = (
 
 
 def split_sentences(text: str) -> list[list[str]]:
-    """T2: sentence split -> per-sentence word tokens with ', ' replaced by
-    the c_c marker; empty sentences dropped."""
-    out = []
-    for sn in _SENT_SPLIT.split(text):
-        toks = _WORD_RE.findall(sn.replace(", ", " c_c ").lower())
-        if toks:
-            out.append(toks)
-    return out
+    """T2: UAX-29 sentence split -> per-sentence word tokens with ', '
+    replaced by the c_c marker; empty sentences dropped (rules in
+    scoring/tokenize.py)."""
+    return tokenize_sentences(text)
+
+
+def _batch_sentences(texts) -> tuple[list[int], list[int], list[list[str]]]:
+    """Batch T2 over a group of texts: ONE Arrow tokenize call for every
+    sentence in the batch. Returns (doc_of_sent, sent_id, token lists) with
+    empty sentences dropped and sentence ids assigned after dropping, as
+    the reference does (wo[sapply(wo, length) != 0])."""
+    doc_of: list[int] = []
+    raw: list[str] = []
+    for d, text in enumerate(texts):
+        for s in split_sentence_strings(text):
+            doc_of.append(d)
+            raw.append(s.replace(", ", " c_c "))
+    toks = tokenize_to_lists(raw)
+    docs_out: list[int] = []
+    ids: list[int] = []
+    kept: list[list[str]] = []
+    counter: dict[int, int] = {}
+    for d, t in zip(doc_of, toks):
+        if not t:
+            continue
+        counter[d] = counter.get(d, 0) + 1
+        docs_out.append(d)
+        ids.append(counter[d])
+        kept.append(t)
+    return docs_out, ids, kept
 
 
 def _sentence_cluster_scores(tokens: list[str], pack, how: str, tfidf) -> np.ndarray:
@@ -155,13 +179,13 @@ def sentence_tfidf_stats(pages: DataFrame, lexicons: Lexicons) -> dict[str, tupl
             langs, tokens = [], []
             for lang, grp in pdf.groupby("lang", sort=False):
                 words = lex_words.get(lang, set())
-                for text in grp["text"]:
-                    for s in split_sentences(text):
+                _docs, _ids, sents = _batch_sentences(grp["text"])
+                for s in sents:
+                    langs.append(lang)
+                    tokens.append("")  # sentence-count marker
+                    for t in set(s) & words:
                         langs.append(lang)
-                        tokens.append("")  # sentence-count marker
-                        for t in set(s) & words:
-                            langs.append(lang)
-                            tokens.append(t)
+                        tokens.append(t)
             if langs:
                 yield pd.DataFrame({"lang": langs, "token": tokens})
 
@@ -224,16 +248,9 @@ def compute_sentiment_sentences_udf(
                 pack = packs_b[lang]
                 tf = tfidf_b.get(lang) if tfidf_b else None
                 nL = len(pack.lexicon_names)
-                # flatten the whole group to sentence level, score once
-                sentences: list[list[str]] = []
-                doc_of_sent: list[int] = []
-                sent_id: list[int] = []
-                for d, text in enumerate(grp["text"]):
-                    sns = split_sentences(text)
-                    for i, s in enumerate(sns):
-                        sentences.append(s)
-                        doc_of_sent.append(d)
-                        sent_id.append(i + 1)
+                # flatten the whole group to sentence level (one Arrow
+                # tokenize for the entire group), score once
+                doc_of_sent, sent_id, sentences = _batch_sentences(grp["text"])
                 if not sentences:
                     continue
                 if mode == "cluster":

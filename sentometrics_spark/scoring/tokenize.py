@@ -1,0 +1,168 @@
+"""UAX-29 word/sentence segmentation, vectorized.
+
+The reference tokenizes with ICU boundary rules
+(stri_split_boundaries(type="word", skip_word_none=TRUE,
+skip_word_number=TRUE) and type="sentence",
+/root/reference/R/sentiment_engines.R:13-30). This module reproduces those
+semantics without ICU, as a chain of RE2 passes over Arrow buffers — no
+Python string objects are materialized for corpus tokens, so the hot
+scoring path stays C-side.
+
+Approach (word breaks). UAX-29 keeps a *mid* character inside a word only
+when flanked by the right kinds of word characters:
+
+  MidLetter       : U+00B7 (·)      — letters on both sides        (WB6/7)
+  MidNumLetQ  . ' U+2019 (’)        — letters both sides or digits
+                                      both sides                   (WB6/7, WB11/12)
+  MidNum      , ;                   — digits on both sides         (WB11/12)
+  ExtendNumLet _                    — joins letters/digits freely  (WB13a/b)
+
+plus WB5/8/9/10 (letters and digits chain) and WB4 (combining marks attach
+— \\p{M} is treated as a word character). Instead of pairwise scanning, we
+*space out every mid character whose context does not license it*, then
+split once on the complement of the word-character class. Each pass is a
+single RE2 global replace; runs of >= 2 mids are never word-internal
+(WB999) and are removed first, which makes the remaining single-mid
+contexts non-overlapping, so one pass per rule suffices.
+
+Skips: ICU's skip_word_none drops tokens with no letter/digit, and
+skip_word_number drops all-digit tokens — together: keep exactly the
+tokens containing at least one letter (\\p{L}).
+
+Documented divergences from ICU (all irrelevant to the lexicon path):
+  - no dictionary segmentation for CJK/Thai (an ideograph run is one token;
+    ICU splits per dictionary);
+  - Katakana chaining, regional-indicator pairs and emoji ZWJ sequences
+    are not special-cased (such tokens carry no lexicon words);
+  - Hebrew-letter single/double-quote rules (WB7a-c) are folded into the
+    general letter rules.
+
+Sentence breaks follow UAX-29 SB-lite: break after [.!?] + closing
+quotes/brackets + whitespace, EXCEPT a full stop followed by a lowercase
+character (SB8: ATerm Close* Sp* x Lower -> no break). The reference's
+", " -> " c_c " comma-marker rewrite happens at tokenize time, as in
+tokenize_texts (/root/reference/R/sentiment_engines.R:18-27); "c_c"
+survives word segmentation as one token via the ExtendNumLet join.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+# mid characters that can be word-internal under some context
+MID_ALL = ".:'·’,;"
+_W = r"\p{L}\p{M}\p{N}_"  # word characters (marks attach per WB4)
+
+# WB4 edge: a combining mark attaches to the PRECEDING character, whatever
+# it is — a mark at string start or after a separator therefore never joins
+# the following letter. Detach such orphan marks (run before the mid passes,
+# and again after, since a killed mid can orphan the mark behind it).
+_ORPHAN_MARKS = (f"(^|[^{_W}{re.escape(MID_ALL)}])\\p{{M}}+", r"\1 ")
+
+# (pattern, replacement) RE2 passes: delete every mid whose context does
+# not license it (replacement keeps the flanking characters). \p{M}* makes
+# every check mark-transparent (a mark attaches to the char before it, so
+# the effective flank of a mid is the next non-mark char; a deleted mid
+# takes its attached marks with it).
+_MID = f"[{MID_ALL}]"
+_PASSES: tuple[tuple[str, str], ...] = (
+    _ORPHAN_MARKS,
+    # WB999: runs of mids (possibly mark-separated) are never word-internal
+    (f"{_MID}(\\p{{M}}*{_MID})+", " "),
+    # any mid needs a word character on BOTH sides (WB6/7/11/12 all do)
+    (f"(^|[^{_W}]){_MID}\\p{{M}}*", r"\1 "),
+    (f"{_MID}\\p{{M}}*($|[^{_W}])", r" \1"),
+    # MidLetter (: ·) licenses letters only — kill against digits/_
+    (r"([\p{N}_]\p{M}*)[:·]\p{M}*", r"\1 "),
+    (r"[:·]\p{M}*([\p{N}_])", r" \1"),
+    # MidNum (, ;) licenses digits only — kill against letters/_
+    (r"([\p{L}_]\p{M}*)[,;]\p{M}*", r"\1 "),
+    (r"[,;]\p{M}*([\p{L}_])", r" \1"),
+    # MidNumLetQ (. ' ’) licenses same-kind letter/digit sides — kill mixed
+    # pairs and any _ flank (ExtendNumLet never licenses a mid)
+    (r"(\p{N}\p{M}*)['’.]\p{M}*(\p{L})", r"\1 \2"),
+    (r"(\p{L}\p{M}*)['’.]\p{M}*(\p{N})", r"\1 \2"),
+    (r"(_\p{M}*)['’.]\p{M}*", r"\1 "),
+    (r"['’.]\p{M}*(_)", r" \1"),
+    _ORPHAN_MARKS,
+)
+
+SPLIT_PATTERN = f"[^{_W}{re.escape('.')}:'·’,;]+"
+HAS_LETTER = r"\p{L}"
+
+# passes are needed only when a batch contains a mid char or a combining
+# mark; plain [a-z0-9 ]-ish text takes the single-split fast path
+_ANY_MID = f"[{MID_ALL}]|\\p{{M}}"
+
+
+def tokenize_arrow(arr):
+    """texts (pa.Array of string) -> pa.ListArray of lowercase word tokens.
+    Tokens with no letter (pure numbers / leftovers) are NOT yet filtered —
+    the flat consumers filter with HAS_LETTER so document offsets stay
+    vectorized. Entirely C-side (utf8_lower + RE2 replaces + one split)."""
+    import pyarrow.compute as pc
+
+    low = pc.utf8_lower(arr)
+    # fast path: a batch with no mid characters anywhere needs no passes
+    any_mid = pc.any(pc.match_substring_regex(low, _ANY_MID)).as_py()
+    if any_mid:
+        for pat, rep in _PASSES:
+            low = pc.replace_substring_regex(low, pattern=pat, replacement=rep)
+    return pc.split_pattern_regex(low, pattern=SPLIT_PATTERN)
+
+
+def _has_letter(tok: str) -> bool:
+    # exact \p{L} (category L*), matching the RE2 flat filter bit-for-bit
+    import unicodedata
+
+    return any(unicodedata.category(c).startswith("L") for c in tok)
+
+
+def tokenize_to_lists(texts: pd.Series | list[str]) -> list[list[str]]:
+    """Arrow tokenizer -> Python lists, with the has-letter skip applied.
+    Used by the sentence engine (which needs per-sentence Python loops
+    anyway) and by tests."""
+    import pyarrow as pa
+
+    if not isinstance(texts, pd.Series):
+        texts = pd.Series(list(texts), dtype=object)
+    if len(texts) == 0:
+        return []
+    toks = tokenize_arrow(pa.Array.from_pandas(texts.astype(str)))
+    return [[t for t in doc if t and _has_letter(t)] for doc in toks.to_pylist()]
+
+
+# --------------------------------------------------------------------------
+# sentence segmentation (UAX-29 SB-lite)
+# --------------------------------------------------------------------------
+
+_SENT_CAND = re.compile(r"[.!?…]+[\"'’”)\]]*\s+")
+
+
+def split_sentence_strings(text: str) -> list[str]:
+    """Sentence segments. Break after a terminal ([.!?…] + closers + space)
+    unless the terminal run is a single full stop followed by a lowercase
+    character (SB8); '!'/'?' (STerm) always break."""
+    out: list[str] = []
+    start = 0
+    for m in _SENT_CAND.finditer(text):
+        nxt = text[m.end() : m.end() + 1]
+        terminal = text[m.start()]
+        if terminal == "." and nxt.islower():
+            continue
+        out.append(text[start : m.end()])
+        start = m.end()
+    tail = text[start:]
+    if tail:
+        out.append(tail)
+    return out
+
+
+def tokenize_sentences(text: str) -> list[list[str]]:
+    """T2 contract: sentence split -> per-sentence word tokens with ', '
+    replaced by the c_c marker; empty sentences dropped
+    (tokenize_texts(type='sentence'), /root/reference/R/sentiment_engines.R:18-27)."""
+    sents = [s.replace(", ", " c_c ") for s in split_sentence_strings(text)]
+    return [t for t in tokenize_to_lists(sents) if t]

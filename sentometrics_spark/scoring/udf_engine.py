@@ -33,8 +33,6 @@ from pyspark.sql import functions as F
 from sentometrics_spark.corpus import check_language_coverage, feature_columns
 from sentometrics_spark.lexicons import Lexicons
 
-_WORD_RE = re.compile(r"[a-z']+")
-
 OUT_SCHEMA = (
     "url string, warc_ts timestamp, lang string, word_count int, "
     "lexicon string, feature string, score double"
@@ -42,11 +40,13 @@ OUT_SCHEMA = (
 
 
 def tokenize_series(texts: pd.Series) -> pd.Series:
-    """T1: lowercase -> word tokens, punctuation-only and number tokens
-    skipped (tokenize_texts, /root/reference/R/sentiment_engines.R:13-17).
-    On the closed fixture vocabulary ([a-z ]+ texts) this is provably
-    identical to the ICU word-boundary split."""
-    return texts.str.lower().str.findall(_WORD_RE)
+    """T1: lowercase -> UAX-29 word tokens, punctuation-only and number
+    tokens skipped (tokenize_texts with skip_word_none/skip_word_number,
+    /root/reference/R/sentiment_engines.R:13-17; rules in
+    scoring/tokenize.py)."""
+    from sentometrics_spark.scoring.tokenize import tokenize_to_lists
+
+    return pd.Series(tokenize_to_lists(texts), index=texts.index)
 
 
 def _positional_weights(how: str, pos: np.ndarray, n: np.ndarray) -> np.ndarray:
@@ -82,16 +82,19 @@ def flat_from_texts(texts: pd.Series, pack) -> tuple:
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    from sentometrics_spark.scoring.tokenize import HAS_LETTER, tokenize_arrow
+
     n_docs = len(texts)
     arr = pa.Array.from_pandas(texts)
-    toks = pc.split_pattern_regex(pc.utf8_lower(arr), pattern="[^a-z']+")
+    toks = tokenize_arrow(arr)
     flat = pc.list_flatten(toks)
     lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
     doc_idx = np.repeat(np.arange(n_docs), lens)
-    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-    if not nonempty.all():
-        flat = flat.filter(pa.array(nonempty))
-        doc_idx = doc_idx[nonempty]
+    # skip_word_none + skip_word_number: keep tokens containing a letter
+    keep = pc.match_substring_regex(flat, HAS_LETTER).to_numpy(zero_copy_only=False)
+    if not keep.all():
+        flat = flat.filter(pa.array(keep))
+        doc_idx = doc_idx[keep]
         lens = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
     offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
     pos_in_doc = np.arange(len(doc_idx)) - offsets[doc_idx]

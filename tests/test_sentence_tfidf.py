@@ -16,7 +16,7 @@ def test_sentence_tfidf_hand_computed(spark):
     lex = Lexicons(lex={"en": {"L": {"fast": 1.0, "slow": -2.0}}})
     pages = spark.createDataFrame(
         [
-            ("u0", "2024-01-01 00:00:00", "fast cars. slow fast roads.", "en", 1.0),
+            ("u0", "2024-01-01 00:00:00", "Fast cars. Slow fast roads.", "en", 1.0),
             ("u1", "2024-01-01 01:00:00", "slow day here.", "en", 1.0),
         ],
         "url string, warc_ts string, text string, lang string, feat_all double",

@@ -108,7 +108,7 @@ def test_sentence_udf_end_to_end(spark):
 
 def test_aggregate_sentences_rollup(spark):
     lex = Lexicons(lex={"en": {"L": {"fast": 1.0, "slow": -2.0}}})
-    pages = _mini_pages(spark, ["fast one. slow two here. neutral words."])
+    pages = _mini_pages(spark, ["Fast one. Slow two here. Neutral words."])
     sent = compute_sentiment_sentences_udf(pages, lex, "counts")
     # equal_weight + ignoreZeros: zero-score sentence 3 excluded
     doc = aggregate_sentences(sent, how="equal_weight", do_ignore_zeros=True).toPandas()
@@ -127,7 +127,7 @@ def test_sentence_bigram_mode(spark):
         lex={"en": {"L": {"fast": 1.0}}},
         valence={"en": {"a": (-1.0, 1), "the": (2.0, 2)}},
     )
-    pages = _mini_pages(spark, ["the fast one. a fast two."])
+    pages = _mini_pages(spark, ["The fast one. A fast two."])
     out = compute_sentiment_sentences_udf(pages, lex, "counts", valence_use="y").toPandas()
     s = out.sort_values("sentence_id")["score"].tolist()
     assert s[0] == pytest.approx(2.0)  # 'the fast' -> y=2.0

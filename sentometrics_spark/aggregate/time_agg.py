@@ -41,8 +41,16 @@ def measures_fill(
     date_before: str | None = None,
     date_after: str | None = None,
     series_keys: list[str] | None = None,
+    keep_source: bool = False,
 ) -> DataFrame:
-    """K5: left-join measures onto a continuous bucket spine per series."""
+    """K5: left-join measures onto a continuous bucket spine per series.
+
+    keep_source adds a ``src_ts`` column: the OBSERVED bucket whose value a
+    filled row carries (itself for observed rows; the LOCF source under
+    fill='latest'; null for zero-filled gaps). Per-document attribution
+    needs it to route a carried value back to the documents that produced
+    it (the reference's fill='latest' lag reconstruction,
+    /root/reference/R/attribution.R:49-68)."""
     if fill == "none":
         return measures
     if fill not in ("zero", "latest"):
@@ -68,15 +76,20 @@ def measures_fill(
     grid = spine.crossJoin(F.broadcast(dims))
 
     filled = grid.join(measures, ["bucket_ts", *keys], "left")
+    src = F.when(F.col("value").isNotNull(), F.col("bucket_ts"))
     if fill == "zero":
-        return filled.withColumn("value", F.coalesce("value", F.lit(0.0)))
+        out = filled.withColumn("value", F.coalesce("value", F.lit(0.0)))
+        return out.withColumn("src_ts", src) if keep_source else out
     # latest: last-observation-carried-forward per series
     w = (
         Window.partitionBy(*keys)
         .orderBy("bucket_ts")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = filled.withColumn("value", F.last("value", ignorenulls=True).over(w))
+    out = filled
+    if keep_source:
+        out = out.withColumn("src_ts", F.last(src, ignorenulls=True).over(w))
+    out = out.withColumn("value", F.last("value", ignorenulls=True).over(w))
     if date_before is not None:
         # reference back-fills the stretched head with the first observed row
         # (/root/reference/R/sentomeasures_measures_xyz.R:70)
@@ -85,6 +98,11 @@ def measures_fill(
             .orderBy("bucket_ts")
             .rowsBetween(0, Window.unboundedFollowing)
         )
+        if keep_source:
+            out = out.withColumn(
+                "src_ts",
+                F.coalesce("src_ts", F.first("src_ts", ignorenulls=True).over(wf)),
+            )
         out = out.withColumn(
             "value", F.coalesce("value", F.first("value", ignorenulls=True).over(wf))
         )

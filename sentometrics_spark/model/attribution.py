@@ -106,7 +106,16 @@ def attributions_docs(
     from sentometrics_spark.aggregate.doc_agg import bucket_col
 
     spark = sentiment.sparkSession
-    idx = _indexed(filled_docagg).select(*MEASURE_KEYS, "bucket_ts", "rn")
+    # with a src_ts column (measures_fill(keep_source=True)), a LOCF-filled
+    # slot routes back to the OBSERVED bucket whose documents produced its
+    # carried value (fill='latest' reconstruction,
+    # /root/reference/R/attribution.R:49-68); each document then feeds every
+    # prediction its bucket's value reaches, directly or carried.
+    has_src = "src_ts" in filled_docagg.columns
+    doc_join_ts = F.col("src_ts") if has_src else F.col("bucket_ts")
+    idx = _indexed(filled_docagg).select(
+        *MEASURE_KEYS, doc_join_ts.alias("bucket_ts"), "rn"
+    )
     kdf = kernel_df(spark, kernels, lag)
     s = sentiment.withColumn("bucket_ts", bucket_col(F.col("warc_ts"), by))
     docpart = (

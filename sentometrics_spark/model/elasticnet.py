@@ -17,7 +17,9 @@ import pandas as pd
 
 @dataclass(frozen=True)
 class ModelCtr:
-    """R1: model-control validation (ctr_model, /root/reference/R/sentomodel.R:86-178)."""
+    """R1: model-control validation (ctr_model, /root/reference/R/sentomodel.R:86-178).
+    Families: gaussian | binomial (y in {0,1}) | multinomial (y categorical,
+    fit one-vs-rest as the glmnet-multinomial stand-in)."""
 
     model: str = "gaussian"
     calibration: str = "BIC"  # BIC | AIC | Cp | cv
@@ -29,7 +31,7 @@ class ModelCtr:
     cv_test: int = 5
 
     def __post_init__(self) -> None:
-        if self.model not in ("gaussian",):
+        if self.model not in ("gaussian", "binomial", "multinomial"):
             raise ValueError(f"unsupported model family: {self.model}")
         if self.calibration not in ("BIC", "AIC", "Cp", "cv"):
             raise ValueError(f"unknown calibration: {self.calibration}")
@@ -107,6 +109,63 @@ def elastic_net_cd(
     return coefs, intercept
 
 
+def logistic_enet_cd(
+    X: np.ndarray,
+    y: np.ndarray,
+    alpha: float,
+    lam: float,
+    tol: float = 1e-7,
+    max_outer: int = 50,
+    max_inner: int = 200,
+    warm: np.ndarray | None = None,
+) -> tuple[np.ndarray, float]:
+    """Binomial elastic net, glmnet-style: outer IRLS quadratic
+    approximation, inner weighted coordinate descent on standardized X
+    (/root/reference/R/sentomodel.R:86-178 accepts family='binomial' and
+    delegates to glmnet; this is the from-scratch equivalent)."""
+    n, p = X.shape
+    xm, xs = X.mean(0), X.std(0)
+    xs[xs == 0] = 1.0
+    Xs = (X - xm) / xs
+    b = np.zeros(p) if warm is None else warm.copy()
+    pbar = min(max(float(y.mean()), 1e-4), 1 - 1e-4)
+    b0 = float(np.log(pbar / (1 - pbar)))
+    for _ in range(max_outer):
+        eta = Xs @ b + b0
+        pv = 1.0 / (1.0 + np.exp(-np.clip(eta, -30, 30)))
+        pv = np.clip(pv, 1e-5, 1 - 1e-5)
+        w = pv * (1.0 - pv)
+        z = eta + (y - pv) / w
+        wn = w / n
+        col_den = (wn * Xs.T**2).sum(axis=1)  # sum w x_j^2 / n per column
+        r = z - Xs @ b - b0
+        for _ in range(max_inner):
+            delta = 0.0
+            for j in range(p):
+                bj = b[j]
+                zj = float((wn * Xs[:, j]) @ r) + col_den[j] * bj
+                bn = _soft(zj, lam * alpha) / (col_den[j] + lam * (1 - alpha))
+                if bn != bj:
+                    r += Xs[:, j] * (bj - bn)
+                    b[j] = bn
+                    delta = max(delta, abs(bn - bj))
+            b0_new = b0 + float((wn @ r) / wn.sum())
+            r += b0 - b0_new
+            b0 = b0_new
+            if delta < tol:
+                break
+        if float(np.abs(Xs @ b + b0 - eta).max()) < 1e-6:
+            break
+    coefs = b / xs
+    intercept = b0 - float(xm @ coefs)
+    return coefs, intercept
+
+
+def _binomial_deviance(y: np.ndarray, eta: np.ndarray) -> float:
+    pv = np.clip(1.0 / (1.0 + np.exp(-np.clip(eta, -30, 30))), 1e-12, 1 - 1e-12)
+    return float(-2.0 * (y * np.log(pv) + (1 - y) * np.log(1 - pv)).sum())
+
+
 def _lambda_path(X: np.ndarray, y: np.ndarray, alpha: float, n_lambdas: int) -> np.ndarray:
     n = len(y)
     Xs = (X - X.mean(0)) / np.where(X.std(0) == 0, 1.0, X.std(0))
@@ -169,41 +228,109 @@ class SentoModel:
     lam: float
     criterion: float
     ctr: ModelCtr
+    # multinomial: one-vs-rest per-class coefficient frame + intercepts
+    classes: list | None = None
+    coefs_multi: pd.DataFrame | None = None
+    intercepts_multi: np.ndarray | None = None
 
     def predict(self, X: pd.DataFrame) -> np.ndarray:
-        return X[self.coefs.index].to_numpy() @ self.coefs.to_numpy() + self.intercept
+        """gaussian: response; binomial: probability of class 1;
+        multinomial: predicted class label (argmax of OvR scores)."""
+        if self.ctr.model == "multinomial":
+            scores = X[self.coefs_multi.index].to_numpy() @ self.coefs_multi.to_numpy()
+            scores = scores + self.intercepts_multi
+            return np.asarray(self.classes)[scores.argmax(axis=1)]
+        eta = X[self.coefs.index].to_numpy() @ self.coefs.to_numpy() + self.intercept
+        if self.ctr.model == "binomial":
+            return 1.0 / (1.0 + np.exp(-np.clip(eta, -30, 30)))
+        return eta
+
+    def predict_class(self, X: pd.DataFrame) -> np.ndarray:
+        if self.ctr.model == "binomial":
+            return (self.predict(X) >= 0.5).astype(int)
+        if self.ctr.model == "multinomial":
+            return self.predict(X)
+        raise ValueError("predict_class requires a classification family")
+
+
+def _grid_fits(Xn: np.ndarray, yn: np.ndarray, ctr: ModelCtr, fit_fn):
+    """All (alpha, lambda) fits with df + RSS, glmnet-grid style
+    (/root/reference/R/sentomodel.R:420-437)."""
+    fits = []
+    for alpha in ctr.alphas:
+        lams = _lambda_path(Xn, yn, alpha, ctr.n_lambdas)
+        warm = None
+        for lam in lams:
+            coefs, b0 = fit_fn(Xn, yn, alpha, lam, warm=warm)
+            warm = coefs * np.where(Xn.std(0) == 0, 1.0, Xn.std(0))
+            eta = Xn @ coefs + b0
+            df = _df_enet(Xn, coefs, lam, alpha)
+            fits.append({"alpha": alpha, "lam": lam, "coefs": coefs, "b0": b0,
+                         "eta": eta, "df": df})
+    return fits
 
 
 def sento_model(y: pd.Series, X: pd.DataFrame, ctr: ModelCtr = ModelCtr()) -> SentoModel:
     """R4: calibrate (alpha, lambda) over the grid by IC or rolling CV,
     then fit the final elastic net (run_sento_model,
-    /root/reference/R/sentomodel.R:369-503)."""
+    /root/reference/R/sentomodel.R:369-503).
+
+    Gaussian IC sigma2 follows the reference's grid-based estimate: take
+    the grid point with MAXIMUM degrees of freedom (the least-regularized
+    fit) and set sigma2 = RSS_at_max_df / (n - min(n, df_max))
+    (extract_optim_params, /root/reference/R/sentomodel.R:440-458) — NOT
+    var(y), which can re-rank criteria near ties."""
+    if ctr.model == "multinomial":
+        return _sento_model_multinomial(y, X, ctr)
     y_al, X_al = align_variables(y, X, ctr.h, ctr.do_difference)
     X_al = clean_panel(X_al)
     Xn, yn = X_al.to_numpy(dtype=float), y_al.to_numpy(dtype=float)
     n = len(yn)
-    # sigma2 estimate from OLS-ish ridge fit
-    sigma2 = max(float(np.var(yn)), 1e-12)
+    binom = ctr.model == "binomial"
+    fit_fn = logistic_enet_cd if binom else elastic_net_cd
 
     best = None
-    for alpha in ctr.alphas:
-        lams = _lambda_path(Xn, yn, alpha, ctr.n_lambdas)
-        warm = None
-        for lam in lams:
-            coefs, b0 = elastic_net_cd(Xn, yn, alpha, lam, warm=warm)
-            warm = coefs * np.where(Xn.std(0) == 0, 1.0, Xn.std(0))
-            if ctr.calibration == "cv":
+    if ctr.calibration == "cv":
+        for alpha in ctr.alphas:
+            lams = _lambda_path(Xn, yn, alpha, ctr.n_lambdas)
+            warm = None
+            for lam in lams:
+                coefs, b0 = fit_fn(Xn, yn, alpha, lam, warm=warm)
+                warm = coefs * np.where(Xn.std(0) == 0, 1.0, Xn.std(0))
                 errs = []
                 for tr, te in create_cv_slices(n, ctr.cv_train, ctr.cv_test):
-                    c2, i2 = elastic_net_cd(Xn[tr], yn[tr], alpha, lam)
-                    errs.append(float(((yn[te] - (Xn[te] @ c2 + i2)) ** 2).mean()))
+                    c2, i2 = fit_fn(Xn[tr], yn[tr], alpha, lam)
+                    eta_te = Xn[te] @ c2 + i2
+                    if binom:
+                        # classification error, the caret 'Accuracy' metric
+                        pred = (eta_te >= 0).astype(float)
+                        errs.append(float((pred != yn[te]).mean()))
+                    else:
+                        errs.append(float(((yn[te] - eta_te) ** 2).mean()))
                 crit = float(np.mean(errs)) if errs else np.inf
-            else:
-                yhat = Xn @ coefs + b0
-                df = _df_enet(Xn, coefs, lam, alpha)
-                crit = _criterion(ctr.calibration, yn, yhat, df, sigma2)
-            if best is None or crit < best[0]:
-                best = (crit, alpha, lam, coefs, b0)
+                if best is None or crit < best[0]:
+                    best = (crit, alpha, lam, coefs, b0)
+    else:
+        fits = _grid_fits(Xn, yn, ctr, fit_fn)
+        if binom:
+            # deviance-based IC: dev + penalty * df
+            pen = {"BIC": np.log(n), "AIC": 2.0, "Cp": 2.0}[ctr.calibration]
+            for f in fits:
+                crit = _binomial_deviance(yn, f["eta"]) + pen * f["df"]
+                if best is None or crit < best[0]:
+                    best = (crit, f["alpha"], f["lam"], f["coefs"], f["b0"])
+        else:
+            fmax = max(fits, key=lambda f: f["df"])
+            rss_max = float(((yn - fmax["eta"]) ** 2).sum())
+            k = n - min(n, fmax["df"])
+            sigma2 = rss_max / k if k > 0 else np.nan
+            if not np.isfinite(sigma2) or sigma2 <= 0:
+                sigma2 = max(float(np.var(yn)), 1e-12)
+            for f in fits:
+                crit = _criterion(ctr.calibration, yn, Xn @ f["coefs"] + f["b0"],
+                                  f["df"], sigma2)
+                if best is None or crit < best[0]:
+                    best = (crit, f["alpha"], f["lam"], f["coefs"], f["b0"])
     crit, alpha, lam, coefs, b0 = best
     return SentoModel(
         coefs=pd.Series(coefs, index=X_al.columns),
@@ -215,9 +342,58 @@ def sento_model(y: pd.Series, X: pd.DataFrame, ctr: ModelCtr = ModelCtr()) -> Se
     )
 
 
-def model_performance(preds: pd.DataFrame) -> dict[str, float]:
-    """R6: out-of-sample metrics — RMSFE, MAD, MDA
-    (model_performance, /root/reference/R/sentomodel.R:598-632)."""
+def _sento_model_multinomial(y: pd.Series, X: pd.DataFrame, ctr: ModelCtr) -> SentoModel:
+    """Multinomial via one-vs-rest binomial fits sharing the (alpha, lambda)
+    selected on the pooled OvR deviance (the glmnet family='multinomial'
+    stand-in; /root/reference/R/sentomodel.R:86-178 accepts the family)."""
+    y_al, X_al = align_variables(y, X, ctr.h, ctr.do_difference)
+    X_al = clean_panel(X_al)
+    Xn = X_al.to_numpy(dtype=float)
+    classes = sorted(pd.unique(y_al))
+    n = len(y_al)
+    ys = {c: (y_al == c).to_numpy(dtype=float) for c in classes}
+
+    # calibrate on the pooled grid: sum of per-class deviances + penalty*df
+    pen = {"BIC": np.log(n), "AIC": 2.0, "Cp": 2.0, "cv": 2.0}[ctr.calibration]
+    best = None
+    ref = ys[classes[0]]
+    for alpha in ctr.alphas:
+        lams = _lambda_path(Xn, ref, alpha, ctr.n_lambdas)
+        for lam in lams:
+            tot, dftot = 0.0, 0.0
+            per_class = {}
+            for c in classes:
+                coefs, b0 = logistic_enet_cd(Xn, ys[c], alpha, lam)
+                tot += _binomial_deviance(ys[c], Xn @ coefs + b0)
+                dftot += _df_enet(Xn, coefs, lam, alpha)
+                per_class[c] = (coefs, b0)
+            crit = tot + pen * dftot
+            if best is None or crit < best[0]:
+                best = (crit, alpha, lam, per_class)
+    crit, alpha, lam, per_class = best
+    coef_df = pd.DataFrame(
+        {c: per_class[c][0] for c in classes}, index=X_al.columns
+    )
+    return SentoModel(
+        coefs=coef_df[classes[0]],
+        intercept=per_class[classes[0]][1],
+        alpha=alpha,
+        lam=lam,
+        criterion=crit,
+        ctr=ctr,
+        classes=classes,
+        coefs_multi=coef_df,
+        intercepts_multi=np.array([per_class[c][1] for c in classes]),
+    )
+
+
+def model_performance(preds: pd.DataFrame, family: str = "gaussian") -> dict[str, float]:
+    """R6: out-of-sample metrics (model_performance,
+    /root/reference/R/sentomodel.R:598-632). gaussian: RMSFE/MAD/MDA;
+    binomial/multinomial: accuracy in percent, like the reference."""
+    if family in ("binomial", "multinomial"):
+        acc = (preds["pred"] == preds["actual"]).astype(float)
+        return {"accuracy": float(acc.mean()) * 100.0}
     err = preds["pred"] - preds["actual"]
     out = {
         "RMSFE": float(np.sqrt((err**2).mean())),

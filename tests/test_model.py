@@ -13,6 +13,7 @@ from sentometrics_spark.model.elasticnet import (
     clean_panel,
     create_cv_slices,
     elastic_net_cd,
+    model_performance,
     sento_model,
     sento_model_iter,
 )
@@ -153,5 +154,143 @@ def test_attribution_reconciliation(spark, pages, lexicons):
         .toPandas()
         .set_index("pred_ts")["s"]
         .sort_index()
+    )
+    np.testing.assert_allclose(docs.to_numpy(), pred.to_numpy(), atol=1e-9)
+
+
+@pytest.mark.parametrize("calibration", ["BIC", "AIC", "Cp", "cv"])
+@pytest.mark.parametrize("family", ["gaussian", "binomial"])
+def test_family_calibration_grid(family, calibration):
+    """Grid over {gaussian, binomial} x {BIC, AIC, Cp, cv} recovering a
+    planted signal (mirrors /root/reference/tests/testthat/test_modeling.R:38-76)."""
+    rng = np.random.default_rng(11)
+    n, p = 120, 8
+    X = pd.DataFrame(rng.normal(size=(n, p)), columns=[f"x{j}" for j in range(p)])
+    eta = 2.5 * X["x0"] - 2.0 * X["x3"]
+    if family == "gaussian":
+        y = pd.Series(eta + 0.1 * rng.normal(size=n))
+    else:
+        y = pd.Series((eta + 0.5 * rng.normal(size=n) > 0).astype(float))
+    ctr = ModelCtr(model=family, calibration=calibration,
+                   alphas=(0.5, 1.0), n_lambdas=25, cv_train=60, cv_test=15)
+    m = sento_model(y, X, ctr)
+    # planted signals recovered with correct signs
+    assert m.coefs["x0"] > 0.1
+    assert m.coefs["x3"] < -0.1
+    if family == "binomial":
+        acc = (m.predict_class(X) == y.to_numpy()).mean()
+        assert acc > 0.85
+        perf = model_performance(
+            pd.DataFrame({"pred": m.predict_class(X), "actual": y}), family="binomial"
+        )
+        assert perf["accuracy"] > 85.0
+    else:
+        resid = y.to_numpy() - m.predict(X)
+        assert float(np.abs(resid).mean()) < 0.5
+
+
+def test_multinomial_ovr():
+    rng = np.random.default_rng(5)
+    n = 180
+    X = pd.DataFrame(rng.normal(size=(n, 5)), columns=[f"x{j}" for j in range(5)])
+    latent = np.stack([2.0 * X["x0"], 2.0 * X["x1"], 2.0 * X["x2"]], axis=1)
+    y = pd.Series(latent.argmax(axis=1))
+    ctr = ModelCtr(model="multinomial", calibration="BIC", alphas=(1.0,), n_lambdas=15)
+    m = sento_model(y, X, ctr)
+    assert m.classes == [0, 1, 2]
+    pred = m.predict(X)
+    assert (pred == y.to_numpy()).mean() > 0.8
+    perf = model_performance(pd.DataFrame({"pred": pred, "actual": y}), family="multinomial")
+    assert perf["accuracy"] > 80.0
+
+
+def test_ridge_based_sigma2_used():
+    """sigma2 comes from the max-df grid fit, not var(y): with a strong
+    signal, var(y) >> RSS/(n-df), and BIC with the ridge-based sigma2 must
+    still pick a sparse, sign-correct model."""
+    rng = np.random.default_rng(3)
+    n, p = 100, 10
+    X = pd.DataFrame(rng.normal(size=(n, p)), columns=[f"x{j}" for j in range(p)])
+    y = pd.Series(5.0 * X["x0"] + 0.05 * rng.normal(size=n))
+    m = sento_model(y, X, ModelCtr(calibration="BIC", alphas=(1.0,), n_lambdas=40))
+    active = (m.coefs.abs() > 1e-8).sum()
+    assert m.coefs["x0"] > 4.5
+    assert active <= 3  # noise columns shrunk away
+
+def test_rejects_unknown_family():
+    with pytest.raises(ValueError, match="family"):
+        ModelCtr(model="poisson")
+
+
+def test_attribution_reconciliation_latest_fill_gappy(spark):
+    """fill='latest' on a gappy panel: all four roll-ups must still equal
+    pred - intercept; carried values route back to their source documents
+    (/root/reference/R/attribution.R:49-68)."""
+    import datetime as dt
+
+    from sentometrics_spark.aggregate.doc_agg import aggregate_docs, doc_weights
+    from sentometrics_spark.aggregate.kernels import setup_time_weights
+    from sentometrics_spark.aggregate.time_agg import aggregate_time, measures_fill
+    from sentometrics_spark.config import TimeKernelSpec
+    from sentometrics_spark.lexicons import Lexicons
+    from sentometrics_spark.model.attribution import (
+        attributions_dims,
+        attributions_docs,
+        attributions_lags,
+        coef_df,
+    )
+    from sentometrics_spark.scoring.udf_engine import compute_sentiment_udf
+
+    lex = Lexicons(lex={"en": {"L": {"fast": 1.0, "slow": -2.0}}})
+    # documents on days 1, 2, 5, 9 -> gaps at 3-4 and 6-8
+    rows = []
+    for i, (day, text) in enumerate(
+        [(1, "fast fast car"), (2, "slow road"), (5, "fast slow mix"), (9, "slow slow slow")]
+    ):
+        rows.append((f"u{i}", dt.datetime(2024, 1, day, 8 + i), "en", text, 1.0))
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, lang string, text string, feat_x double"
+    )
+    lag, by = 3, "day"
+    sent = compute_sentiment_udf(pages, lex, "proportional", mode="unigram").cache()
+    docagg = aggregate_docs(sent, by=by, how="proportional", keep_partials=False)
+    filled = measures_fill(
+        docagg.select("bucket_ts", "lexicon", "feature", "value"),
+        by=by, fill="latest", keep_source=True,
+    ).cache()
+    kernels = setup_time_weights((TimeKernelSpec("linear"),), lag)
+    measures = aggregate_time(
+        filled.select("bucket_ts", "lexicon", "feature", "value"), kernels, lag
+    ).cache()
+    cdf = coef_df(spark, pd.Series({"L--feat_x--linear": 0.7}))
+
+    pred = (
+        measures.join(F.broadcast(cdf), ["lexicon", "feature", "timeweight"])
+        .groupBy("bucket_ts")
+        .agg(F.sum(F.col("coef") * F.col("value")).alias("total"))
+        .toPandas().set_index("bucket_ts")["total"].sort_index()
+    )
+    assert len(pred) == 7  # days 3..9
+
+    for dim in ("lexicon", "feature", "timeweight"):
+        a = (
+            attributions_dims(measures, cdf, dim)
+            .groupBy("bucket_ts").agg(F.sum("attrib").alias("s"))
+            .toPandas().set_index("bucket_ts")["s"].sort_index()
+        )
+        np.testing.assert_allclose(a.to_numpy(), pred.to_numpy(), atol=1e-9)
+
+    lags = (
+        attributions_lags(filled, cdf, kernels, lag)
+        .groupBy("pred_ts").agg(F.sum("attrib").alias("s"))
+        .toPandas().set_index("pred_ts")["s"].sort_index()
+    )
+    np.testing.assert_allclose(lags.to_numpy(), pred.to_numpy(), atol=1e-9)
+
+    w = doc_weights(sent, by=by, how="proportional")
+    docs = (
+        attributions_docs(sent, w, filled, cdf, kernels, lag, by)
+        .groupBy("pred_ts").agg(F.sum("attrib").alias("s"))
+        .toPandas().set_index("pred_ts")["s"].sort_index()
     )
     np.testing.assert_allclose(docs.to_numpy(), pred.to_numpy(), atol=1e-9)

@@ -93,14 +93,21 @@ def run_benchmarks(cpus: int, sf_dir: str, q1_only: bool = False) -> dict:
     # timings measure compute, not interpreter startup
     compute_sentiment_udf(pages.limit(2000), lex_nv, "counts", mode="unigram").count()
 
+    # interleaved min-of-N: the whole suite repeats BENCH_RUNS times in
+    # order (so ambient load on this shared box hits every query equally);
+    # reported timing = min per query, plus the max-min spread so the JSON
+    # is self-consistent with BASELINE.md's interleaved-min methodology.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    all_timings: dict[str, list[float]] = {}
     timings: dict[str, float] = {}
-    extra: dict[str, float] = {"n_docs": n_docs, "replicate": REPLICATE, "cpus": cpus}
+    extra: dict = {"n_docs": n_docs, "replicate": REPLICATE, "cpus": cpus}
 
     def timed(name: str, fn) -> float:
         t0 = time.time()
         n = fn()
         dt = time.time() - t0
-        timings[name] = round(dt, 3)
+        all_timings.setdefault(name, []).append(dt)
+        timings[name] = round(min(all_timings[name]), 3)
         return n
 
     # q1: flagship — full pipeline, UDF scoring engine (the scale path)
@@ -113,36 +120,6 @@ def run_benchmarks(cpus: int, sf_dir: str, q1_only: bool = False) -> dict:
         m.unpersist()
         return n
 
-    n_points = timed("q1_pipeline_udf_hour_almon24", q1)
-    extra["rolled_points"] = n_points
-    extra["points_per_sec"] = round(n_points / timings["q1_pipeline_udf_hour_almon24"], 1)
-    extra["docs_per_sec_q1"] = round(n_docs / timings["q1_pipeline_udf_hour_almon24"], 1)
-
-    if q1_only:
-        result = {
-            "metric": "flagship_wall_sec",
-            "value": timings["q1_pipeline_udf_hour_almon24"],
-            "unit": "sec",
-            "queries": timings,
-            "sf": sf_dir,
-            **extra,
-        }
-        spark.stop()
-        return result
-
-    # q2: scoring only, UDF engine (compare vs reference ~5.3k docs/s/core)
-    timed("q2_score_udf_counts", lambda: force(
-        compute_sentiment_udf(pages, lex_nv, "counts", mode="unigram")))
-    extra["docs_per_sec_q2"] = round(n_docs / timings["q2_score_udf_counts"], 1)
-
-    # q3: scoring only, pure-Catalyst algebraic plan
-    timed("q3_score_algebraic_counts", lambda: force(
-        compute_sentiment_algebraic(pages, lex_nv, "counts")))
-
-    # q4: valence cluster engine (sequential per-doc kernel)
-    timed("q4_score_udf_cluster", lambda: force(
-        compute_sentiment_udf(pages, lex, "counts", mode="cluster")))
-
     # q5: doc aggregation + fill + rolling on day tier
     def q5():
         sent = compute_sentiment_algebraic(pages, lex_nv, "proportional")
@@ -153,14 +130,6 @@ def run_benchmarks(cpus: int, sf_dir: str, q1_only: bool = False) -> dict:
         m.unpersist()
         return n
 
-    timed("q5_pipeline_algebraic_day", q5)
-
-    # q6: dedup fingerprint over replicated corpus (exact dup groups = rep)
-    timed("q6_dedup_fingerprint", lambda: force(eq.q_dedup_fingerprint(spark, sf_dir)))
-
-    # q7: brute-force knn
-    timed("q7_knn_cosine", lambda: force(eq.q_knn_cosine(spark, sf_dir)))
-
     # q8: fused scoring + map-side bucket pre-aggregation (the 100TB path:
     # the shuffle sees per-batch partials, not per-doc long rows)
     def q8():
@@ -170,13 +139,50 @@ def run_benchmarks(cpus: int, sf_dir: str, q1_only: bool = False) -> dict:
             score_to_bucket_partials(pages, lex_nv, "proportional", "proportional", by="hour")
         ))
 
-    timed("q8_fused_score_agg", q8)
-    extra["docs_per_sec_q8"] = round(n_docs / timings["q8_fused_score_agg"], 1)
+    suite: list[tuple[str, object]] = [
+        ("q1_pipeline_udf_hour_almon24", q1),
+    ]
+    if not q1_only:
+        suite += [
+            # q2: scoring only, UDF engine (vs reference ~5.3k docs/s/core)
+            ("q2_score_udf_counts", lambda: force(
+                compute_sentiment_udf(pages, lex_nv, "counts", mode="unigram"))),
+            # q3: scoring only, pure-Catalyst algebraic plan
+            ("q3_score_algebraic_counts", lambda: force(
+                compute_sentiment_algebraic(pages, lex_nv, "counts"))),
+            # q4: valence cluster engine (sequential per-doc kernel)
+            ("q4_score_udf_cluster", lambda: force(
+                compute_sentiment_udf(pages, lex, "counts", mode="cluster"))),
+            ("q5_pipeline_algebraic_day", q5),
+            # q6: dedup fingerprint (exact dup groups = rep)
+            ("q6_dedup_fingerprint", lambda: force(eq.q_dedup_fingerprint(spark, sf_dir))),
+            # q7: brute-force knn
+            ("q7_knn_cosine", lambda: force(eq.q_knn_cosine(spark, sf_dir))),
+            ("q8_fused_score_agg", q8),
+        ]
+
+    n_points = 0
+    for _run in range(n_runs):
+        for name, fn in suite:
+            n = timed(name, fn)
+            if name == "q1_pipeline_udf_hour_almon24":
+                n_points = n
+
+    extra["rolled_points"] = n_points
+    extra["points_per_sec"] = round(n_points / timings["q1_pipeline_udf_hour_almon24"], 1)
+    extra["docs_per_sec_q1"] = round(n_docs / timings["q1_pipeline_udf_hour_almon24"], 1)
+    extra["runs"] = n_runs
+    extra["spread_sec"] = {
+        k: round(max(v) - min(v), 3) for k, v in all_timings.items()
+    }
+    if not q1_only:
+        extra["docs_per_sec_q2"] = round(n_docs / timings["q2_score_udf_counts"], 1)
+        extra["docs_per_sec_q8"] = round(n_docs / timings["q8_fused_score_agg"], 1)
 
     total = round(sum(timings.values()), 3)
     result = {
-        "metric": "headline_suite_wall_sec",
-        "value": total,
+        "metric": "flagship_wall_sec" if q1_only else "headline_suite_wall_sec",
+        "value": timings["q1_pipeline_udf_hour_almon24"] if q1_only else total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_dir,
@@ -217,6 +223,8 @@ def main() -> None:
                         "SPARK_GRAFT_SF_DIR": sf_dir,
                         # enough volume that compute dominates overhead
                         "SPARK_GRAFT_REPLICATE": os.environ.get("SPARK_GRAFT_REPLICATE", "200"),
+                        # the outer interleave is the noise control here
+                        "SPARK_GRAFT_BENCH_RUNS": "1",
                     },
                 )
                 line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]

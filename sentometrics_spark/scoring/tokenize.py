@@ -95,22 +95,31 @@ HAS_LETTER = r"\p{L}"
 # passes are needed only when a batch contains a mid char or a combining
 # mark; plain [a-z0-9 ]-ish text takes the single-split fast path
 _ANY_MID = f"[{MID_ALL}]|\\p{{M}}"
+# tier-0: nothing but lowercase ASCII letters and spaces anywhere in the
+# batch => a plain-space split is exactly equivalent to the full rules
+# (empty tokens from space runs are dropped by the has-letter filter
+# either way), and the RE2 class split (~5x the cost) is skipped
+_NOT_SIMPLE = "[^a-z ]"
 
 
-def tokenize_arrow(arr):
-    """texts (pa.Array of string) -> pa.ListArray of lowercase word tokens.
-    Tokens with no letter (pure numbers / leftovers) are NOT yet filtered —
-    the flat consumers filter with HAS_LETTER so document offsets stay
-    vectorized. Entirely C-side (utf8_lower + RE2 replaces + one split)."""
+def tokenize_arrow(arr) -> tuple:
+    """texts (pa.Array of string) -> (pa.ListArray of lowercase word
+    tokens, needs_letter_filter). Tokens with no letter (pure numbers /
+    leftovers) are NOT yet filtered — the flat consumers filter with
+    HAS_LETTER (or just nonempty when needs_letter_filter is False) so
+    document offsets stay vectorized. Entirely C-side (utf8_lower + RE2
+    replaces + one split)."""
     import pyarrow.compute as pc
 
     low = pc.utf8_lower(arr)
-    # fast path: a batch with no mid characters anywhere needs no passes
+    if not (pc.any(pc.match_substring_regex(low, _NOT_SIMPLE)).as_py() or False):
+        # tier-0: tokens are pure [a-z]*, every nonempty token has a letter
+        return pc.split_pattern(low, pattern=" "), False
     any_mid = pc.any(pc.match_substring_regex(low, _ANY_MID)).as_py()
     if any_mid:
         for pat, rep in _PASSES:
             low = pc.replace_substring_regex(low, pattern=pat, replacement=rep)
-    return pc.split_pattern_regex(low, pattern=SPLIT_PATTERN)
+    return pc.split_pattern_regex(low, pattern=SPLIT_PATTERN), True
 
 
 def _has_letter(tok: str) -> bool:
@@ -130,8 +139,10 @@ def tokenize_to_lists(texts: pd.Series | list[str]) -> list[list[str]]:
         texts = pd.Series(list(texts), dtype=object)
     if len(texts) == 0:
         return []
-    toks = tokenize_arrow(pa.Array.from_pandas(texts.astype(str)))
-    return [[t for t in doc if t and _has_letter(t)] for doc in toks.to_pylist()]
+    toks, needs_filter = tokenize_arrow(pa.Array.from_pandas(texts.astype(str)))
+    if needs_filter:
+        return [[t for t in doc if t and _has_letter(t)] for doc in toks.to_pylist()]
+    return [[t for t in doc if t] for doc in toks.to_pylist()]
 
 
 # --------------------------------------------------------------------------

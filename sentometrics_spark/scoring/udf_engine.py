@@ -76,9 +76,13 @@ def flat_from_texts(texts: pd.Series, pack) -> tuple:
     pandas str path, bit-identical results.
 
     Returns (n_docs, lens, doc_idx, pos_in_doc, vid, vy, vt):
-      vid: float64 lexicon vocab id per token (nan = no hit; ids match
+      vid: int32 lexicon vocab id per token (-1 = no hit; ids match
            pack.word2id because both use the sorted vocab order)
-      vy / vt: float64 valence value / type per token (nan / 0 = none)."""
+      vy / vt: float64 valence value / int8 type per token (nan / 0 = none).
+
+    Dtypes are deliberately narrow (int32 ids/indices, int8 types): at high
+    thread counts the kernel is memory-bandwidth-bound on a shared bus, so
+    bytes moved per token is the scaling-efficiency lever."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -86,50 +90,66 @@ def flat_from_texts(texts: pd.Series, pack) -> tuple:
 
     n_docs = len(texts)
     arr = pa.Array.from_pandas(texts)
-    toks = tokenize_arrow(arr)
+    toks, needs_letter_filter = tokenize_arrow(arr)
     flat = pc.list_flatten(toks)
     lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
-    doc_idx = np.repeat(np.arange(n_docs), lens)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int32), lens)
     # skip_word_none + skip_word_number: keep tokens containing a letter
-    keep = pc.match_substring_regex(flat, HAS_LETTER).to_numpy(zero_copy_only=False)
+    # (tier-0 batches only produce [a-z]* tokens — nonempty suffices there)
+    if needs_letter_filter:
+        keep = pc.match_substring_regex(flat, HAS_LETTER).to_numpy(zero_copy_only=False)
+    else:
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
     if not keep.all():
         flat = flat.filter(pa.array(keep))
         doc_idx = doc_idx[keep]
         lens = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
-    offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
-    pos_in_doc = np.arange(len(doc_idx)) - offsets[doc_idx]
+    offsets = np.concatenate(([0], np.cumsum(lens, dtype=np.int64)[:-1]))
+    pos_in_doc = (np.arange(len(doc_idx), dtype=np.int64) - offsets[doc_idx]).astype(np.int32)
 
     vocab = pa.array(sorted(pack.word2id), type=pa.string())
-    vid = pc.index_in(flat, value_set=vocab).to_numpy(zero_copy_only=False).astype(np.float64)
+    vid = pc.fill_null(pc.index_in(flat, value_set=vocab), -1).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int32, copy=False)
     vy = vt = None
     if pack.valence_y:
         val_vocab = sorted(pack.valence_y)
-        val_ids = pc.index_in(flat, value_set=pa.array(val_vocab, type=pa.string()))
-        val_np = val_ids.to_numpy(zero_copy_only=False).astype(np.float64)
+        val_ids = pc.fill_null(
+            pc.index_in(flat, value_set=pa.array(val_vocab, type=pa.string())), -1
+        ).to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
         vy_vec = np.array([pack.valence_y[w] for w in val_vocab])
-        vt_vec = np.array([pack.valence_t[w] for w in val_vocab], dtype=np.int64)
-        miss = np.isnan(val_np)
-        safe = np.where(miss, 0, val_np).astype(np.int64)
+        vt_vec = np.array([pack.valence_t[w] for w in val_vocab], dtype=np.int8)
+        miss = val_ids < 0
+        safe = np.where(miss, 0, val_ids)
         vy = np.where(miss, np.nan, vy_vec[safe])
-        vt = np.where(miss, 0, vt_vec[safe])
+        vt = np.where(miss, np.int8(0), vt_vec[safe])
     return n_docs, lens, doc_idx, pos_in_doc, vid, vy, vt
 
 
 def flat_from_tokens(tokens: list[list[str]], pack) -> tuple:
-    """List-of-tokens front-end (T3 passthrough, sentence engine, tests)."""
+    """List-of-tokens front-end (T3 passthrough, sentence engine, tests).
+    Same contract/dtypes as flat_from_texts (vid int32, -1 = no hit)."""
     n_docs = len(tokens)
     lens = np.fromiter((len(t) for t in tokens), dtype=np.int64, count=n_docs)
     flat = [w for doc in tokens for w in doc]
     tok_s = pd.Series(flat, dtype=object)
-    doc_idx = np.repeat(np.arange(n_docs), lens)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int32), lens)
     offsets = np.concatenate(([0], np.cumsum(lens)[:-1])) if n_docs else np.array([], dtype=np.int64)
-    pos_in_doc = np.arange(len(flat)) - offsets[doc_idx] if len(flat) else np.array([], dtype=np.int64)
-    vid = tok_s.map(pack.word2id).to_numpy(dtype=np.float64, na_value=np.nan) if flat else np.array([])
+    pos_in_doc = (
+        (np.arange(len(flat)) - offsets[doc_idx]).astype(np.int32)
+        if len(flat)
+        else np.array([], dtype=np.int32)
+    )
+    vid = (
+        tok_s.map(pack.word2id).fillna(-1).to_numpy(dtype=np.int32)
+        if flat
+        else np.array([], dtype=np.int32)
+    )
     vy = vt = None
     if pack.valence_y:
         vy = tok_s.map(pack.valence_y).to_numpy(dtype=np.float64, na_value=np.nan) if flat else np.array([])
         vt_s = tok_s.map(pack.valence_t) if flat else pd.Series(dtype=float)
-        vt = vt_s.fillna(0).to_numpy(dtype=np.int64) if flat else np.array([], dtype=np.int64)
+        vt = vt_s.fillna(0).to_numpy(dtype=np.int8) if flat else np.array([], dtype=np.int8)
     return n_docs, lens, doc_idx, pos_in_doc, vid, vy, vt
 
 
@@ -160,11 +180,11 @@ def score_flat(
     if n_docs == 0 or lens.sum() == 0:
         return scores
 
-    hit_mask = ~np.isnan(vid)
+    hit_mask = vid >= 0
     hit_idx = np.flatnonzero(hit_mask)
     if len(hit_idx) == 0:
         return scores
-    hvid = vid[hit_idx].astype(np.int64)
+    hvid = vid[hit_idx]
     hdoc = doc_idx[hit_idx]
     pol = pack.polarity[hvid]  # [H, nL]
     shifters = np.ones(len(hit_idx), dtype=np.float64)
@@ -244,9 +264,9 @@ def _score_clusters_flat(flat, pack, how, tfidf):
     nB, nA = 4, 2
     offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
     hit_any = np.zeros(n_docs, dtype=bool)
-    hit_any[doc_idx[~np.isnan(vid)]] = True
+    hit_any[doc_idx[vid >= 0]] = True
     if vt_arr is None:
-        vt_arr = np.zeros(len(doc_idx), dtype=np.int64)
+        vt_arr = np.zeros(len(doc_idx), dtype=np.int8)
 
     if how == "TFIDF":
         n_corpus, df_map = tfidf
@@ -256,7 +276,7 @@ def _score_clusters_flat(flat, pack, how, tfidf):
         off = int(offsets[d])
         dvid = vid[off : off + n]
         dvt = vt_arr[off : off + n]
-        dmask = ~np.isnan(dvid)
+        dmask = dvid >= 0
         token_scores: dict[int, np.ndarray] = {}
         token_shift: dict[int, float] = {}
         # vocab id whose corpus df feeds a token's TFIDF weight: the C++
@@ -358,10 +378,10 @@ def tfidf_corpus_stats(pages: DataFrame, lexicons: Lexicons) -> dict[str, tuple[
                 n_docs, _lens, doc_idx, _pos, vid, _vy, _vt = flat_from_texts(
                     grp["text"], pack
                 )
-                hit = ~np.isnan(vid)
+                hit = vid >= 0
                 if hit.any():
                     pairs = np.unique(
-                        np.stack([doc_idx[hit], vid[hit].astype(np.int64)]), axis=1
+                        np.stack([doc_idx[hit], vid[hit]]), axis=1
                     )
                     vids, dfc = np.unique(pairs[1], return_counts=True)
                     for v, c in zip(vids, dfc):

@@ -61,11 +61,28 @@ def valence_df(spark: SparkSession, lexicons: Lexicons) -> DataFrame:
 
 
 def _tokens(col=None):
-    """Tokenization for the closed fixture vocabulary: lowercase + space
-    split (provably equivalent to the reference's ICU word-boundary split on
-    texts restricted to [a-z ]; /root/reference/R/sentiment_engines.R:13-17)."""
+    """JVM-side UAX-29 word tokenization: the SAME pass pipeline as the
+    Arrow engine (scoring/tokenize.py), expressed as a regexp_replace chain
+    (Java regex accepts the RE2 patterns; only backreference syntax
+    differs). A per-row CASE short-circuits pure-[a-z ] rows to a plain
+    space split, so clean corpora never pay the replace chain."""
+    from sentometrics_spark.scoring.tokenize import (
+        _NOT_SIMPLE,
+        _PASSES,
+        HAS_LETTER,
+        SPLIT_PATTERN,
+    )
+
     c = col if col is not None else F.col("text")
-    return F.split(F.lower(c), " ")
+    low = F.lower(c)
+    full = low
+    for pat, rep in _PASSES:
+        full = F.regexp_replace(full, pat, rep.replace("\\1", "$1").replace("\\2", "$2"))
+    toks = F.when(low.rlike(_NOT_SIMPLE), F.split(full, SPLIT_PATTERN)).otherwise(
+        F.split(low, " ")
+    )
+    # skip_word_none + skip_word_number (+ empty strings from space runs)
+    return F.filter(toks, lambda t: t.rlike(HAS_LETTER))
 
 
 def _position_weight_expr(how: str):

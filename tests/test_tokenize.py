@@ -108,3 +108,33 @@ def test_scoring_matches_pandas_oracle_on_punctuated_text(spark):
         exp_scores.append(sum(words.get(w, 0.0) for w in toks) / max(len(toks), 1))
     np.testing.assert_array_equal(got["word_count"], exp_wc)
     np.testing.assert_allclose(got["score"], exp_scores, atol=1e-12)
+
+
+@pytest.mark.parametrize("how", ["counts", "proportional", "UShaped", "TFIDF", "proportionalPol"])
+def test_algebraic_equals_udf_on_punctuated_text(spark, how):
+    """The pure-Catalyst engine runs the SAME UAX-29 pass pipeline JVM-side;
+    both engines must agree on punctuated/digit/unicode text."""
+    import datetime as dt
+
+    from sentometrics_spark.lexicons import Lexicons
+    from sentometrics_spark.scoring.algebraic import compute_sentiment_algebraic
+    from sentometrics_spark.scoring.udf_engine import compute_sentiment_udf
+
+    lex = Lexicons(lex={"en": {"L": {"good": 1.0, "bad": -1.0, "don't": -0.5, "u.s.a": 2.0}}})
+    texts = [
+        "Good, very good! The U.S.A. won.",
+        "Don't be bad... it's bad-bad.",
+        "nothing 123 here; move along.",
+        "plain good words only",
+        "",
+        "x:y:z good·bad 1,000 don't—stop",
+    ]
+    rows = [(f"u{i}", dt.datetime(2024, 1, 1, 9), "en", t, 1.0) for i, t in enumerate(texts)]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, lang string, text string, feat_x double"
+    )
+    key = ["url", "lexicon", "feature"]
+    a = compute_sentiment_algebraic(pages, lex, how).toPandas().sort_values(key).reset_index(drop=True)
+    u = compute_sentiment_udf(pages, lex, how, mode="unigram").toPandas().sort_values(key).reset_index(drop=True)
+    np.testing.assert_array_equal(a["word_count"], u["word_count"])
+    np.testing.assert_allclose(a["score"], u["score"], atol=1e-12)

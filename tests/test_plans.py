@@ -1,0 +1,141 @@
+"""Physical-plan regression tests (PLANS.md made executable).
+
+These lock in the scale-critical plan shapes: at 100 TB the difference
+between "one shuffle of bucket partials" and "a shuffle of per-doc rows"
+is the whole game, and a silent plan regression (a lost broadcast hint, a
+filter that stops pushing down, an extra Exchange) would not change any
+correctness result at sandbox scale. Each assertion names the property it
+protects.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+import pytest
+
+from sentometrics_spark.aggregate.doc_agg import aggregate_docs
+from sentometrics_spark.corpus import build_pages
+from sentometrics_spark.lexicons import Lexicons, fixture_lexicons
+from sentometrics_spark.scoring.algebraic import compute_sentiment_algebraic
+from sentometrics_spark.scoring.fused import (
+    finalize_partials,
+    score_to_bucket_partials,
+)
+from sentometrics_spark.scoring.udf_engine import compute_sentiment_udf
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def n_shuffles(plan: str) -> int:
+    """Count shuffle Exchanges (BroadcastExchange is free at scale —
+    O(lexicon) bytes — and intentionally excluded)."""
+    return len(re.findall(r"^\(\d+\) Exchange\b", plan, flags=re.M))
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return build_pages(spark, SF_DIR, with_html=False)
+
+
+@pytest.fixture(scope="module")
+def lex():
+    return Lexicons(lex=fixture_lexicons().lex)
+
+
+def test_udf_scoring_is_map_only(spark, pages, lex):
+    """The Arrow scoring engine must be a pure map: scan -> MapInPandas ->
+    project. Zero shuffles — per-doc scores never cross the network."""
+    df = compute_sentiment_udf(
+        pages, lex, "proportional", mode="unigram", validate_langs="skip"
+    )
+    p = plan_of(df)
+    assert "MapInPandas" in p
+    assert n_shuffles(p) == 0, p
+
+
+def test_fused_path_single_partial_fed_shuffle(spark, pages, lex):
+    """The 100 TB path: exactly ONE shuffle, and it must carry bucket-level
+    partial sums (partial_sum before the Exchange), so shuffle volume is
+    O(buckets x measures x partitions), independent of corpus size."""
+    df = finalize_partials(
+        score_to_bucket_partials(
+            pages, lex, "proportional", "proportional", by="hour",
+            validate_langs="skip",
+        )
+    )
+    p = plan_of(df)
+    assert n_shuffles(p) == 1, p
+    # formatted mode lists each node twice (tree + detail section)
+    assert len(re.findall(r"^\(\d+\) MapInPandas", p, flags=re.M)) == 1, p
+    assert re.search(r"partial_sum\(wsum", p), p
+
+
+def test_doc_aggregation_partial_before_shuffle(spark, pages, lex):
+    """Scoring -> doc aggregation: one shuffle total, fed by map-side
+    partial sums in the same stage as the UDF."""
+    sent = compute_sentiment_udf(
+        pages, lex, "proportional", mode="unigram", validate_langs="skip"
+    )
+    df = aggregate_docs(sent, by="day", how="proportional", keep_partials=False)
+    p = plan_of(df)
+    assert n_shuffles(p) == 1, p
+    assert "partial_sum" in p, p
+
+
+def test_algebraic_broadcasts_lexicon_and_pushes_filters(spark, pages, lex):
+    """The pure-Catalyst engine must (a) broadcast the O(100)-row lexicon
+    dim (never shuffle the corpus against it), (b) push the lang filter to
+    the parquet scan, (c) pre-aggregate token scores before the per-doc
+    shuffle (the Exchange moves one row per (url, lexicon), not per
+    token)."""
+    df = compute_sentiment_algebraic(pages, lex, "proportional", validate_langs="skip")
+    p = plan_of(df)
+    assert "BroadcastHashJoin" in p, p
+    assert re.search(r"PushedFilters: \[.*IsNotNull\(lang\)", p), p
+    assert "partial_sum" in p, p
+
+
+def test_scans_prune_unused_columns(spark, pages, lex):
+    """Column pruning must reach the parquet scan: documents.parquet has
+    an n_chars column no scoring path uses — it must be absent from every
+    ReadSchema (a scan reading all columns for a 4-column projection is
+    wrong at 100 TB)."""
+    for df in (
+        compute_sentiment_udf(pages, lex, "counts", mode="unigram", validate_langs="skip"),
+        compute_sentiment_algebraic(pages, lex, "counts", validate_langs="skip"),
+        finalize_partials(score_to_bucket_partials(
+            pages, lex, "counts", "equal_weight", by="day", validate_langs="skip")),
+    ):
+        p = plan_of(df)
+        schemas = re.findall(r"ReadSchema: (\S+)", p)
+        assert schemas, p
+        for s in schemas:
+            assert "n_chars" not in s, p
+
+
+def test_whole_stage_codegen_covers_algebraic_path(spark, pages, lex):
+    """The algebraic engine stays JVM-side: the plan must contain
+    WholeStageCodegen spans and no Python eval nodes. AQE hides codegen
+    markers in the pre-execution plan, so check with AQE off (a plan-shape
+    property, not a runtime one)."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = compute_sentiment_algebraic(pages, lex, "counts", validate_langs="skip")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain()  # simple mode: codegen stages appear as *(N)
+        p = buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert re.search(r"\*\(\d+\)", p), p
+    assert "MapInPandas" not in p and "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p

@@ -496,6 +496,54 @@ SQL_DEDUP_FINGERPRINT = """SELECT md5(array_to_string(list_sort(list_distinct(st
 FROM documents GROUP BY 1 HAVING count(*) > 1"""
 
 
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact baseline path,
+    textops.similarity.embedding_near_dup_pairs). The corpus has no
+    natural near-dups (max pairwise cosine 0.51), so 15 perturbed copies
+    (v*0.9 + 0.08, ids +100000) are planted deterministically INSIDE the
+    query — the oracle plants the identical rows in SQL. Threshold 0.7
+    sits in the (0.534, 0.789) margin between planted and natural pairs,
+    far from any fp-rounding cliff."""
+    from sentometrics_spark.textops.similarity import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") < 15).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 0.9 + 0.08).alias("embedding"),
+    )
+    pairs = embedding_near_dup_pairs(emb.unionByName(planted), threshold=0.7)
+    return pairs.select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        _r6("cosine").alias("cosine"),
+    )
+
+
+SQL_EMBED_NEARDUP = """WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings
+),
+planted AS (
+  SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x * 0.9 + 0.08) v
+  FROM base WHERE vec_id < 15
+),
+allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+n AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) u
+  FROM allv
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(range(1, len(a.u)+1), i -> a.u[i]*b.u[i])) AS c
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       floor(c * 1000000 + 0.5 + 1e-9) / 1000000.0 AS cosine
+FROM p WHERE c >= 0.7"""
+
+
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force top-5 cosine neighbors for query vectors vec_id < 3."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1140,6 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "knn_cosine_top5": q_knn_cosine,
+        "embed_neardup_pairs": q_embed_neardup,
         "text_quality": q_text_quality,
         "events_hourly": q_events_hourly,
     }
@@ -1312,6 +1361,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_fingerprint": SQL_DEDUP_FINGERPRINT,
         "knn_cosine_top5": SQL_KNN_COSINE,
+        "embed_neardup_pairs": SQL_EMBED_NEARDUP,
         "text_quality": SQL_TEXT_QUALITY,
         "events_hourly": SQL_EVENTS_HOURLY,
     }

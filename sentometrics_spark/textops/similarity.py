@@ -110,6 +110,81 @@ def lsh_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.92,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT embedding-cosine near-duplicate pairs: all (a, b) with a < b
+    and cosine(a, b) >= threshold. O(n²) self-join — this is the
+    correctness baseline and the DuckDB-oracle path; use
+    embedding_near_dup_lsh for corpora where n² is not an option."""
+    a = emb.select(
+        F.col(id_col).alias("id_a"),
+        (F.transform(vec_col, lambda x: x.cast("double") / _norm(F.col(vec_col)))).alias("va"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"),
+        (F.transform(vec_col, lambda x: x.cast("double") / _norm(F.col(vec_col)))).alias("vb"),
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        pairs.select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_dup_lsh(
+    emb: DataFrame,
+    threshold: float = 0.92,
+    bits: int = 8,
+    n_tables: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path for embedding near-dup: candidate pairs share a
+    sign-hyperplane bucket in ANY of n_tables tables — a (table, bucket)
+    groupBy self-join, never all-pairs — then the exact cosine filter.
+    For unit vectors P[same bit] = 1 - angle/pi, so a pair at cosine c
+    survives one table with prob (1 - arccos(c)/pi)^bits; n_tables OR-ed
+    tables push recall toward 1 (pytest pins recall vs the exact path).
+    Bucket width is tunable: more bits = smaller buckets = cheaper join,
+    lower per-table recall."""
+    norm_emb = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda x: x.cast("double") / _norm(F.col(vec_col))).alias("v"),
+    )
+    cand_tables = []
+    for t in range(n_tables):
+        planes = random_hyperplanes(dim, bits, seed + t)
+        bucketed = norm_emb.select(
+            "id", "v", _bucket_expr("v", planes).alias("bucket"), F.lit(t).alias("tbl")
+        )
+        ln = bucketed.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket", "tbl")
+        rn = bucketed.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket", "tbl")
+        cand_tables.append(
+            ln.join(rn, ["tbl", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "va", "vb")
+        )
+    cands = cand_tables[0]
+    for c in cand_tables[1:]:
+        cands = cands.unionByName(c)
+    cands = cands.dropDuplicates(["id_a", "id_b"])
+    cos = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        cands.select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     n_cells: int = 16,

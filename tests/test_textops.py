@@ -91,6 +91,36 @@ def test_brute_force_vs_lsh_recall(spark, sf_dir):
         assert (np.diff(c) <= 1e-12).all()
 
 
+def test_embedding_near_dup_exact_and_lsh(spark, sf_dir):
+    """Plant perturbed copies (v*0.9 + 0.08) of 15 vectors; the exact path
+    must find exactly the 15 planted pairs at threshold 0.7 (natural max
+    pairwise cosine is ~0.53), and the LSH-bucketed scale path must reach
+    high recall of the exact result without ever forming all pairs."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") < 15).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 0.9 + 0.08).alias("embedding"),
+    )
+    allv = emb.unionByName(planted)
+    exact = similarity.embedding_near_dup_pairs(allv, threshold=0.7).toPandas()
+    assert len(exact) == 15
+    assert set(zip(exact.id_a, exact.id_b)) == {(i, i + 100000) for i in range(15)}
+    assert (exact.cosine >= 0.7).all()
+
+    # planted pairs sit at cosine ~0.79-0.85 -> per-bit collision prob
+    # ~0.79, so bits=4 / n_tables=10 gives per-pair miss (1-0.79^4)^10 < 1%
+    approx = similarity.embedding_near_dup_lsh(
+        allv, threshold=0.7, bits=4, n_tables=10, dim=64
+    ).toPandas()
+    got = set(zip(approx.id_a, approx.id_b))
+    # every reported pair is a true near-dup (the exact-cosine filter runs
+    # on candidates), and recall vs exact is high
+    assert got <= set(zip(exact.id_a, exact.id_b))
+    assert len(got) / 15 >= 0.8, f"LSH near-dup recall too low: {len(got)}/15"
+
+
 def test_ivf_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cand = emb.filter(F.col("vec_id") >= 5)

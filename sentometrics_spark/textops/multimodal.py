@@ -87,6 +87,60 @@ def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
     return media.select("media_id", "kind", "payload").mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "media_id long, kind string, ok boolean, payload binary, width int, height int"
+)
+
+
+def _resize_stub(payload: bytes, w: int, h: int, tw: int, th: int) -> bytes:
+    """STUB: real deployments decode + PIL.Image.resize + re-encode here.
+    Deterministic fake preserving the real op's shape contract: output
+    byte length scales with the target pixel count (tw*th / (w*h) of the
+    input length, min 1), content is a strided downsample of the input —
+    so batch-size accounting and schema plumbing behave like the real op."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    n_out = max(1, int(len(arr) * (tw * th) / max(w * h, 1)))
+    idx = np.linspace(0, len(arr) - 1, n_out).astype(np.int64)
+    return bytes(arr[idx])
+
+
+def resize_images(media: DataFrame, target_w: int = 32, target_h: int = 32) -> DataFrame:
+    """Image resize via mapInPandas over binary Arrow batches: filters to
+    kind='image' (pushed to the scan), decodes/resizes per batch (stubbed
+    codec), emits the resized binary + new dims. The real-deployment note:
+    payload bytes dominate Arrow batch size, so cap
+    spark.sql.execution.arrow.maxRecordsPerBatch to keep batches
+    ~tens of MB when payloads are full-size images."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs, oks = [], []
+            for payload, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                try:
+                    outs.append(
+                        _resize_stub(bytes(payload), int(w), int(h), target_w, target_h)
+                    )
+                    oks.append(True)
+                except Exception:
+                    outs.append(b"")
+                    oks.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "ok": oks,
+                    "payload": outs,
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    imgs = media.filter(F.col("kind") == "image").select(
+        "media_id", "kind", "payload", "width", "height"
+    )
+    return imgs.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 200) -> DataFrame:
     """Video frame-sampling plan: one row per sampled frame timestamp —
     pure Catalyst (sequence + explode); the actual frame decode would be a

@@ -189,3 +189,19 @@ def test_multimodal_plumbing(spark):
     assert a == b
     plan = multimodal.frame_sample_plan(media, every_ms=200).toPandas()
     assert (plan.groupby("media_id").size() == 5).all()  # 1000ms / 200ms
+
+
+def test_multimodal_resize(spark):
+    media = multimodal.synth_media(spark, n=30)
+    out = multimodal.resize_images(media, target_w=32, target_h=32).toPandas()
+    # only image rows (n=30 -> kinds cycle image/audio/video -> 10 images)
+    assert len(out) == 10 and (out["kind"] == "image").all() and out["ok"].all()
+    assert (out["width"] == 32).all() and (out["height"] == 32).all()
+    # 64x64 -> 32x32 = quarter the pixel count -> quarter the stub bytes
+    assert out["payload"].map(len).eq(128 // 4).all()
+    # deterministic
+    again = multimodal.resize_images(media, target_w=32, target_h=32).toPandas()
+    assert (
+        out.sort_values("media_id")["payload"].map(bytes).tolist()
+        == again.sort_values("media_id")["payload"].map(bytes).tolist()
+    )

@@ -91,6 +91,122 @@ def finalize_hour_tier(spark: SparkSession, partials_path: str) -> DataFrame:
     )
 
 
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, sum_value double"
+)
+# open sessions per user as parallel arrays (a user can hold several open
+# sessions at once under out-of-order arrival within the watermark delay)
+SESSION_STATE_SCHEMA = (
+    "starts array<long>, lasts array<long>, ns array<long>, svs array<double>"
+)
+
+
+def stream_sessionize(
+    events_stream: DataFrame,
+    gap_min: int = 30,
+    watermark_delay: str = "0 seconds",
+):
+    """Stateful gap-based sessionization over a STREAM: the custom-stateful
+    counterpart of the batch lag+cumsum plan (entry_queries.q_events_sessionize).
+
+    applyInPandasWithState per user_id: each micro-batch merges its events
+    into the user's open sessions (absorbing an event into any session
+    within gap_min of it, then coalescing sessions the new events bridged);
+    a session is EMITTED only when the event-time watermark has passed
+    session_end + gap — i.e. no event that could still arrive (within the
+    watermark delay) can extend it. Late data inside the delay folds into
+    the open session exactly; state is O(open sessions per user), bounded
+    by the gap and the delay, never O(events).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    # state keeps event-time in MICROSECONDS (events carry us precision;
+    # the watermark API is ms, converted at the comparison boundary)
+    gap_us = gap_min * 60_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        user = key[0]
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if state.exists:
+            starts, lasts, ns, svs = state.get
+            sessions = [list(s) for s in zip(starts, lasts, ns, svs)]
+        else:
+            sessions = []
+
+        if not state.hasTimedOut:
+            batch = pd.concat(list(pdfs), ignore_index=True)
+            if len(batch):
+                ts_us = (batch["ts"].astype("datetime64[ns]").astype("int64") // 1_000).to_numpy()
+                vals = batch["value"].to_numpy()
+                order = ts_us.argsort(kind="stable")
+                for i in order:
+                    t, v = int(ts_us[i]), float(vals[i])
+                    hit = None
+                    for s in sessions:
+                        if s[0] - gap_us <= t <= s[1] + gap_us:
+                            hit = s
+                            break
+                    if hit is None:
+                        sessions.append([t, t, 1, v])
+                    else:
+                        hit[0] = min(hit[0], t)
+                        hit[1] = max(hit[1], t)
+                        hit[2] += 1
+                        hit[3] += v
+                # coalesce sessions the new events bridged
+                sessions.sort(key=lambda s: s[0])
+                merged = []
+                for s in sessions:
+                    if merged and s[0] <= merged[-1][1] + gap_us:
+                        m = merged[-1]
+                        m[1] = max(m[1], s[1])
+                        m[2] += s[2]
+                        m[3] += s[3]
+                    else:
+                        merged.append(s)
+                sessions = merged
+
+        closed = [s for s in sessions if s[1] + gap_us <= wm_us]
+        open_ = [s for s in sessions if s[1] + gap_us > wm_us]
+        if open_:
+            state.update((
+                [s[0] for s in open_],
+                [s[1] for s in open_],
+                [s[2] for s in open_],
+                [s[3] for s in open_],
+            ))
+            # wake up when the earliest open session becomes closable
+            next_close_ms = -(-(min(s[1] for s in open_) + gap_us) // 1000)  # ceil us->ms
+            state.setTimeoutTimestamp(max(next_close_ms, state.getCurrentWatermarkMs() + 1))
+        elif state.exists:
+            state.remove()
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user] * len(closed),
+                    "session_start": pd.to_datetime([s[0] for s in closed], unit="us"),
+                    "session_end": pd.to_datetime([s[1] for s in closed], unit="us"),
+                    "n_events": [s[2] for s in closed],
+                    "sum_value": [s[3] for s in closed],
+                }
+            )
+
+    return (
+        events_stream.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            SESSION_OUT_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def compact_partials(spark: SparkSession, partials_path: str) -> None:
     """Compaction: rewrite the partials table as one row per bucket (keeps
     the append-only table bounded; on Iceberg this is a rewrite-data-files

@@ -114,3 +114,89 @@ def test_pending_is_empty_after_full_run(spark, pages, tmp_path):
     # idempotent re-run: no new work
     m = run.run(pages, _score_fn(lex), batch_partitions=1000)
     assert m["partitions"] == 0
+
+
+def test_stream_sessionize_equals_batch(spark, tmp_path):
+    """applyInPandasWithState gap sessionization over 3 micro-batches must
+    emit exactly the batch sessionization's sessions once the watermark
+    passes them. A sentinel user's far-future events push the watermark so
+    every real session closes by stream end."""
+    import pandas as pd
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .filter(F.col("user_id") < 25)
+        .select("user_id", "ts", "value")
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    assert len(ev) > 50
+    max_ts = ev["ts"].max()
+    half = len(ev) // 2
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    sent1 = pd.DataFrame(
+        {"user_id": [999999], "ts": [max_ts + pd.Timedelta(days=10)], "value": [0.0]}
+    )
+    sent2 = pd.DataFrame(
+        {"user_id": [999999], "ts": [max_ts + pd.Timedelta(days=20)], "value": [0.0]}
+    )
+    # in-ts-order files: batch N's watermark = max event time of batch N-1
+    kw = {"coerce_timestamps": "us", "allow_truncated_timestamps": True}
+    ev.iloc[:half].to_parquet(src / "f1.parquet", index=False, **kw)
+    pd.concat([ev.iloc[half:], sent1]).to_parquet(src / "f2.parquet", index=False, **kw)
+    sent2.to_parquet(src / "f3.parquet", index=False, **kw)
+
+    schema = "user_id long, ts timestamp, value double"
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    out = streaming.stream_sessionize(stream, gap_min=30)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("SELECT * FROM sessions_out")
+        .filter(F.col("user_id") != 999999)
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+
+    # batch oracle: per-user gap split in pandas
+    exp_rows = []
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values("ts")
+        cur = None
+        for t, v in zip(g["ts"], g["value"]):
+            if cur is None or (t - cur["end"]).total_seconds() > 1800:
+                if cur is not None:
+                    exp_rows.append((uid, cur["start"], cur["end"], cur["n"], cur["sv"]))
+                cur = {"start": t, "end": t, "n": 1, "sv": v}
+            else:
+                cur["end"] = t
+                cur["n"] += 1
+                cur["sv"] += v
+        exp_rows.append((uid, cur["start"], cur["end"], cur["n"], cur["sv"]))
+    exp = (
+        pd.DataFrame(
+            exp_rows,
+            columns=["user_id", "session_start", "session_end", "n_events", "sum_value"],
+        )
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp), (len(got), len(exp))
+    for c in ["user_id", "session_start", "session_end", "n_events"]:
+        assert got[c].tolist() == exp[c].tolist(), c
+    np.testing.assert_allclose(got["sum_value"], exp["sum_value"], atol=1e-9)

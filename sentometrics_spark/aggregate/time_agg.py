@@ -175,6 +175,27 @@ def compute_stats(measures: DataFrame, series_keys: list[str] | None = None) -> 
     )
 
 
+def mean_corr_distributed(
+    measures: DataFrame, series_keys: list[str] | None = None
+) -> DataFrame:
+    """meanCorr fully distributed: self-join the long panel on bucket_ts,
+    Pearson corr per measure pair, then average over the other measures
+    (/root/reference/R/utils.R:371-387 semantics — diagonal excluded).
+    The join is on the bucket spine (#buckets x #measures rows), tiny
+    relative to the corpus; no driver collect."""
+    keys = series_keys if series_keys is not None else [*SERIES_KEYS, "timeweight"]
+    m = measures.withColumn("__m", F.concat_ws("--", *keys))
+    a = m.select("bucket_ts", *keys, F.col("__m").alias("__ma"), F.col("value").alias("__va"))
+    b = m.select("bucket_ts", F.col("__m").alias("__mb"), F.col("value").alias("__vb"))
+    pair_corr = (
+        a.join(b, "bucket_ts")
+        .filter(F.col("__ma") != F.col("__mb"))
+        .groupBy(*keys, "__mb")
+        .agg(F.corr("__va", "__vb").alias("c"))
+    )
+    return pair_corr.groupBy(*keys).agg(F.avg("c").alias("meanCorr"))
+
+
 def stats_with_mean_corr(measures: DataFrame, series_keys: list[str] | None = None):
     """Full compute_stats incl. mean pairwise correlation
     (/root/reference/R/utils.R:371-387). The measures panel is small

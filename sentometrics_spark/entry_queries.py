@@ -908,6 +908,18 @@ def q_measures_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_measures_mean_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7 meanCorr, fully distributed (self-join on the bucket spine +
+    pairwise Pearson corr + average over the other measures)."""
+    from sentometrics_spark.aggregate.time_agg import mean_corr_distributed
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    mc = mean_corr_distributed(_measures_base(spark, sf_dir))
+    return mc.select(
+        "lexicon", "feature", "timeweight", _r6("meanCorr").alias("mean_corr")
+    )
+
+
 def q_merge_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1: n-ary sentiment merge — two disjoint sub-corpora scored
     independently then merged must equal scoring the whole corpus (doc-local
@@ -1170,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # K7, A3-inverseExponential, exponential tier composability)
         "measures_subset_select": q_measures_subset,
         "measures_stats": q_measures_stats,
+        "measures_mean_corr": q_measures_mean_corr,
         "merge_sentiment_split": q_merge_sentiment,
         "measures_update_full": q_measures_update,
         "add_features_count": q_add_features_count,
@@ -1265,6 +1278,18 @@ SELECT lexicon, feature, timeweight,
        {r6('AVG(value)')} AS mean, {r6('stddev_samp(value)')} AS sd,
        {r6('MAX(value)')} AS max, {r6('MIN(value)')} AS min
 FROM rolled GROUP BY 1, 2, 3""",
+        "measures_mean_corr": base
+        + f""",
+pairs AS (
+  SELECT a.lexicon, a.feature, a.timeweight,
+         b.lexicon AS lb, b.feature AS fb, b.timeweight AS tb,
+         corr(a.value, b.value) AS c
+  FROM rolled a JOIN rolled b ON a.bucket_ts = b.bucket_ts
+   AND (a.lexicon, a.feature, a.timeweight) <> (b.lexicon, b.feature, b.timeweight)
+  GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT lexicon, feature, timeweight, {r6('AVG(c)')} AS mean_corr
+FROM pairs GROUP BY 1, 2, 3""",
         # disjoint sub-corpora merge == whole-corpus scoring (doc-local how)
         "merge_sentiment_split": sentiment_cte("counts") + _SENT_FINAL,
         # incremental update == full recompute

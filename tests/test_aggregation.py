@@ -139,3 +139,30 @@ def test_lag_one_identity(sent):
     rolled = aggregate_time(m, kernels, 1).toPandas().sort_values(MKEY)
     base = m.toPandas().sort_values(MKEY)
     np.testing.assert_allclose(rolled["value"].to_numpy(), base["value"].to_numpy(), atol=1e-12)
+
+
+def test_mean_corr_distributed_equals_pandas(sent):
+    """K7 meanCorr: the distributed self-join formulation must equal the
+    driver-side pandas panel correlation (reference utils.R:371-387)."""
+    from sentometrics_spark.aggregate.time_agg import (
+        mean_corr_distributed,
+        stats_with_mean_corr,
+    )
+
+    m = aggregate_docs(sent, by="day", keep_partials=False).select(*MKEY, "value")
+    filled = measures_fill(m, by="day", fill="zero")
+    kernels = setup_time_weights((TimeKernelSpec("equal_weight"),), 3)
+    rolled = aggregate_time(filled, kernels, 3)
+    got = (
+        mean_corr_distributed(rolled)
+        .toPandas()
+        .sort_values(["lexicon", "feature", "timeweight"])
+        .reset_index(drop=True)
+    )
+    exp = stats_with_mean_corr(rolled)
+    exp_keys = exp.index.to_series().str.split("--", expand=True)
+    exp = exp.assign(
+        lexicon=exp_keys[0].values, feature=exp_keys[1].values, timeweight=exp_keys[2].values
+    ).sort_values(["lexicon", "feature", "timeweight"]).reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    np.testing.assert_allclose(got["meanCorr"], exp["meanCorr"], atol=1e-9)

@@ -544,6 +544,41 @@ SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
 FROM p WHERE c >= 0.7"""
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs at threshold 0.8 (the shingle
+    self-join path; hot-shingle cap inactive at this df scale so the
+    result is exact — textops/dedup.py ngram_jaccard_pairs)."""
+    from sentometrics_spark.textops.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(docs, id_col="doc_id", n=3, threshold=0.8)
+    return pairs.select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"),
+        _r6("jaccard").alias("jaccard"),
+    )
+
+
+SQL_NGRAM_JACCARD = """WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') words FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(words) - 2, 1) + 1),
+             i -> array_to_string(words[i:i+2], ' '))) s
+  FROM w
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.s, b.s))::DOUBLE
+           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) > 0
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       floor(j * 1000000 + 0.5 + 1e-9) / 1000000.0 AS jaccard
+FROM p WHERE j >= 0.8"""
+
+
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force top-5 cosine neighbors for query vectors vec_id < 3."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1202,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fingerprint": q_dedup_fingerprint,
         "knn_cosine_top5": q_knn_cosine,
         "embed_neardup_pairs": q_embed_neardup,
+        "ngram_jaccard_pairs": q_ngram_jaccard,
         "text_quality": q_text_quality,
         "events_hourly": q_events_hourly,
     }
@@ -1387,6 +1423,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_fingerprint": SQL_DEDUP_FINGERPRINT,
         "knn_cosine_top5": SQL_KNN_COSINE,
         "embed_neardup_pairs": SQL_EMBED_NEARDUP,
+        "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
         "text_quality": SQL_TEXT_QUALITY,
         "events_hourly": SQL_EVENTS_HOURLY,
     }

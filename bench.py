@@ -220,7 +220,9 @@ def main() -> None:
         rep = int(os.environ.get("SPARK_GRAFT_REPLICATE", "1000"))
         src = os.environ.get("SPARK_GRAFT_SCALE_SRC", "")
         if not src:
-            src = f"/tmp/bench_pages_rep{rep}"
+            # keyed by sf AND rep so a corpus from another scale factor is
+            # never silently reused
+            src = f"/tmp/bench_pages_{os.path.basename(sf_dir.rstrip('/'))}_rep{rep}"
             if not os.path.isdir(src):
                 spark = get_spark(8)
                 spark.sparkContext.setLogLevel("ERROR")

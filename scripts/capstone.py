@@ -40,7 +40,7 @@ def main() -> None:
     from sentometrics_spark.storage.gorilla import compress_series_df
     from pyspark.sql import functions as F
 
-    src = f"/tmp/bench_pages_rep{rep}"
+    src = f"/tmp/bench_pages_{os.path.basename(sf_dir.rstrip('/'))}_rep{rep}"
     spark = get_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     if not os.path.isdir(src):

@@ -92,9 +92,13 @@ def _exp_value(c: float):
     (inverseExponential negates every num_d, which cancels in the ratio —
     the reference's two schemes produce identical weighted means; formulas
     /root/reference/R/sentomeasures_main.R:553-576.)"""
+    # guard bucket_wc = 0 (a bucket whose docs all tokenized to zero
+    # words): c/0 = Inf and Inf*0 = NaN, which try_divide/coalesce would
+    # pass through — such a bucket has no weighable docs, so value = 0.0
     w = F.col("bucket_wc")
-    num = (F.lit(c) / w) * F.col("wcs_sum") - F.lit(c) * F.col("s_sum")
-    den = (F.lit(c) / w) * F.col("wc_in") - F.lit(c) * F.col("n_docs_in")
+    cw = F.when(w > 0, F.lit(c) / w)
+    num = cw * F.col("wcs_sum") - F.lit(c) * F.col("s_sum")
+    den = cw * F.col("wc_in") - F.lit(c) * F.col("n_docs_in")
     return F.coalesce(F.try_divide(num, den), F.lit(0.0))
 
 

@@ -78,8 +78,10 @@ def measures_fill(
     filled = grid.join(measures, ["bucket_ts", *keys], "left")
     src = F.when(F.col("value").isNotNull(), F.col("bucket_ts"))
     if fill == "zero":
-        out = filled.withColumn("value", F.coalesce("value", F.lit(0.0)))
-        return out.withColumn("src_ts", src) if keep_source else out
+        # src_ts BEFORE the coalesce overwrites value, so zero-filled gap
+        # rows keep src_ts null (the column's contract)
+        out = filled.withColumn("src_ts", src) if keep_source else filled
+        return out.withColumn("value", F.coalesce("value", F.lit(0.0)))
     # latest: last-observation-carried-forward per series
     w = (
         Window.partitionBy(*keys)

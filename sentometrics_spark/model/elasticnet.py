@@ -353,23 +353,47 @@ def _sento_model_multinomial(y: pd.Series, X: pd.DataFrame, ctr: ModelCtr) -> Se
     n = len(y_al)
     ys = {c: (y_al == c).to_numpy(dtype=float) for c in classes}
 
-    # calibrate on the pooled grid: sum of per-class deviances + penalty*df
-    pen = {"BIC": np.log(n), "AIC": 2.0, "Cp": 2.0, "cv": 2.0}[ctr.calibration]
     best = None
     ref = ys[classes[0]]
-    for alpha in ctr.alphas:
-        lams = _lambda_path(Xn, ref, alpha, ctr.n_lambdas)
-        for lam in lams:
-            tot, dftot = 0.0, 0.0
-            per_class = {}
-            for c in classes:
-                coefs, b0 = logistic_enet_cd(Xn, ys[c], alpha, lam)
-                tot += _binomial_deviance(ys[c], Xn @ coefs + b0)
-                dftot += _df_enet(Xn, coefs, lam, alpha)
-                per_class[c] = (coefs, b0)
-            crit = tot + pen * dftot
-            if best is None or crit < best[0]:
-                best = (crit, alpha, lam, per_class)
+    if ctr.calibration == "cv":
+        # rolling-origin CV on pooled OvR classification error (argmax
+        # prediction over the per-class scores), mirroring the
+        # gaussian/binomial cv branch in sento_model
+        yn_lbl = y_al.to_numpy()
+        for alpha in ctr.alphas:
+            lams = _lambda_path(Xn, ref, alpha, ctr.n_lambdas)
+            for lam in lams:
+                per_class = {
+                    c: logistic_enet_cd(Xn, ys[c], alpha, lam) for c in classes
+                }
+                errs = []
+                for tr, te in create_cv_slices(n, ctr.cv_train, ctr.cv_test):
+                    etas = []
+                    for c in classes:
+                        c2, i2 = logistic_enet_cd(Xn[tr], ys[c][tr], alpha, lam)
+                        etas.append(Xn[te] @ c2 + i2)
+                    pred_idx = np.argmax(np.vstack(etas), axis=0)
+                    pred = np.array(classes, dtype=object)[pred_idx]
+                    errs.append(float((pred != yn_lbl[te]).mean()))
+                crit = float(np.mean(errs)) if errs else np.inf
+                if best is None or crit < best[0]:
+                    best = (crit, alpha, lam, per_class)
+    else:
+        # calibrate on the pooled grid: sum of per-class deviances + penalty*df
+        pen = {"BIC": np.log(n), "AIC": 2.0, "Cp": 2.0}[ctr.calibration]
+        for alpha in ctr.alphas:
+            lams = _lambda_path(Xn, ref, alpha, ctr.n_lambdas)
+            for lam in lams:
+                tot, dftot = 0.0, 0.0
+                per_class = {}
+                for c in classes:
+                    coefs, b0 = logistic_enet_cd(Xn, ys[c], alpha, lam)
+                    tot += _binomial_deviance(ys[c], Xn @ coefs + b0)
+                    dftot += _df_enet(Xn, coefs, lam, alpha)
+                    per_class[c] = (coefs, b0)
+                crit = tot + pen * dftot
+                if best is None or crit < best[0]:
+                    best = (crit, alpha, lam, per_class)
     crit, alpha, lam, per_class = best
     coef_df = pd.DataFrame(
         {c: per_class[c][0] for c in classes}, index=X_al.columns
@@ -392,7 +416,13 @@ def model_performance(preds: pd.DataFrame, family: str = "gaussian") -> dict[str
     /root/reference/R/sentomodel.R:598-632). gaussian: RMSFE/MAD/MDA;
     binomial/multinomial: accuracy in percent, like the reference."""
     if family in ("binomial", "multinomial"):
-        acc = (preds["pred"] == preds["actual"]).astype(float)
+        pred = preds["pred"]
+        if family == "binomial" and pred.dtype.kind == "f" and not pred.isin([0.0, 1.0]).all():
+            # SentoModel.predict returns class-1 probabilities for binomial;
+            # threshold at 0.5 so the natural predict() -> performance
+            # pipeline measures accuracy, not prob==label (always false)
+            pred = (pred >= 0.5).astype(float)
+        acc = (pred == preds["actual"]).astype(float)
         return {"accuracy": float(acc.mean()) * 100.0}
     err = preds["pred"] - preds["actual"]
     out = {

@@ -20,7 +20,6 @@ Replicated quirks of the reference worker (code is the contract, not docs):
 
 from __future__ import annotations
 
-import re
 from collections.abc import Iterator
 
 import numpy as np

@@ -22,7 +22,6 @@ feature, score).
 
 from __future__ import annotations
 
-import re
 from collections.abc import Iterator
 
 import numpy as np

@@ -123,6 +123,19 @@ class CheckpointedRun:
                     removed.append(bid)
         return removed
 
+    # -- result schema (for empty-state reads) ------------------------------
+
+    @property
+    def _schema_path(self) -> str:
+        return f"{self.root}/_schema"
+
+    def _save_schema(self, result: DataFrame) -> None:
+        """Pin the result schema once (a zero-row parquet) so results()
+        stays readable when no batch has committed yet."""
+        fs, p = self._fs_and_path(self._schema_path)
+        if not fs.exists(p):
+            result.limit(0).write.mode("overwrite").parquet(self._schema_path)
+
     # -- run --------------------------------------------------------------
 
     def run(
@@ -158,6 +171,7 @@ class CheckpointedRun:
                 for r in batch_src.groupBy("__pk").agg(F.count("*").alias("n")).collect()
             }
             result = process_fn(batch_src.drop("__pk"))
+            self._save_schema(result)
             batch_dir = f"{self.results_path}/__batch={batch_id}"
             result.write.mode("overwrite").parquet(batch_dir)
             # O(batch) metadata read: parquet count() comes from footers of
@@ -193,6 +207,16 @@ class CheckpointedRun:
         """All committed results: batches recorded 'done' in the manifest.
         __batch is a Hive partition column, so the isin filter prunes
         directories at scan time."""
-        df = self.spark.read.parquet(self.results_path)
         done = sorted(self._done_batch_ids())
+        if not done:
+            # nothing committed yet (fresh run, or crash-recovery swept the
+            # only orphaned batch): an empty frame in the pinned result
+            # schema, not a read error on a missing/empty parquet path
+            fs, p = self._fs_and_path(self._schema_path)
+            if fs.exists(p):
+                return self.spark.read.parquet(self._schema_path)
+            raise RuntimeError(
+                "no committed results and no pinned schema yet: call run() first"
+            )
+        df = self.spark.read.parquet(self.results_path)
         return df.filter(F.col("__batch").isin(done)).drop("__batch")

@@ -110,6 +110,19 @@ def lsh_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
+def _unit_vectors(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, v) with v L2-normalized. The norm is computed ONCE into a
+    column and divided out — a per-element transform that recomputes the
+    aggregate norm inside the lambda would be O(d^2) per vector."""
+    return (
+        emb.withColumn("__n", _norm(F.col(vec_col)))
+        .select(
+            F.col(id_col).alias("id"),
+            F.transform(vec_col, lambda x: x.cast("double") / F.col("__n")).alias("v"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.92,
@@ -120,14 +133,9 @@ def embedding_near_dup_pairs(
     and cosine(a, b) >= threshold. O(n²) self-join — this is the
     correctness baseline and the DuckDB-oracle path; use
     embedding_near_dup_lsh for corpora where n² is not an option."""
-    a = emb.select(
-        F.col(id_col).alias("id_a"),
-        (F.transform(vec_col, lambda x: x.cast("double") / _norm(F.col(vec_col)))).alias("va"),
-    )
-    b = emb.select(
-        F.col(id_col).alias("id_b"),
-        (F.transform(vec_col, lambda x: x.cast("double") / _norm(F.col(vec_col)))).alias("vb"),
-    )
+    normed = _unit_vectors(emb, id_col, vec_col)
+    a = normed.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = normed.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     cos = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -156,10 +164,7 @@ def embedding_near_dup_lsh(
     tables push recall toward 1 (pytest pins recall vs the exact path).
     Bucket width is tunable: more bits = smaller buckets = cheaper join,
     lower per-table recall."""
-    norm_emb = emb.select(
-        F.col(id_col).alias("id"),
-        F.transform(vec_col, lambda x: x.cast("double") / _norm(F.col(vec_col))).alias("v"),
-    )
+    norm_emb = _unit_vectors(emb, id_col, vec_col)
     cand_tables = []
     for t in range(n_tables):
         planes = random_hyperplanes(dim, bits, seed + t)

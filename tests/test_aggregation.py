@@ -166,3 +166,23 @@ def test_mean_corr_distributed_equals_pandas(sent):
     ).sort_values(["lexicon", "feature", "timeweight"]).reset_index(drop=True)
     assert len(got) == len(exp) > 0
     np.testing.assert_allclose(got["meanCorr"], exp["meanCorr"], atol=1e-9)
+
+
+def test_fill_zero_keep_source_gap_rows_null(spark):
+    """keep_source with fill='zero': src_ts is the observed bucket on
+    observed rows and NULL on zero-filled gap rows (regression: the
+    coalesce used to run first, stamping every gap with its own ts)."""
+    import datetime as dt
+
+    m = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 1), "L", "f", 0.5),
+            (dt.datetime(2024, 1, 4), "L", "f", 0.7),
+        ],
+        "bucket_ts timestamp, lexicon string, feature string, value double",
+    )
+    out = measures_fill(m, by="day", fill="zero", keep_source=True).toPandas()
+    out = out.sort_values("bucket_ts").reset_index(drop=True)
+    assert len(out) == 4
+    assert out["src_ts"].notna().tolist() == [True, False, False, True]
+    assert out["value"].tolist() == [0.5, 0.0, 0.0, 0.7]

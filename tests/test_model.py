@@ -294,3 +294,34 @@ def test_attribution_reconciliation_latest_fill_gappy(spark):
         .toPandas().set_index("pred_ts")["s"].sort_index()
     )
     np.testing.assert_allclose(docs.to_numpy(), pred.to_numpy(), atol=1e-9)
+
+
+def test_multinomial_cv_calibration():
+    """calibration='cv' on multinomial runs real rolling-origin CV (pooled
+    OvR argmax classification error), not a silent IC fallback."""
+    rng = np.random.RandomState(7)
+    n = 90
+    X = pd.DataFrame(rng.normal(size=(n, 4)), columns=list("abcd"))
+    eta = 2.5 * X["a"] - 2.0 * X["c"]
+    y = pd.Series(np.where(eta > 0.8, "hi", np.where(eta < -0.8, "lo", "mid")))
+    ctr = ModelCtr(model="multinomial", calibration="cv", alphas=(1.0,),
+                   n_lambdas=8, cv_train=50, cv_test=10)
+    m = sento_model(y, X, ctr)
+    assert sorted(m.classes) == ["hi", "lo", "mid"]
+    pred = m.predict(X)
+    acc = float((pred == y).mean())
+    assert acc >= 0.8, acc
+    # criterion is a mean CV error rate, bounded in [0, 1]
+    assert 0.0 <= m.criterion <= 1.0
+
+
+def test_binomial_performance_thresholds_probabilities():
+    """model_performance(binomial) accepts probability predictions from
+    SentoModel.predict and thresholds at 0.5 (regression: prob == label
+    used to yield 0% accuracy silently)."""
+    preds = pd.DataFrame({"pred": [0.9, 0.2, 0.7, 0.4], "actual": [1.0, 0.0, 1.0, 0.0]})
+    out = model_performance(preds, family="binomial")
+    assert out["accuracy"] == 100.0
+    # hard labels still work unchanged
+    hard = pd.DataFrame({"pred": [1.0, 0.0, 0.0], "actual": [1.0, 0.0, 1.0]})
+    assert abs(model_performance(hard, family="binomial")["accuracy"] - 66.6667) < 0.01

@@ -200,3 +200,79 @@ def test_stream_sessionize_equals_batch(spark, tmp_path):
     for c in ["user_id", "session_start", "session_end", "n_events"]:
         assert got[c].tolist() == exp[c].tolist(), c
     np.testing.assert_allclose(got["sum_value"], exp["sum_value"], atol=1e-9)
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_stream_sessionize_randomized(spark, tmp_path, seed):
+    """Randomized stream==batch: synthetic events with bursty gaps, split
+    into 3 ts-ordered micro-batches at random cut points (events within a
+    batch arrive UNORDERED — the kernel sorts per batch)."""
+    import pandas as pd
+
+    rng = np.random.RandomState(seed)
+    rows = []
+    t0 = pd.Timestamp("2024-03-01")
+    for uid in range(12):
+        t = t0 + pd.Timedelta(minutes=int(rng.randint(0, 120)))
+        for _ in range(rng.randint(5, 40)):
+            # mixture of intra-session (<30min) and new-session gaps
+            gap_min = float(rng.choice([1, 5, 20, 45, 120], p=[0.4, 0.3, 0.1, 0.1, 0.1]))
+            t = t + pd.Timedelta(minutes=gap_min)
+            rows.append((uid, t, float(rng.normal())))
+    ev = pd.DataFrame(rows, columns=["user_id", "ts", "value"]).sort_values("ts").reset_index(drop=True)
+    cuts = sorted(rng.choice(np.arange(1, len(ev) - 1), size=2, replace=False))
+    parts = [ev.iloc[: cuts[0]], ev.iloc[cuts[0] : cuts[1]], ev.iloc[cuts[1] :]]
+
+    src = tmp_path / "rand_src"
+    src.mkdir()
+    kw = {"coerce_timestamps": "us", "allow_truncated_timestamps": True}
+    max_ts = ev["ts"].max()
+    for i, p in enumerate(parts):
+        # shuffle WITHIN the batch (kernel must sort); append watermark
+        # sentinels to the last batch + a flush file
+        p = p.sample(frac=1.0, random_state=seed + i)
+        if i == len(parts) - 1:
+            p = pd.concat([p, pd.DataFrame(
+                {"user_id": [999999], "ts": [max_ts + pd.Timedelta(days=5)], "value": [0.0]})])
+        p.to_parquet(src / f"f{i}.parquet", index=False, **kw)
+    pd.DataFrame({"user_id": [999999], "ts": [max_ts + pd.Timedelta(days=10)], "value": [0.0]}).to_parquet(
+        src / "f9.parquet", index=False, **kw)
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    qname = f"rand_sessions_{seed}"
+    q = (
+        streaming.stream_sessionize(stream, gap_min=30)
+        .writeStream.format("memory").queryName(qname).outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql(f"SELECT * FROM {qname}")
+        .filter(F.col("user_id") != 999999)
+        .toPandas().sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    )
+
+    exp_rows = []
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values("ts")
+        cur = None
+        for t, v in zip(g["ts"], g["value"]):
+            if cur is None or (t - cur["end"]).total_seconds() > 1800:
+                if cur is not None:
+                    exp_rows.append((uid, cur["start"], cur["end"], cur["n"], cur["sv"]))
+                cur = {"start": t, "end": t, "n": 1, "sv": v}
+            else:
+                cur["end"], cur["n"], cur["sv"] = t, cur["n"] + 1, cur["sv"] + v
+        exp_rows.append((uid, cur["start"], cur["end"], cur["n"], cur["sv"]))
+    exp = pd.DataFrame(exp_rows, columns=["user_id", "session_start", "session_end", "n_events", "sum_value"]) \
+        .sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    for c in ["user_id", "session_start", "session_end", "n_events"]:
+        assert got[c].tolist() == exp[c].tolist(), c
+    np.testing.assert_allclose(got["sum_value"], exp["sum_value"], atol=1e-9)

@@ -34,7 +34,22 @@ GOLDEN = {
 }
 
 
-@pytest.mark.parametrize("text,expected", GOLDEN.items())
+# Scripts WITHOUT inter-word spaces (CJK, Thai): ICU dictionary-segments
+# these; this engine keeps each unspaced run as ONE token — a documented
+# approximation that is self-consistent for lexicon matching as long as
+# lexicon entries use the same convention. RTL scripts and Hangul (spaced)
+# segment exactly; symbols/emoji carry no letter and are dropped
+# (skip_word_none).
+GOLDEN_SCRIPTS = {
+    "今日は良い天気 hello world": ["今日は良い天気", "hello", "world"],
+    "العربية نص test": ["العربية", "نص", "test"],
+    "한국어 단어 mix": ["한국어", "단어", "mix"],
+    "🙂 emoji 🎉 here": ["emoji", "here"],
+    "ไทยไม่มีช่องว่าง thai": ["ไทยไม่มีช่องว่าง", "thai"],
+}
+
+
+@pytest.mark.parametrize("text,expected", {**GOLDEN, **GOLDEN_SCRIPTS}.items())
 def test_golden_tokens(text, expected):
     assert tokenize_to_lists([text])[0] == expected
 

@@ -113,3 +113,32 @@ def test_inverse_exponential_equals_exponential(sent):
     ga = a.select(*KEY, "value").toPandas().sort_values(KEY).reset_index(drop=True)
     gb = b.select(*KEY, "value").toPandas().sort_values(KEY).reset_index(drop=True)
     np.testing.assert_allclose(ga["value"].to_numpy(), gb["value"].to_numpy(), atol=1e-9)
+
+
+def test_exponential_tier_zero_wordcount_bucket(spark):
+    """A bucket whose documents ALL tokenized to zero words (digits-only
+    web text) must produce value 0.0, not NaN (regression: c/bucket_wc
+    with bucket_wc=0 produced Inf*0 = NaN through try_divide/coalesce)."""
+    import datetime as dt
+
+    from sentometrics_spark.aggregate.tiers import base_tier_exponential, rollup_exponential
+
+    rows = [
+        # bucket 1: normal docs
+        ("u1", dt.datetime(2024, 1, 1, 9), "en", 10, "L", "f", 0.4),
+        ("u2", dt.datetime(2024, 1, 1, 9), "en", 5, "L", "f", -0.2),
+        # bucket 2: all zero-word docs
+        ("u3", dt.datetime(2024, 1, 1, 10), "en", 0, "L", "f", 0.0),
+        ("u4", dt.datetime(2024, 1, 1, 10), "en", 0, "L", "f", 0.0),
+    ]
+    sent = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, lang string, word_count long, "
+        "lexicon string, feature string, score double",
+    )
+    hour = base_tier_exponential(sent, by="hour", alpha=0.1)
+    pdf = hour.toPandas().set_index("bucket_ts").sort_index()
+    assert np.isfinite(pdf["value"]).all(), pdf
+    assert pdf.loc[dt.datetime(2024, 1, 1, 10), "value"] == 0.0
+    day = rollup_exponential(hour, "day", alpha=0.1).toPandas()
+    assert np.isfinite(day["value"]).all(), day

@@ -222,7 +222,7 @@ def aggregate_sentences(
     agg = s.groupBy("url", *MEASURE_KEYS).agg(
         F.first("warc_ts").alias("warc_ts"),
         F.first("lang").alias("lang"),
-        F.coalesce(F.sum(num_eff * score) / F.sum(num_eff), F.lit(0.0)).alias("score"),
+        F.coalesce(F.try_divide(F.sum(num_eff * score), F.sum(num_eff)), F.lit(0.0)).alias("score"),
     )
     return agg.join(wc, "url").select(
         "url", "warc_ts", "lang", "word_count", *MEASURE_KEYS, "score"
@@ -257,5 +257,8 @@ def doc_weights(
         "url",
         "bucket_ts",
         *MEASURE_KEYS,
-        (num / F.sum(num).over(w)).alias("weight"),
+        # try_divide: an exactly-zero weight sum (e.g. exponential's
+        # num = c*(wc/W - 1) when one doc carries the whole bucket) must
+        # yield null weights, not an ANSI DIVIDE_BY_ZERO abort
+        F.try_divide(num, F.sum(num).over(w)).alias("weight"),
     )

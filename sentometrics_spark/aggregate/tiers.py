@@ -236,8 +236,25 @@ class TierStore:
         kept = df.crossJoin(F.broadcast(mx.select(cutoff.alias("cutoff")))).filter(
             F.col("bucket_ts") > F.col("cutoff")
         ).drop("cutoff")
-        kept = kept.cache()
-        n = kept.count()
-        self.write(tier, kept)
-        kept.unpersist()
+        # write to a sibling temp dir, then swap: kept is LAZY over the
+        # path being replaced, and cache() is only best-effort (an evicted
+        # partition would recompute from a half-deleted source mid-write).
+        # On Iceberg this whole method is a metadata-only partition drop.
+        import shutil
+        import uuid
+
+        tmp = f"{self.path(tier)}__retention_{uuid.uuid4().hex[:8]}"
+        (
+            kept.withColumn("bucket_date", F.to_date("bucket_ts"))
+            .repartition("bucket_date")
+            .write.format(self.fmt)
+            .mode("overwrite")
+            .partitionBy("bucket_date")
+            .save(tmp)
+        )
+        n = self.spark.read.format(self.fmt).load(tmp).count()
+        shutil.rmtree(self.path(tier))
+        import os
+
+        os.rename(tmp, self.path(tier))
         return n

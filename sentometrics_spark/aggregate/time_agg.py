@@ -195,7 +195,15 @@ def mean_corr_distributed(
         .groupBy(*keys, "__mb")
         .agg(F.corr("__va", "__vb").alias("c"))
     )
-    return pair_corr.groupBy(*keys).agg(F.avg("c").alias("meanCorr"))
+    # the reference drops every correlation EQUAL to 1 (not just the
+    # diagonal) before averaging: corrs[corrs == 1] <- NA,
+    # /root/reference/R/utils.R:381-383. Tested as |c-1| < 1e-12 rather
+    # than exact equality: different engines' corr of a perfectly
+    # proportional pair land 1 ulp apart, and the exclusion must not
+    # depend on which side of the ulp you compute on.
+    return pair_corr.groupBy(*keys).agg(
+        F.avg(F.when(F.abs(F.col("c") - 1.0) >= 1e-12, F.col("c"))).alias("meanCorr")
+    )
 
 
 def stats_with_mean_corr(measures: DataFrame, series_keys: list[str] | None = None):
@@ -219,6 +227,9 @@ def stats_with_mean_corr(measures: DataFrame, series_keys: list[str] | None = No
     )
     if panel.shape[1] > 1:
         corr = panel.corr()
-        np.fill_diagonal(corr.values, np.nan)
+        # reference: corrs[corrs == 1] <- NA (ALL exact-1 correlations,
+        # not only the diagonal; /root/reference/R/utils.R:381-383);
+        # |c-1| < 1e-12 so the rule is engine-ulp-independent
+        corr.values[np.abs(corr.values - 1.0) < 1e-12] = np.nan
         stats["meanCorr"] = corr.mean(axis=1, skipna=True)
     return stats

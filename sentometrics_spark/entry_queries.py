@@ -1324,7 +1324,7 @@ pairs AS (
    AND (a.lexicon, a.feature, a.timeweight) <> (b.lexicon, b.feature, b.timeweight)
   GROUP BY 1, 2, 3, 4, 5, 6
 )
-SELECT lexicon, feature, timeweight, {r6('AVG(c)')} AS mean_corr
+SELECT lexicon, feature, timeweight, {r6('AVG(c) FILTER (abs(c - 1) >= 1e-12)')} AS mean_corr
 FROM pairs GROUP BY 1, 2, 3""",
         # disjoint sub-corpora merge == whole-corpus scoring (doc-local how)
         "merge_sentiment_split": sentiment_cte("counts") + _SENT_FINAL,

@@ -27,6 +27,11 @@ class Lexicons:
     lex: dict[str, dict[str, dict[str, float]]]
     # {lang: {word: (y, t)}}
     valence: dict[str, dict[str, tuple[float, int]]] = field(default_factory=dict)
+    # which valence column drives auto-dispatch, mirroring the reference's
+    # either/or valence table shape (x,y) vs (x,t)
+    # (/root/reference/R/sentiment_engines.R:36-51): "y" -> bigram shifting,
+    # "t" -> cluster scoring. Explicit mode= on compute_sentiment_udf wins.
+    valence_use: str = "y"
 
     def __post_init__(self) -> None:
         for lang, lexs in self.lex.items():
@@ -60,7 +65,7 @@ class Lexicons:
                 neg = {w: y for w, y in words.items() if y < 0}
                 out[lang][f"{name}_POS"] = pos
                 out[lang][f"{name}_NEG"] = neg
-        return Lexicons(lex=out, valence=self.valence)
+        return Lexicons(lex=out, valence=self.valence, valence_use=self.valence_use)
 
     # ---- packing for the scoring kernels -------------------------------
 

@@ -122,7 +122,9 @@ def scale_measures(measures: DataFrame, center: bool = True, scale: bool = True)
     if center:
         v = v - F.avg("value").over(w)
     if scale:
-        v = v / F.stddev_samp("value").over(w)
+        # try_divide: constant series (sd = 0) scale to null (R's scale()
+        # yields NaN there), not an ANSI DIVIDE_BY_ZERO abort
+        v = F.try_divide(v, F.stddev_samp("value").over(w))
     return measures.withColumn("value", v)
 
 
@@ -198,10 +200,26 @@ def peakdates(
 ) -> DataFrame:
     """M7: top-n bucket dates with most extreme measure values
     (/root/reference/R/sentomeasures_main.R:496-516)."""
+    if type not in ("both", "pos", "neg"):
+        raise ValueError(type)
     if do_average:
         scored = measures.groupBy("bucket_ts").agg(F.avg("value").alias("m"))
     else:
-        scored = measures.select("bucket_ts", F.col("value").alias("m"))
+        # collapse to each date's MOST EXTREME measure value before ranking:
+        # the reference orders all (date, measure) values, takes the top
+        # m*n, then dedups dates — so a date ranks by its most extreme
+        # value and exactly n distinct dates come back (a naive
+        # limit-then-dedup can return fewer when extremes cluster on one
+        # date)
+        per_date = measures.select("bucket_ts", F.col("value").alias("m"))
+        if type == "both":
+            scored = per_date.groupBy("bucket_ts").agg(
+                F.max_by("m", F.abs("m")).alias("m")
+            )
+        elif type == "pos":
+            scored = per_date.groupBy("bucket_ts").agg(F.max("m").alias("m"))
+        else:
+            scored = per_date.groupBy("bucket_ts").agg(F.min("m").alias("m"))
     if type == "both":
         key = F.abs(F.col("m")).desc()
     elif type == "pos":
@@ -210,8 +228,7 @@ def peakdates(
         key = F.col("m").asc()
     else:
         raise ValueError(type)
-    top = scored.orderBy(key, F.col("bucket_ts")).limit(n)
-    return top.select("bucket_ts", "m").dropDuplicates(["bucket_ts"])
+    return scored.orderBy(key, F.col("bucket_ts")).limit(n).select("bucket_ts", "m")
 
 
 def to_wide(measures: DataFrame) -> DataFrame:

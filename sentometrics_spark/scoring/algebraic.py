@@ -201,8 +201,16 @@ def compute_sentiment_algebraic(
         # N and df are per-language: the reference scores each language
         # subcorpus independently (/root/reference/R/sentiment_engines.R:68-93).
         n_docs = docs.groupBy("lang").agg(F.count("*").cast("double").alias("n_docs"))
+        # df only for LEXICON words (the only ones whose weight is ever
+        # read): semi-joining the token stream against the broadcast
+        # lexicon dim BEFORE the distinct/groupBy keeps both the
+        # aggregation and the subsequent broadcast O(lexicon), not
+        # O(corpus vocabulary) — broadcasting a full web-corpus vocabulary
+        # df table would OOM the driver
+        lex_words = lexdf.select("lang", F.col("word").alias("token")).distinct()
         df_tok = (
             tok.select("url", "lang", "token")
+            .join(F.broadcast(lex_words), ["lang", "token"], "left_semi")
             .distinct()
             .groupBy("lang", "token")
             .agg(F.count("*").alias("df"))

@@ -88,6 +88,7 @@ def _sentence_cluster_scores(tokens: list[str], pack, how: str, tfidf) -> np.nda
     token_scores: dict[int, np.ndarray] = {}
     token_shift: dict[int, float] = {}
     weight_word: dict[int, str] = {}
+    visits: dict[int, int] = {}
     lB = 0
     for j, tok in enumerate(tokens):
         vid = w2.get(tok)
@@ -95,6 +96,7 @@ def _sentence_cluster_scores(tokens: list[str], pack, how: str, tfidf) -> np.nda
             continue
         token_scores[j] = pack.polarity[vid]
         weight_word[j] = tok
+        visits[j] = visits.get(j, 0) + 1
         neg = amp = deamp = adv = 0
         st = max(lB, j - nB)
         en = min(n, j + nA + 1)
@@ -109,6 +111,7 @@ def _sentence_cluster_scores(tokens: list[str], pack, how: str, tfidf) -> np.nda
             if kvid is not None:
                 token_scores[k] = pack.polarity[kvid]
                 weight_word[k] = tok
+                visits[k] = visits.get(k, 0) + 1
             else:
                 t = vt.get(tokens[k])
                 if t == 1:
@@ -135,6 +138,13 @@ def _sentence_cluster_scores(tokens: list[str], pack, how: str, tfidf) -> np.nda
     idxs = np.fromiter(token_scores.keys(), dtype=np.int64)
     pol = np.vstack([token_scores[i] for i in idxs])
     shift = np.fromiter((token_shift.get(int(i), 1.0) for i in idxs), dtype=np.float64)
+    # the C++ worker calls update_token_weights at EVERY visit of a hit —
+    # once as a cluster center, once per window it appears in — so the
+    # positional normalizer and nPolarized accumulate visit MULTIPLICITY,
+    # while each token still contributes to the score exactly once
+    # (SentimentScorerSentences.h:66,84-86; update_token_weights
+    # /root/reference/src/utils.h:99-125)
+    vis = np.fromiter((visits.get(int(i), 1) for i in idxs), dtype=np.float64)
     if how == "counts":
         w = np.ones(len(idxs))
     elif how == "proportional":
@@ -142,7 +152,7 @@ def _sentence_cluster_scores(tokens: list[str], pack, how: str, tfidf) -> np.nda
     elif how == "proportionalSquareRoot":
         w = np.full(len(idxs), 1.0 / np.sqrt(n))
     elif how == "proportionalPol":
-        npol = (pol != 0).sum(axis=0).astype(np.float64)
+        npol = ((pol != 0).astype(np.float64) * vis[:, None]).sum(axis=0)
         with np.errstate(divide="ignore", invalid="ignore"):
             wm = np.where(npol > 0, 1.0 / npol, 0.0)
         return (pol * shift[:, None] * wm[None, :]).sum(axis=0)
@@ -154,7 +164,7 @@ def _sentence_cluster_scores(tokens: list[str], pack, how: str, tfidf) -> np.nda
         w = np.log10(n_corpus / (1.0 + dfv))
     elif how in _POSITIONAL:
         w_raw = _positional_weights(how, idxs + 1, np.full(len(idxs), n))
-        norm = w_raw.sum()
+        norm = float((w_raw * vis).sum())
         w = w_raw / norm if norm != 0 else np.zeros(len(idxs))
     else:
         raise ValueError(how)
@@ -258,7 +268,13 @@ def compute_sentiment_sentences_udf(
                     )
                     lens = np.fromiter((len(s) for s in sentences), dtype=np.int64)
                 else:
-                    lens, mat = score_language_batch(sentences, pack, how, mode, tf)
+                    # the sentence worker's positional normalizer runs over
+                    # lexicon HITS only (update_token_weights is inside the
+                    # hit branch, SentimentScorerSentences.h:62-67), unlike
+                    # the doc-level Onegrams worker
+                    lens, mat = score_language_batch(
+                        sentences, pack, how, mode, tf, positional_norm="hits"
+                    )
                 n_sent = len(sentences)
                 rep = nL * n_feat
                 doc_of_sent = np.asarray(doc_of_sent)

@@ -89,6 +89,11 @@ def flat_from_texts(texts: pd.Series, pack) -> tuple:
 
     n_docs = len(texts)
     arr = pa.Array.from_pandas(texts)
+    if arr.null_count:
+        # null text (json/csv ingests) == empty doc; unguarded, the null
+        # length becomes NaN -> INT64_MIN and np.repeat crashes with an
+        # unrelated numpy error deep in the kernel
+        arr = pc.fill_null(arr, "")
     toks, needs_letter_filter = tokenize_arrow(arr)
     flat = pc.list_flatten(toks)
     lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -158,11 +163,18 @@ def score_language_batch(
     how: str,
     mode: str,
     tfidf: tuple[float, dict[str, float]] | None = None,
+    positional_norm: str | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Score one language's documents from token lists. Returns
-    (word_count [n], scores [n, nL]). Exact port of the C++ semantics."""
+    (word_count [n], scores [n, nL]). Exact port of the C++ semantics.
+
+    positional_norm overrides the positional-how normalizer basis:
+    None = engine default ("all" tokens for unigram, "hits" for bigram);
+    the SENTENCE worker calls update_token_weights only at lexicon hits
+    (/root/reference/src/SentimentScorerSentences.h:62-67), so the
+    sentence engine passes "hits" even in unigram mode."""
     flat = flat_from_tokens(tokens, pack)
-    return flat[1], score_flat(flat, pack, how, mode, tfidf)
+    return flat[1], score_flat(flat, pack, how, mode, tfidf, positional_norm)
 
 
 def score_flat(
@@ -171,6 +183,7 @@ def score_flat(
     how: str,
     mode: str,
     tfidf: tuple[float, dict[str, float]] | None = None,
+    positional_norm: str | None = None,
 ) -> np.ndarray:
     """Scoring core over the flat indexed representation."""
     n_docs, lens, doc_idx, pos_in_doc, vid, vy, vt = flat
@@ -223,7 +236,8 @@ def score_flat(
         w = np.log10(n_corpus / (1.0 + dfv))
     elif how in _POSITIONAL:
         w_hit = _positional_weights(how, pos_in_doc[hit_idx] + 1, lens[hdoc])
-        if mode == "unigram":
+        basis = positional_norm or ("all" if mode == "unigram" else "hits")
+        if basis == "all":
             # normalizer over ALL tokens (SentimentScorerOnegrams.h:63-66)
             w_all = _positional_weights(how, pos_in_doc + 1, lens[doc_idx])
             norm = np.zeros(n_docs)
@@ -431,7 +445,12 @@ def compute_sentiment_udf(
     /root/reference/R/sentiment_engines.R:11-12,234-240)."""
     spark = pages.sparkSession
     if mode is None:
-        mode = "bigram" if lexicons.valence else "unigram"
+        if not lexicons.valence:
+            mode = "unigram"
+        else:
+            # valence table shape drives the engine, as in the reference:
+            # a (x, y) table -> bigram shifting, a (x, t) table -> cluster
+            mode = "cluster" if lexicons.valence_use == "t" else "bigram"
     if mode not in ("unigram", "bigram", "cluster"):
         raise ValueError(f"unknown mode: {mode}")
 

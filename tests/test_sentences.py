@@ -132,3 +132,31 @@ def test_sentence_bigram_mode(spark):
     s = out.sort_values("sentence_id")["score"].tolist()
     assert s[0] == pytest.approx(2.0)  # 'the fast' -> y=2.0
     assert s[1] == pytest.approx(-1.0)  # 'a fast' -> y=-1.0
+
+
+def test_sentence_positional_normalizer_hits_only(spark):
+    """The sentence worker calls update_token_weights only at lexicon hits
+    (SentimentScorerSentences.h:62-67), so the UShaped normalizer sums over
+    HITS — unlike the doc-level Onegrams worker which sums over ALL tokens.
+    Hand case: 'fast aa bb slow cc' (n=5, hits at x=1 w=4 and x=4 w=1):
+    sentence score = (4*1 + 1*(-2)) / 5 = 0.4; the doc-level convention
+    would give (4*1 + 1*(-2)) / 10 = 0.2."""
+    import datetime as dt
+
+    lex = Lexicons(lex={"en": {"L": {"fast": 1.0, "slow": -2.0}}})
+    pages = spark.createDataFrame(
+        [("u1", dt.datetime(2024, 1, 1), "en", "fast aa bb slow cc", 1.0)],
+        "url string, warc_ts timestamp, lang string, text string, feat_x double",
+    )
+    out = compute_sentiment_sentences_udf(pages, lex, how="UShaped").toPandas()
+    np.testing.assert_allclose(out["score"].to_numpy(), [0.4], atol=1e-12)
+
+
+def test_sentence_cluster_normalizer_counts_visits(pack):
+    """update_token_weights runs once per VISIT of a hit (center + each
+    window membership), so adjacent hits double the normalizer while each
+    token scores once. 'fast slow' (n=2, w=0.25 each, 2 visits each):
+    norm = 0.25*2 + 0.25*2 = 1.0 -> score = 0.25*1 + 0.25*(-2) = -0.25
+    (a distinct-token normalizer would give -0.5)."""
+    got = cscore(pack, ["fast", "slow"], how="UShaped")
+    np.testing.assert_allclose(got, [-0.25], atol=1e-12)

@@ -17,19 +17,51 @@ Everything is long-format: measures live as rows keyed by
 name-mangled ``lexicon--feature--timeweight`` wide columns.
 """
 
-from sentometrics_spark.config import AggSpec, TimeKernelSpec
+from sentometrics_spark.config import AggSpec, TimeKernelSpec, get_hows
 from sentometrics_spark.lexicons import Lexicons, fixture_lexicons
-from sentometrics_spark.corpus import build_pages, extract_text, corpus_summarize
-from sentometrics_spark.pipeline import sento_measures, compute_sentiment
+from sentometrics_spark.corpus import (
+    add_features,
+    build_pages,
+    corpus_summarize,
+    extract_text,
+)
+from sentometrics_spark.pipeline import compute_sentiment, measures_update, sento_measures
+from sentometrics_spark.aggregate.time_agg import measures_fill
+from sentometrics_spark.measures import (
+    as_sentiment,
+    merge_sentiment,
+    peakdates,
+    peakdocs,
+)
+from sentometrics_spark.model.elasticnet import ModelCtr, get_loss_data, sento_model
+from sentometrics_spark.model.attribution import (
+    attributions_dims,
+    attributions_docs,
+    attributions_lags,
+)
 
 __all__ = [
     "AggSpec",
     "TimeKernelSpec",
+    "get_hows",
     "Lexicons",
     "fixture_lexicons",
+    "add_features",
     "build_pages",
     "extract_text",
     "corpus_summarize",
     "sento_measures",
     "compute_sentiment",
+    "measures_update",
+    "measures_fill",
+    "as_sentiment",
+    "merge_sentiment",
+    "peakdates",
+    "peakdocs",
+    "ModelCtr",
+    "get_loss_data",
+    "sento_model",
+    "attributions_dims",
+    "attributions_docs",
+    "attributions_lags",
 ]

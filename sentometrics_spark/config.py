@@ -96,3 +96,14 @@ class AggSpec:
             raise ValueError("lag must be >= 1")
         if not (0 < self.alpha_exp_docs < 1):
             raise ValueError("alphaExpDocs must be in (0, 1)")
+
+
+def get_hows() -> dict[str, list[str]]:
+    """The reference's get_hows() introspection
+    (/root/reference/R/utils.R:199-205): every supported within-document,
+    across-document, and across-time aggregation scheme."""
+    return {
+        "words": list(HOWS_WITHIN),
+        "docs": list(HOWS_DOCS),
+        "time": list(HOWS_TIME),
+    }

@@ -78,9 +78,15 @@ class Lexicons:
         for j, name in enumerate(names):
             for w, y in lexs[name].items():
                 pol[word2id[w], j] = y
+        # the reference KEEPS lexicon/valence overlaps in the valence table
+        # (sento_lexicons only removes multiword + duplicate entries,
+        # /root/reference/R/sentolexicons.R:96-111); precedence between the
+        # two roles is decided per engine: the bigram scorers look the
+        # previous token up in valenceMap unconditionally
+        # (/root/reference/src/SentimentScorerBigrams.h:68-71), while the
+        # cluster scorers check lexicon membership first for window
+        # neighbors (/root/reference/src/SentimentScorerClusters.h:77-88)
         val = self.valence.get(lang, {})
-        # lexicon wins on conflict (documented rule, /root/reference/R/sentolexicons.R:21-23)
-        val = {w: yt for w, yt in val.items() if w not in word2id}
         return LexiconPack(
             lang=lang,
             lexicon_names=names,

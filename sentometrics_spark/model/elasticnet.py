@@ -41,16 +41,25 @@ class ModelCtr:
 
 def align_variables(y: pd.Series, X: pd.DataFrame, h: int = 0, do_difference: bool = False):
     """R2: shift y forward by horizon h relative to X
-    (align_variables, /root/reference/R/utils.R:223-269)."""
-    if do_difference:
-        y = y.diff().dropna()
-        X = X.iloc[: len(y)]
+    (align_variables, /root/reference/R/utils.R:223-269).
+
+    Differencing semantics follow the reference exactly: with h > 0 and
+    difference=TRUE the target is diff(y, lag = h) (y_{t+h} - y_t), NOT a
+    lag-1 diff shifted by h; with h == 0 the difference flag is ignored
+    (the reference only differences inside the h != 0 branches)."""
     if h > 0:
-        y_al = y.iloc[h:].reset_index(drop=True)
-        X_al = X.iloc[: len(X) - h].reset_index(drop=True)
+        if do_difference:
+            # R diff(y, lag = h): values y[h:] - y[:-h], length n - h
+            y_al = y.diff(h).iloc[h:].reset_index(drop=True)
+        else:
+            y_al = y.iloc[h:].reset_index(drop=True)
+        X_al = X.iloc[: len(y_al)].reset_index(drop=True)
     elif h < 0:
-        y_al = y.iloc[: len(y) + h].reset_index(drop=True)
         X_al = X.iloc[-h:].reset_index(drop=True)
+        if do_difference:
+            y_al = y.diff(-h).iloc[-h:].reset_index(drop=True)
+        else:
+            y_al = y.iloc[: len(X_al)].reset_index(drop=True)
     else:
         y_al, X_al = y.reset_index(drop=True), X.reset_index(drop=True)
     n = min(len(y_al), len(X_al))
@@ -174,22 +183,25 @@ def _lambda_path(X: np.ndarray, y: np.ndarray, alpha: float, n_lambdas: int) -> 
 
 
 def _df_enet(X: np.ndarray, coefs: np.ndarray, lam: float, alpha: float) -> float:
-    """Degrees of freedom: lasso df = |active|; ridge/enet df via the trace
-    of the hat matrix on the active set (compute_df,
-    /root/reference/src/compute_df.cpp:11-47)."""
+    """Degrees of freedom: lasso df = |active|; ridge/enet df =
+    trace(X_A (X_A'X_A + (1-alpha) lam I)^-1 X_A') = sum ss/(ss + (1-alpha)lam)
+    over the squared singular values ss of the standardized active columns —
+    the UNSCALED Gram, exactly as the reference (compute_df,
+    /root/reference/src/compute_df.cpp:11-47, which also returns df = 1 for
+    an empty active set). The reference standardizes xA with R's scale()
+    (sd over n-1), so ddof=1 here."""
     active = np.flatnonzero(coefs != 0)
     if len(active) == 0:
-        return 0.0
+        return 1.0
     if alpha == 1.0:
         return float(len(active))
     Xa = X[:, active]
-    Xs = (Xa - Xa.mean(0)) / np.where(Xa.std(0) == 0, 1.0, Xa.std(0))
-    n = len(X)
-    G = Xs.T @ Xs / n
+    sd = Xa.std(0, ddof=1) if len(Xa) > 1 else np.ones(len(active))
+    Xs = (Xa - Xa.mean(0)) / np.where(sd == 0, 1.0, sd)
     ridge = lam * (1 - alpha)
     try:
-        H = Xs @ np.linalg.solve(G + ridge * np.eye(len(active)), Xs.T / n)
-        return float(np.trace(H))
+        ss = np.linalg.svd(Xs, compute_uv=False) ** 2
+        return float((ss / (ss + ridge)).sum())
     except np.linalg.LinAlgError:
         return float(len(active))
 
@@ -207,16 +219,20 @@ def _criterion(kind: str, y, yhat, df, sigma2) -> float:
     raise ValueError(kind)
 
 
-def create_cv_slices(n: int, train: int, test: int) -> list[tuple[np.ndarray, np.ndarray]]:
+def create_cv_slices(
+    n: int, train: int, test: int, skip: int = 0
+) -> list[tuple[np.ndarray, np.ndarray]]:
     """R4-cv: rolling-origin time-series CV slices (create_cv_slices,
-    /root/reference/R/utils.R:207-221)."""
+    /root/reference/R/utils.R:207-221): one slice per origin position
+    (step 1, not step ``test``), erroring when train + skip + test >= n
+    exactly as the reference does."""
+    if train + skip + test >= n:
+        raise ValueError("(trainWindow + skip + testWindow) >= length(y).")
     out = []
-    start = 0
-    while start + train + test <= n:
+    for stop in range(train, n - skip - test + 1):
         out.append(
-            (np.arange(start, start + train), np.arange(start + train, start + train + test))
+            (np.arange(stop - train, stop), np.arange(stop + skip, stop + skip + test))
         )
-        start += test
     return out
 
 
@@ -430,8 +446,10 @@ def model_performance(preds: pd.DataFrame, family: str = "gaussian") -> dict[str
         "MAD": float(err.abs().mean()),
     }
     if len(preds) > 1:
+        # MDA in percent, as the reference (mean(DA) * 100,
+        # /root/reference/R/sentomodel.R:613-615)
         da = np.sign(preds["pred"].diff().dropna()) == np.sign(preds["actual"].diff().dropna())
-        out["MDA"] = float(da.mean())
+        out["MDA"] = float(da.mean()) * 100.0
     return out
 
 
@@ -448,7 +466,13 @@ def get_loss_data(iter_results: dict[str, pd.DataFrame], loss: str = "errorSq") 
         elif loss == "error":
             cols[name] = err.to_numpy()
         elif loss == "DA":
-            da = (np.sign(preds["pred"]) == np.sign(preds["actual"])).astype(float)
+            # directional accuracy is defined on first DIFFERENCES (direction
+            # of change), with the leading NA row dropped
+            # (/root/reference/R/sentomodel.R:600,869-873)
+            da = (
+                np.sign(preds["pred"].diff().dropna())
+                == np.sign(preds["actual"].diff().dropna())
+            ).astype(float)
             cols[name] = (1.0 - da).to_numpy()
         else:
             raise ValueError(loss)
@@ -473,5 +497,5 @@ def sento_model_iter(
         out.attrs["RMSFE"] = float(np.sqrt((err**2).mean()))
         out.attrs["MAD"] = float(err.abs().mean())
         da = (np.sign(out["pred"].diff().dropna()) == np.sign(out["actual"].diff().dropna()))
-        out.attrs["MDA"] = float(da.mean()) if len(da) else np.nan
+        out.attrs["MDA"] = float(da.mean()) * 100.0 if len(da) else np.nan
     return out

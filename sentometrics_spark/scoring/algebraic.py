@@ -48,16 +48,15 @@ def lexicon_df(spark: SparkSession, lexicons: Lexicons) -> DataFrame:
 
 
 def valence_df(spark: SparkSession, lexicons: Lexicons) -> DataFrame:
-    """'Lexicon wins' conflict rule: a valence word that also appears in any
-    lexicon of the same language is dropped, matching Lexicons.pack()
-    (/root/reference/R/sentolexicons.R:21-23) — otherwise the algebraic and
-    UDF engines diverge whenever the vocabularies overlap."""
-    rows = [
-        (lang, w, y, t)
-        for lang, w, y, t in lexicons.valence_rows()
-        if not any(w in words for words in lexicons.lex.get(lang, {}).values())
-    ]
-    return spark.createDataFrame(rows, "lang string, word string, vy double, vt int")
+    """Full valence table, lexicon overlaps INCLUDED: the reference keeps a
+    word that is both a lexicon and a valence entry (sento_lexicons only
+    drops multiword/duplicate rows, /root/reference/R/sentolexicons.R:96-111)
+    and the bigram scorer looks the preceding token up in valenceMap
+    unconditionally (/root/reference/src/SentimentScorerBigrams.h:68-71),
+    so an overlap word both scores and shifts."""
+    return spark.createDataFrame(
+        lexicons.valence_rows(), "lang string, word string, vy double, vt int"
+    )
 
 
 def _tokens(col=None):
@@ -169,8 +168,13 @@ def compute_sentiment_algebraic(
         vdf = valence_df(spark, lexicons).select(
             F.col("lang").alias("vlang"), F.col("word").alias("vword"), "vy"
         )
+        # k = max(0, j - 1): at document position 0 the C++ clamps the
+        # lookup index to the token ITSELF
+        # (/root/reference/src/SentimentScorerBigrams.h:68-69)
         w = Window.partitionBy("url").orderBy("pos")
-        tok_prev = tok.withColumn("prev_token", F.lag("token").over(w))
+        tok_prev = tok.withColumn(
+            "prev_token", F.coalesce(F.lag("token").over(w), F.col("token"))
+        )
         hits = (
             tok_prev.join(
                 F.broadcast(lexdf),

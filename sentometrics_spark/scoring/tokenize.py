@@ -149,19 +149,20 @@ def tokenize_to_lists(texts: pd.Series | list[str]) -> list[list[str]]:
 # sentence segmentation (UAX-29 SB-lite)
 # --------------------------------------------------------------------------
 
-_SENT_CAND = re.compile(r"[.!?…]+[\"'’”)\]]*\s+")
+_SENT_CAND = re.compile(r"([.!?…]+)[\"'’”)\]]*\s+")
 
 
 def split_sentence_strings(text: str) -> list[str]:
     """Sentence segments. Break after a terminal ([.!?…] + closers + space)
-    unless the terminal run is a single full stop followed by a lowercase
-    character (SB8); '!'/'?' (STerm) always break."""
+    unless the LAST terminal of the run is a full stop followed by a
+    lowercase character (SB8: ATerm Close* Sp* x Lower — so '...' before
+    lowercase does not break, while a run ending in '!'/'?' (STerm, SB11)
+    always breaks, e.g. 'Stop.? go')."""
     out: list[str] = []
     start = 0
     for m in _SENT_CAND.finditer(text):
         nxt = text[m.end() : m.end() + 1]
-        terminal = text[m.start()]
-        if terminal == "." and nxt.islower():
+        if m.group(1)[-1] == "." and nxt.islower():
             continue
         out.append(text[start : m.end()])
         start = m.end()

@@ -64,7 +64,6 @@ def _positional_weights(how: str, pos: np.ndarray, n: np.ndarray) -> np.ndarray:
     raise ValueError(how)
 
 _POSITIONAL = ("UShaped", "inverseUShaped", "exponential", "inverseExponential")
-_UNSCALED = ("counts", "proportional", "proportionalPol", "proportionalSquareRoot", "TFIDF")
 
 
 def flat_from_texts(texts: pd.Series, pack) -> tuple:
@@ -202,11 +201,18 @@ def score_flat(
     shifters = np.ones(len(hit_idx), dtype=np.float64)
 
     if mode == "bigram":
-        # shifter = valence value of the immediately-preceding token
-        # (/root/reference/src/SentimentScorerBigrams.h:62-66)
-        prev = np.maximum(hit_idx - 1, 0)
-        has_prev = pos_in_doc[hit_idx] > 0
-        prev_vy = np.where(has_prev, vy[prev] if vy is not None else np.nan, np.nan)
+        # shifter = valence value of the token at k = max(0, j - 1): the
+        # immediately-preceding token, or the hit token ITSELF at document
+        # position 0 — the reference's k clamp makes a doc-initial token
+        # that is both a lexicon and a valence word shift its own score
+        # (/root/reference/src/SentimentScorerBigrams.h:68-71). The lookup
+        # is unconditional: a preceding token that is also a lexicon word
+        # still shifts.
+        if vy is not None:
+            prev = np.where(pos_in_doc[hit_idx] > 0, hit_idx - 1, hit_idx)
+            prev_vy = vy[prev]
+        else:
+            prev_vy = np.full(len(hit_idx), np.nan)
         shifters = np.where(np.isnan(prev_vy), 1.0, prev_vy)
 
     if mode == "cluster":
@@ -360,20 +366,24 @@ def _score_clusters_flat(flat, pack, how, tfidf):
     return scores
 
 
-def tfidf_corpus_stats(pages: DataFrame, lexicons: Lexicons) -> dict[str, tuple[float, dict[str, float]]]:
+def tfidf_corpus_stats(
+    pages: DataFrame, lexicons: Lexicons, tokens_col: str | None = None
+) -> dict[str, tuple[float, dict[str, float]]]:
     """Corpus-level (N, df) per language, pinned per input snapshot (C6,
     /root/reference/src/utils.h:193-210). df is only needed for lexicon
     words (weights only multiply scores at lexicon hits), so the collected
     map stays tiny at any corpus scale.
 
-    df is computed with the SAME tokenizer the scoring engine uses
-    (flat_from_texts) in a mapInPandas pass, so the frequency maps count
-    exactly the tokens that get scored — the reference builds both maps
-    from one tokenization (/root/reference/src/utils.h:193-210); a separate
-    SQL-split here would diverge on any punctuated text."""
+    df is computed from the SAME token stream the scoring engine scores —
+    flat_from_texts over 'text', or flat_from_tokens over ``tokens_col``
+    when the caller supplies a pre-tokenized column (T3) — so the frequency
+    maps count exactly the tokens that get scored; the reference builds both
+    maps from the one supplied tokenization
+    (/root/reference/src/compute_sentiment_onegrams.cpp:26-27)."""
     spark = pages.sparkSession
     packs = {lang: lexicons.pack(lang) for lang in lexicons.languages}
     bc = spark.sparkContext.broadcast(packs)
+    in_col = tokens_col if tokens_col is not None else "text"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         packs_b = bc.value
@@ -388,9 +398,11 @@ def tfidf_corpus_stats(pages: DataFrame, lexicons: Lexicons) -> dict[str, tuple[
                 if pack is None:
                     raise ValueError(f"no lexicon for language: {lang}")
                 vocab = sorted(pack.word2id)
-                n_docs, _lens, doc_idx, _pos, vid, _vy, _vt = flat_from_texts(
-                    grp["text"], pack
-                )
+                if tokens_col is not None:
+                    flat = flat_from_tokens([list(t) for t in grp[in_col]], pack)
+                else:
+                    flat = flat_from_texts(grp[in_col], pack)
+                n_docs, _lens, doc_idx, _pos, vid, _vy, _vt = flat
                 hit = vid >= 0
                 if hit.any():
                     pairs = np.unique(
@@ -408,7 +420,7 @@ def tfidf_corpus_stats(pages: DataFrame, lexicons: Lexicons) -> dict[str, tuple[
                 yield pd.DataFrame({"lang": langs, "token": tokens, "c": counts})
 
     rows = (
-        pages.select("lang", "text")
+        pages.select("lang", in_col)
         .mapInPandas(gen, schema="lang string, token string, c long")
         .groupBy("lang", "token")
         .agg(F.sum("c").alias("c"))
@@ -458,7 +470,9 @@ def compute_sentiment_udf(
 
     feats = feature_columns(pages)
     packs = {lang: lexicons.pack(lang) for lang in lexicons.languages}
-    tfidf_stats = tfidf_corpus_stats(pages, lexicons) if how == "TFIDF" else None
+    tfidf_stats = (
+        tfidf_corpus_stats(pages, lexicons, tokens_col) if how == "TFIDF" else None
+    )
     bc = spark.sparkContext.broadcast((packs, tfidf_stats))
 
     text_in = tokens_col if tokens_col is not None else "text"

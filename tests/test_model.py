@@ -70,10 +70,21 @@ def test_align_and_clean():
 
 
 def test_cv_slices():
+    # one slice per origin, step 1 (create_cv_slices,
+    # /root/reference/R/utils.R:207-221): stops 10..25 -> 16 slices
     s = create_cv_slices(30, 10, 5)
-    assert len(s) == 4
+    assert len(s) == 16
     for tr, te in s:
         assert tr.max() < te.min() and len(tr) == 10 and len(te) == 5
+    first_tr, first_te = s[0]
+    assert list(first_tr) == list(range(10)) and list(first_te) == list(range(10, 15))
+    last_tr, last_te = s[-1]
+    assert list(last_tr) == list(range(15, 25)) and list(last_te) == list(range(25, 30))
+    with pytest.raises(ValueError):
+        create_cv_slices(15, 10, 5)
+    # skip widens the train->test gap (ref skip arg)
+    sk = create_cv_slices(30, 10, 5, skip=3)
+    assert len(sk) == 13 and list(sk[0][1]) == list(range(13, 18))
 
 
 def test_model_iter_metrics():

@@ -79,7 +79,7 @@ def test_peakdocs_quantile(pages, lexicons):
 def test_loss_data_and_performance():
     preds = pd.DataFrame({"pred": [1.0, 2.0, 3.0], "actual": [1.1, 1.9, 3.3]})
     perf = model_performance(preds)
-    assert perf["RMSFE"] > 0 and perf["MAD"] > 0 and perf["MDA"] == 1.0
+    assert perf["RMSFE"] > 0 and perf["MAD"] > 0 and perf["MDA"] == 100.0  # percent, ref R/sentomodel.R:613-615
     loss = get_loss_data({"m1": preds, "m2": preds}, "errorSq")
     assert loss.shape == (3, 2)
     np.testing.assert_allclose(loss["m1"], [0.01, 0.01, 0.09])

@@ -1154,6 +1154,172 @@ def q_gorilla_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tier_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 export/sink: write the composed day tier through TierStore
+    (bucket-date-partitioned parquet — the Iceberg stand-in) and read it
+    back; oracle = direct day aggregation SQL, so the round trip must be
+    lossless in both values and schema."""
+    import tempfile
+
+    from sentometrics_spark.aggregate.tiers import TierStore, base_tier, rollup
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pages = build_pages(spark, sf_dir, with_html=False)
+    sent = compute_sentiment_algebraic(pages, _no_valence(), "proportional")
+    day = rollup(base_tier(sent, how="proportional", by="hour"), "day")
+    store = TierStore(spark, tempfile.mkdtemp(prefix="tier_store_q_"))
+    store.write("day", day)
+    back = store.read("day")
+    return _fmt_ts(back, "bucket_ts").select(
+        "bucket_ts", "lexicon", "feature", _r6("value").alias("value")
+    )
+
+
+def q_lang_id_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic + whitespace/BPE-ish token counts (pure
+    Catalyst; oracle re-expresses the stopword hit-rate argmax in SQL)."""
+    from sentometrics_spark.textops.textstats import (
+        bpe_ish_token_count,
+        language_id,
+        token_count,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return language_id(docs).select(
+        F.col("doc_id").cast("long"),
+        "lang_pred",
+        _r6("lang_score").alias("lang_score"),
+        token_count().cast("long").alias("ws_tokens"),
+        bpe_ish_token_count().cast("long").alias("bpe_tokens"),
+    )
+
+
+SQL_LANG_ID_TOKENS = r"""WITH t AS (
+  SELECT doc_id, text, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents
+),
+profiles(lang, words) AS (VALUES
+  ('de', ['der', 'die', 'das', 'und', 'ist']),
+  ('en', ['the', 'a', 'of', 'and', 'is']),
+  ('es', ['el', 'la', 'de', 'y', 'es']),
+  ('fr', ['le', 'la', 'de', 'et', 'est'])
+),
+scores AS (
+  SELECT t.doc_id, p.lang,
+         CAST(len(list_filter(t.toks, x -> list_contains(p.words, x))) AS DOUBLE)
+           / len(t.toks) AS score
+  FROM t CROSS JOIN profiles p
+),
+best AS (
+  SELECT doc_id, lang AS lang_pred, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+  FROM scores
+),
+counts AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(text, '\s+')) AS ws_tokens,
+         list_sum(list_transform(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+             w -> CASE WHEN len(w) = 0 THEN 0 ELSE CAST(ceil(len(w) / 6.0) AS INT) END))
+           + len(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS bpe_tokens
+  FROM t
+)
+SELECT CAST(b.doc_id AS BIGINT) AS doc_id, b.lang_pred,
+       floor(b.score * 1000000 + 0.5 + 1e-9) / 1000000.0 AS lang_score,
+       CAST(c.ws_tokens AS BIGINT) AS ws_tokens,
+       CAST(c.bpe_tokens AS BIGINT) AS bpe_tokens
+FROM best b JOIN counts c USING (doc_id) WHERE b.rn = 1"""
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (banded pigeonhole join + popcount filter).
+    xxhash64-based, so no DuckDB oracle; recall/precision on planted dups is
+    pinned by the pytest suite."""
+    from sentometrics_spark.textops.dedup import simhash_near_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return (
+        simhash_near_pairs(docs, id_col="doc_id", max_hamming=3, bands=4)
+        .orderBy("id_a", "id_b")
+        .select(
+            F.col("id_a").cast("long"),
+            F.col("id_b").cast("long"),
+            F.col("hamming").cast("long"),
+        )
+    )
+
+
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN (random sign-hyperplane tables): approximate top-5 — a
+    bounded (table, bucket) equi-join, never a crossJoin. Seeded planes are
+    not SQL-expressible; recall-vs-exact is pinned by pytest."""
+    from sentometrics_spark.textops.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = emb.filter(F.col("vec_id") >= 3)
+    out = lsh_topk(cand, qv, k=5, bits=8, n_tables=2, dim=64)
+    return out.select(
+        F.col("q_id").cast("long"),
+        F.col("vec_id").cast("long"),
+        _r6("cosine").alias("cosine"),
+        F.col("rnk").cast("long"),
+    )
+
+
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means-lite centroids fit on a bounded driver sample,
+    JVM-side nearest-cell assignment, probe-4 exact re-rank."""
+    from sentometrics_spark.textops.similarity import ivf_assign, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cand = emb.filter(F.col("vec_id") >= 3)
+    assigned, cent = ivf_assign(cand, n_cells=8, sample=2000)
+    queries_pdf = (
+        emb.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+        .toPandas()
+    )
+    out = ivf_topk(cand, queries_pdf, cent, assigned, k=5, n_probe=4)
+    return out.select(
+        F.col("q_id").cast("long"),
+        F.col("vec_id").cast("long"),
+        _r6("cosine").alias("cosine"),
+        F.col("rnk").cast("long"),
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payloads -> mapInPandas decode (STUB
+    codec, deterministic fake) -> fixed-length feature vectors. Emits one
+    scalar summary per media row so the driver check pins the whole path."""
+    from sentometrics_spark.textops.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, 64)
+    feats = extract_features(media)
+    fmean = F.aggregate("feature", F.lit(0.0), lambda a, x: a + x.cast("double")) / F.size(
+        "feature"
+    )
+    return feats.select(
+        F.col("media_id").cast("long"),
+        "kind",
+        "ok",
+        F.col("n_frames").cast("long"),
+        _r6(fmean).alias("feat_mean"),
+    ).orderBy("media_id")
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint (rolling xxhash64 window min + full-text
+    hash); hash values are engine-specific, so rows-only."""
+    from sentometrics_spark.textops.textstats import fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return fingerprint(docs).select(
+        F.col("doc_id").cast("long"), "fp_min", "fp_full"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1228,10 +1394,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "as_sentiment_coerce": q_as_sentiment,
         "agg_day_inv_exponential": q_agg_day_inv_exponential,
         "tier_day_from_hour_exp": q_tier_day_from_hour_exp,
+        "tier_store_roundtrip": q_tier_store_roundtrip,
+        "lang_id_tokens": q_lang_id_tokens,
         # non-SQL-expressible (rows-only driver check; pandas-oracle pytest'd)
         "sent_cluster_counts": q_sent_cluster,
         "minhash_lsh_candidates": q_minhash_candidates,
         "gorilla_pack_series": q_gorilla_pack,
+        "simhash_near_pairs": q_simhash_pairs,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
+        "multimodal_features": q_multimodal_features,
+        "doc_fingerprint": q_doc_fingerprint,
         # training-data ops
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -1426,6 +1599,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
         "text_quality": SQL_TEXT_QUALITY,
         "events_hourly": SQL_EVENTS_HOURLY,
+        "tier_store_roundtrip": agg_docs_sql("proportional", "day"),
+        "lang_id_tokens": SQL_LANG_ID_TOKENS,
     }
 
 

@@ -47,16 +47,31 @@ def kernel_df(spark, kernels: dict[str, np.ndarray], lag: int) -> DataFrame:
     return spark.createDataFrame(rows, "timeweight string, lag_index int, kw double")
 
 
-def attributions_dims(measures: DataFrame, coefs: DataFrame, dim: str) -> DataFrame:
+def _l2_normalize(df: DataFrame, date_col: str, value_col: str = "attrib") -> DataFrame:
+    """do.normalize: divide each date's attributions by their L2 norm
+    across the dimension members; zero-norm rows become 0, matching the
+    reference's NaN-to-zero pass (/root/reference/R/attribution.R:80-86,
+    101-107)."""
+    w = Window.partitionBy(date_col)
+    norm = F.sqrt(F.sum(F.col(value_col) * F.col(value_col)).over(w))
+    return df.withColumn(
+        value_col, F.coalesce(F.try_divide(F.col(value_col), norm), F.lit(0.0))
+    )
+
+
+def attributions_dims(
+    measures: DataFrame, coefs: DataFrame, dim: str, do_normalize: bool = False
+) -> DataFrame:
     """Per-lexicon / per-feature / per-timeweight attribution
     (attributions_dims, /root/reference/R/attribution.R:88-107)."""
     if dim not in ("lexicon", "feature", "timeweight"):
         raise ValueError(dim)
-    return (
+    out = (
         measures.join(F.broadcast(coefs), MEASURE_KEYS + ["timeweight"])
         .groupBy("bucket_ts", dim)
         .agg(F.sum(F.col("coef") * F.col("value")).alias("attrib"))
     )
+    return _l2_normalize(out, "bucket_ts") if do_normalize else out
 
 
 def attributions_lags(
@@ -64,6 +79,7 @@ def attributions_lags(
     coefs: DataFrame,
     kernels: dict[str, np.ndarray],
     lag: int,
+    do_normalize: bool = False,
 ) -> DataFrame:
     """Per-lag attribution (attributions_lags,
     /root/reference/R/attribution.R:29-86): contribution of the bucket
@@ -82,12 +98,13 @@ def attributions_lags(
     tgt = idx.select(
         *MEASURE_KEYS, F.col("rn").alias("tgt_rn"), F.col("bucket_ts").alias("pred_ts")
     ).dropDuplicates(["tgt_rn", *MEASURE_KEYS])
-    return (
+    out = (
         contrib.join(tgt, ["tgt_rn", *MEASURE_KEYS])
         .filter(F.col("tgt_rn") >= lag)
         .groupBy("pred_ts", "lag_index")
         .agg(F.sum("part").alias("attrib"))
     )
+    return _l2_normalize(out, "pred_ts") if do_normalize else out
 
 
 def attributions_docs(

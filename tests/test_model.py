@@ -336,3 +336,30 @@ def test_binomial_performance_thresholds_probabilities():
     # hard labels still work unchanged
     hard = pd.DataFrame({"pred": [1.0, 0.0, 0.0], "actual": [1.0, 0.0, 1.0]})
     assert abs(model_performance(hard, family="binomial")["accuracy"] - 66.6667) < 0.01
+
+
+def test_attribution_normalize(spark):
+    """do.normalize: per-date L2 norm of the dimension attributions is 1;
+    zero-norm dates become 0, not NaN
+    (/root/reference/R/attribution.R:80-86,101-107)."""
+    from sentometrics_spark.model.attribution import attributions_dims, coef_df
+
+    measures = spark.createDataFrame(
+        [
+            ("2024-01-01", "L1", "f", "eq", 0.5),
+            ("2024-01-01", "L2", "f", "eq", -0.25),
+            ("2024-01-08", "L1", "f", "eq", 0.0),
+            ("2024-01-08", "L2", "f", "eq", 0.0),
+        ],
+        "bucket_ts string, lexicon string, feature string, timeweight string, value double",
+    )
+    coefs = coef_df(spark, pd.Series({"L1--f--eq": 2.0, "L2--f--eq": 4.0}))
+    plain = attributions_dims(measures, coefs, "lexicon").toPandas()
+    out = attributions_dims(measures, coefs, "lexicon", do_normalize=True).toPandas()
+    norms = out.groupby("bucket_ts")["attrib"].apply(lambda v: float(np.sqrt((v**2).sum())))
+    assert norms["2024-01-01"] == pytest.approx(1.0)
+    assert norms["2024-01-08"] == 0.0
+    # direction preserved: normalized = plain / ||plain||
+    p = plain[plain.bucket_ts == "2024-01-01"].set_index("lexicon")["attrib"]
+    o = out[out.bucket_ts == "2024-01-01"].set_index("lexicon")["attrib"]
+    np.testing.assert_allclose(o, p / np.sqrt((p**2).sum()), atol=1e-12)

@@ -63,6 +63,22 @@ class TimeKernelSpec:
     def __post_init__(self) -> None:
         if self.how not in HOWS_TIME:
             raise ValueError(f"unknown time how: {self.how}")
+        # parameter-domain checks mirroring ctr_agg
+        # (/root/reference/R/sentomeasures_main.R:131-139)
+        if self.how == "almon" and any(r <= 0 for r in self.orders_alm):
+            raise ValueError("values in orders_alm should be positive")
+        if self.how == "beta" and any(v <= 0 for v in (*self.a_beta, *self.b_beta)):
+            raise ValueError("values in a_beta and b_beta should be positive")
+        if self.how == "exponential" and any(not (0 < a < 1) for a in self.alphas_exp):
+            raise ValueError("values in alphas_exp should be in (0, 1), both excluded")
+        if self.how == "own":
+            if not self.own:
+                raise ValueError("provide 'own' weights when how='own'")
+            # '-' is banned in kernel names: the wide pivot mangles
+            # dimensions with '--' (is_names_correct,
+            # /root/reference/R/utils.R:418, ctr_agg :128-129)
+            if any("-" in name for name, _ in self.own):
+                raise ValueError("own kernel names must not contain '-'")
 
 
 @dataclass(frozen=True)

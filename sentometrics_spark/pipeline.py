@@ -118,7 +118,13 @@ def sento_measures(
     # rolling window do not re-execute the full corpus-scoring DAG
     measures_doc = measures_doc.persist()
     filled = measures_fill(measures_doc, by=spec.by, fill=spec.fill)
-    kernels = setup_time_weights(spec.time_kernels, spec.lag)
+    if spec.lag == 1:
+        # lag = 1 means no time aggregation: the reference replaces the
+        # requested schemes with one 'dummyTime' identity kernel
+        # (ctr_agg, /root/reference/R/sentomeasures_main.R:107-110)
+        kernels = {"dummyTime": np.ones(1)}
+    else:
+        kernels = setup_time_weights(spec.time_kernels, spec.lag)
     measures = aggregate_time(
         filled.select("bucket_ts", "lexicon", "feature", "value"), kernels, spec.lag
     )

@@ -186,3 +186,17 @@ def test_fill_zero_keep_source_gap_rows_null(spark):
     assert len(out) == 4
     assert out["src_ts"].notna().tolist() == [True, False, False, True]
     assert out["value"].tolist() == [0.5, 0.0, 0.0, 0.7]
+
+
+def test_lag_one_dummy_time(pages, lexicons):
+    """lag=1 replaces every requested scheme with the single 'dummyTime'
+    identity kernel (ctr_agg, /root/reference/R/sentomeasures_main.R:107-110)."""
+    from sentometrics_spark.lexicons import Lexicons
+    from sentometrics_spark.pipeline import sento_measures
+
+    lex = Lexicons(lex=lexicons.lex)
+    spec = AggSpec(by="week", lag=1, time_kernels=(
+        TimeKernelSpec("linear"), TimeKernelSpec("almon", orders_alm=(1, 2))))
+    sm = sento_measures(pages, lex, spec)
+    assert sm.dimensions["time"] == ["dummyTime"]
+    assert list(sm.kernels) == ["dummyTime"]

@@ -274,95 +274,128 @@ def _score_clusters_flat(flat, pack, how, tfidf):
     (/root/reference/src/SentimentScorerClusters.h:34-102,
     compute_cluster_impact /root/reference/src/utils.h:184-191).
 
-    Sequential per-document state — loops over docs with lexicon hits, on
-    pre-indexed integer arrays (no string lookups in the loop)."""
+    Vectorized over the whole Arrow batch despite the sequential
+    non-overlap recurrence: cluster centers are found with a batched
+    searchsorted walk — each round picks every active document's next
+    center simultaneously and jumps its cursor past the cluster
+    (lB = en + 1, next examined index en + 1, matching the C++ jump at
+    /root/reference/src/SentimentScorerClusters.h:89-90) — and shifter
+    counts come from prefix sums over the flat token stream. Total work is
+    O(hits) numpy ops with round count = max clusters in any one document,
+    not a Python loop per token."""
     n_docs, lens, doc_idx, pos_in_doc, vid, vy, vt_arr = flat
     nL = pack.polarity.shape[1]
-    scores = np.zeros((n_docs, nL))
     P = pack.polarity
+    scores = np.zeros((n_docs, nL))
     nB, nA = 4, 2
-    offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
-    hit_any = np.zeros(n_docs, dtype=bool)
-    hit_any[doc_idx[vid >= 0]] = True
     if vt_arr is None:
         vt_arr = np.zeros(len(doc_idx), dtype=np.int8)
+    mask = vid >= 0
+    hit_flat = np.flatnonzero(mask)  # flat token index == off[doc] + pos
+    if len(hit_flat) == 0:
+        return scores
+    hdoc = doc_idx[hit_flat].astype(np.int64)
+    hpos = pos_in_doc[hit_flat].astype(np.int64)
+    lens64 = lens.astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(lens64)[:-1]))
 
-    if how == "TFIDF":
+    # shifter prefix sums over NON-hit tokens (a window token that is a
+    # lexicon hit is scored, never counted as a shifter)
+    nonhit = ~mask
+    s1 = np.concatenate(([0], np.cumsum((vt_arr == 1) & nonhit)))
+    s2 = np.concatenate(([0], np.cumsum((vt_arr == 2) & nonhit)))
+    s3 = np.concatenate(([0], np.cumsum((vt_arr == 3) & nonhit)))
+
+    # --- center walk: one round per cluster depth, all docs in parallel ---
+    docs_u, first_i = np.unique(hdoc, return_index=True)
+    cur = first_i.copy()  # per active doc: hit-array index of next center
+    lB = np.zeros(len(docs_u), dtype=np.int64)  # left bound (token coords)
+    active = np.ones(len(docs_u), dtype=bool)
+    n_hits = len(hit_flat)
+    is_center = np.zeros(n_hits, dtype=bool)
+    center_impact = np.ones(n_hits)
+    center_en_g = np.zeros(n_hits, dtype=np.int64)
+    while True:
+        ai = np.flatnonzero(active)
+        if len(ai) == 0:
+            break
+        c = cur[ai]
+        is_center[c] = True
+        d = hdoc[c]
+        j = hpos[c]
+        off = offsets[d]
+        en = np.minimum(lens64[d], j + nA + 1)  # exclusive window end
+        st = np.maximum(lB[ai], j - nB)
+        en_g = off + en
+        st_g = off + st
+        neg = s1[en_g] - s1[st_g]
+        amp = s2[en_g] - s2[st_g]
+        deamp = s3[en_g] - s3[st_g]
+        nn = neg & 1
+        wA = (1 - nn) * amp
+        wD = nn * amp + deamp
+        impact = 1.0 + np.maximum(0.8 * (wA - wD), -1.0)
+        center_impact[c] = np.where(nn == 1, -impact, impact)
+        center_en_g[c] = en_g
+        resume = en + 1
+        nxt = np.searchsorted(hit_flat, off + resume, side="left")
+        ok = nxt < n_hits
+        nxt_safe = np.where(ok, nxt, 0)
+        ok &= hdoc[nxt_safe] == d
+        cur[ai] = nxt_safe
+        lB[ai] = resume
+        active[ai] = ok
+
+    # --- per-hit cluster assignment ---
+    # window hits sit strictly AFTER their center (no hit exists in
+    # [resume_prev, center): the center is the FIRST such hit), so each
+    # hit's cluster is the nearest center at-or-before it; a hit exactly at
+    # the skipped index en is in no window and drops out, as in the C++.
+    centers = np.flatnonzero(is_center)
+    my_center = centers[
+        np.searchsorted(centers, np.arange(n_hits), side="right") - 1
+    ]
+    included = hit_flat < center_en_g[my_center]
+    inc = np.flatnonzero(included)
+    if len(inc) == 0:
+        return scores
+    H = hit_flat[inc]
+    D = hdoc[inc]
+    pol = P[vid[H]]
+    shift = np.where(is_center[inc], center_impact[inc], 1.0)
+    nd = lens64[D].astype(np.float64)
+
+    if how == "counts":
+        w = np.ones(len(inc))
+    elif how == "proportional":
+        w = 1.0 / nd
+    elif how == "proportionalSquareRoot":
+        w = 1.0 / np.sqrt(nd)
+    elif how == "proportionalPol":
+        npol = np.zeros((n_docs, nL))
+        np.add.at(npol, D, (pol != 0).astype(np.float64))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            wm = np.where(npol[D] > 0, 1.0 / npol[D], 0.0)  # [I, nL]
+        np.add.at(scores, D, pol * wm * shift[:, None])
+        return scores
+    elif how == "TFIDF":
+        # window hits reuse the CENTER token's corpus frequency variables
+        # (/root/reference/src/SentimentScorerClusters.h:74-80)
         n_corpus, df_map = tfidf
         df_vec = _df_by_vid(pack, df_map)
-    for d in np.flatnonzero(hit_any):
-        n = int(lens[d])
-        off = int(offsets[d])
-        dvid = vid[off : off + n]
-        dvt = vt_arr[off : off + n]
-        dmask = dvid >= 0
-        token_scores: dict[int, np.ndarray] = {}
-        token_shift: dict[int, float] = {}
-        # vocab id whose corpus df feeds a token's TFIDF weight: the C++
-        # worker reuses the CENTER token's frequency variables for window
-        # hits (/root/reference/src/SentimentScorerClusters.h:74-80).
-        weight_vid: dict[int, int] = {}
-        lB = 0
-        j = 0
-        while j < n:
-            if dmask[j]:
-                center_vid = int(dvid[j])
-                token_scores[j] = P[center_vid]
-                weight_vid[j] = center_vid
-                neg = amp = deamp = 0
-                st = max(lB, j - nB)
-                en = min(n, j + nA + 1)
-                for k in range(st, en):
-                    if k == j:
-                        continue
-                    if dmask[k]:
-                        token_scores[k] = P[int(dvid[k])]
-                        weight_vid[k] = center_vid
-                    else:
-                        t = dvt[k]
-                        if t == 1:
-                            neg += 1
-                        elif t == 2:
-                            amp += 1
-                        elif t == 3:
-                            deamp += 1
-                nn = neg % 2
-                wA = (1 - nn) * amp
-                wD = nn * amp + deamp
-                impact = 1.0 + max(0.8 * (wA - wD), -1.0)
-                if nn == 1:
-                    impact *= -1.0
-                token_shift[j] = impact
-                lB = en + 1
-                j = en  # next examined index is en + 1, as in the C++
-            j += 1
-        idxs = np.fromiter(token_scores.keys(), dtype=np.int64)
-        pol = np.vstack([token_scores[i] for i in idxs])
-        shift = np.fromiter((token_shift.get(int(i), 1.0) for i in idxs), dtype=np.float64)
-        if how == "counts":
-            w = np.ones(len(idxs))
-        elif how == "proportional":
-            w = np.full(len(idxs), 1.0 / n)
-        elif how == "proportionalSquareRoot":
-            w = np.full(len(idxs), 1.0 / np.sqrt(n))
-        elif how == "proportionalPol":
-            npol = (pol != 0).sum(axis=0).astype(np.float64)  # per lexicon
-            with np.errstate(divide="ignore", invalid="ignore"):
-                wm = np.where(npol > 0, 1.0 / npol, 0.0)
-            scores[d] = (pol * shift[:, None] * wm[None, :]).sum(axis=0)
-            continue
-        elif how == "TFIDF":
-            dfv = np.fromiter(
-                (df_vec[weight_vid[int(i)]] for i in idxs), dtype=np.float64
-            )
-            w = np.log10(n_corpus / (1.0 + dfv))
-        elif how in _POSITIONAL:
-            w_raw = _positional_weights(how, idxs + 1, np.full(len(idxs), n))
-            norm = w_raw.sum()
-            w = w_raw / norm if norm != 0 else np.zeros(len(idxs))
-        else:
-            raise ValueError(how)
-        scores[d] = (pol * (shift * w)[:, None]).sum(axis=0)
+        dfv = df_vec[vid[hit_flat[my_center[inc]]]]
+        w = np.log10(n_corpus / (1.0 + dfv))
+    elif how in _POSITIONAL:
+        # normalizer over the cluster-included positions of each document
+        w_raw = _positional_weights(how, hpos[inc] + 1, nd)
+        norm = np.zeros(n_docs)
+        np.add.at(norm, D, w_raw)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            w = np.where(norm[D] != 0, w_raw / norm[D], 0.0)
+    else:
+        raise ValueError(f"unknown how: {how}")
+
+    np.add.at(scores, D, pol * (shift * w)[:, None])
     return scores
 
 

@@ -171,6 +171,129 @@ def _sentence_cluster_scores(tokens: list[str], pack, how: str, tfidf) -> np.nda
     return (pol * (shift * w)[:, None]).sum(axis=0)
 
 
+def _sentence_cluster_scores_batch(
+    sentences: list[list[str]], pack, how: str, tfidf
+) -> tuple[np.ndarray, np.ndarray]:
+    """Whole-batch vectorization of ``_sentence_cluster_scores`` (kept
+    above as the readable per-sentence spec; a property test pins their
+    equality). The sentence worker has NO non-overlap jump — every hit is
+    a cluster center and windows are independent — so unlike the doc-level
+    cluster engine there is no recurrence at all: window bounds, shifter
+    counts (prefix sums), comma extension (searchsorted over marker
+    positions), visit multiplicity (interval coverage via a diff array)
+    and TFIDF last-writer words all compute in O(tokens) numpy ops.
+
+    Returns (word_count [S], scores [S, nL])."""
+    from sentometrics_spark.scoring.udf_engine import _df_by_vid
+
+    n_s = len(sentences)
+    nL = pack.polarity.shape[1]
+    P = pack.polarity
+    scores = np.zeros((n_s, nL))
+    lens = np.fromiter((len(s) for s in sentences), dtype=np.int64, count=n_s)
+    total = int(lens.sum())
+    if total == 0:
+        return lens, scores
+    flat_tok = pd.Series([w for s in sentences for w in s], dtype=object)
+    sent_idx = np.repeat(np.arange(n_s, dtype=np.int64), lens)
+    offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    pos = np.arange(total, dtype=np.int64) - offsets[sent_idx]
+    vid = flat_tok.map(pack.word2id).fillna(-1).to_numpy(dtype=np.int64)
+    if pack.valence_t:
+        vt = flat_tok.map(pack.valence_t).fillna(0).to_numpy(dtype=np.int8)
+    else:
+        vt = np.zeros(total, dtype=np.int8)
+    comma_idx = np.flatnonzero((flat_tok == "c_c").to_numpy())
+    hit_mask = vid >= 0
+    hits = np.flatnonzero(hit_mask)
+    if len(hits) == 0:
+        return lens, scores
+    nB, nA = 5, 2
+
+    # shifter prefix sums over NON-hit tokens (hit precedence as in the
+    # loop: a window token that is a lexicon hit never counts as shifter)
+    nonhit = ~hit_mask
+    S1 = np.concatenate(([0], np.cumsum((vt == 1) & nonhit)))
+    S2 = np.concatenate(([0], np.cumsum((vt == 2) & nonhit)))
+    S3 = np.concatenate(([0], np.cumsum((vt == 3) & nonhit)))
+    S4 = np.concatenate(([0], np.cumsum((vt == 4) & nonhit)))
+
+    g = hits
+    d = sent_idx[g]
+    off = offsets[d]
+    end_g = off + lens[d]
+    st_g = np.maximum(off, g - nB)
+    en0_g = np.minimum(end_g, g + nA + 1)
+    # comma extension: window end moves to the first c_c marker at-or-after
+    # j + nA + 1 within the sentence (set_cluster_bounds,
+    # /root/reference/src/utils.h:242-275)
+    if len(comma_idx):
+        ci = np.searchsorted(comma_idx, en0_g, side="left")
+        cand = comma_idx[np.minimum(ci, len(comma_idx) - 1)]
+        en_g = np.where((ci < len(comma_idx)) & (cand < end_g), cand, en0_g)
+    else:
+        en_g = en0_g
+
+    neg = S1[en_g] - S1[st_g]
+    amp = S2[en_g] - S2[st_g]
+    deamp = S3[en_g] - S3[st_g]
+    adv = (S4[g] - S4[st_g]) - (S4[en_g] - S4[g + 1])
+    nn = neg & 1
+    wA = (1 - nn) * amp * 0.8
+    wD = np.maximum(-1.0, (-nn * amp - deamp) * 0.8)
+    impact = (1.0 + wA + wD) * (1.0 + 0.25 * adv)
+    shift = np.where(nn == 1, -impact, impact)
+
+    # visit multiplicity = #cluster windows covering each hit (incl. its
+    # own): interval coverage via diff array + cumsum
+    delta = np.zeros(total + 1, dtype=np.int64)
+    np.add.at(delta, st_g, 1)
+    np.add.at(delta, en_g, -1)
+    vis = np.cumsum(delta[:-1])[g].astype(np.float64)
+
+    pol = P[vid[g]]
+    nd = lens[d].astype(np.float64)
+
+    if how == "counts":
+        w = np.ones(len(g))
+    elif how == "proportional":
+        w = 1.0 / nd
+    elif how == "proportionalSquareRoot":
+        w = 1.0 / np.sqrt(nd)
+    elif how == "proportionalPol":
+        # nPolarized accumulates visit multiplicity (update_token_weights
+        # runs at every visit, /root/reference/src/SentimentScorerSentences.h:66,84-86)
+        npol = np.zeros((n_s, nL))
+        np.add.at(npol, d, (pol != 0).astype(np.float64) * vis[:, None])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            wm = np.where(npol[d] > 0, 1.0 / npol[d], 0.0)
+        np.add.at(scores, d, pol * wm * shift[:, None])
+        return lens, scores
+    elif how == "TFIDF":
+        # last-writer word feeds each hit's df: the largest center within
+        # nB after it (its before-window covers the hit), else itself
+        n_corpus, df_map = tfidf
+        df_vec = _df_by_vid(pack, df_map)
+        # clamp the search bound to the sentence end so a hit in the NEXT
+        # sentence never shadows a valid in-sentence writer below it
+        wi = np.searchsorted(g, np.minimum(g + nB, end_g - 1), side="right") - 1
+        cand = g[wi]
+        writer = np.where(cand > g, cand, g)
+        w = np.log10(n_corpus / (1.0 + df_vec[vid[writer]]))
+    elif how in _POSITIONAL:
+        # positional normalizer weighs each hit by its visit multiplicity
+        w_raw = _positional_weights(how, pos[g] + 1, nd)
+        norm = np.zeros(n_s)
+        np.add.at(norm, d, w_raw * vis)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            w = np.where(norm[d] != 0, w_raw / norm[d], 0.0)
+    else:
+        raise ValueError(how)
+
+    np.add.at(scores, d, pol * (shift * w)[:, None])
+    return lens, scores
+
+
 def sentence_tfidf_stats(pages: DataFrame, lexicons: Lexicons) -> dict[str, tuple[float, dict[str, float]]]:
     """Sentence-level (N, df) per language for TFIDF: the reference builds
     frequency maps over the unlisted SENTENCES (make_frequency_maps on the
@@ -263,10 +386,7 @@ def compute_sentiment_sentences_udf(
                 if not sentences:
                     continue
                 if mode == "cluster":
-                    mat = np.vstack(
-                        [_sentence_cluster_scores(s, pack, how, tf) for s in sentences]
-                    )
-                    lens = np.fromiter((len(s) for s in sentences), dtype=np.int64)
+                    lens, mat = _sentence_cluster_scores_batch(sentences, pack, how, tf)
                 else:
                     # the sentence worker's positional normalizer runs over
                     # lexicon HITS only (update_token_weights is inside the

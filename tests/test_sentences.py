@@ -160,3 +160,37 @@ def test_sentence_cluster_normalizer_counts_visits(pack):
     (a distinct-token normalizer would give -0.5)."""
     got = cscore(pack, ["fast", "slow"], how="UShaped")
     np.testing.assert_allclose(got, [-0.25], atol=1e-12)
+
+
+def test_sentence_cluster_batch_equals_loop():
+    """The vectorized batch implementation must equal the per-sentence
+    reference loop on randomized sentences with commas, valence words of
+    every type, and overlapping windows — for every how."""
+    import numpy as np
+
+    from sentometrics_spark.lexicons import fixture_lexicons
+    from sentometrics_spark.scoring.sentences import (
+        _sentence_cluster_scores,
+        _sentence_cluster_scores_batch,
+    )
+
+    pack = fixture_lexicons().pack("en")
+    rng = np.random.RandomState(3)
+    lex_words = sorted(pack.word2id)[:12]
+    val_words = sorted(pack.valence_t)[:8] if pack.valence_t else []
+    filler = ["walk", "cloud", "tree", "run", "fly", "blue", "c_c"]
+    vocab = lex_words + val_words + filler * 2
+    sentences = [
+        [vocab[i] for i in rng.randint(0, len(vocab), size=rng.randint(1, 25))]
+        for _ in range(200)
+    ] + [["c_c"], ["walk"], [lex_words[0]] * 6, [lex_words[0], "c_c", lex_words[1]]]
+    df_map = {w: float(i + 1) for i, w in enumerate(sorted(pack.word2id))}
+    tf = (123.0, df_map)
+    for how in (
+        "counts", "proportional", "proportionalSquareRoot", "proportionalPol",
+        "TFIDF", "UShaped", "inverseUShaped", "exponential", "inverseExponential",
+    ):
+        lens, mat = _sentence_cluster_scores_batch(sentences, pack, how, tf)
+        ref = np.vstack([_sentence_cluster_scores(s, pack, how, tf) for s in sentences])
+        np.testing.assert_allclose(mat, ref, atol=1e-12, err_msg=how)
+        assert list(lens) == [len(s) for s in sentences]

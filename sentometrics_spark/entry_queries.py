@@ -1547,7 +1547,7 @@ FROM raw""",
 SQL_PEAKDOCS = (
     sentiment_cte("counts")
     + """,
-scored AS (SELECT url, AVG(score) AS m FROM sent GROUP BY 1),
+scored AS (SELECT url, max(abs(score)) AS m FROM sent GROUP BY 1),
 top AS (SELECT * FROM scored ORDER BY abs(m) DESC, url LIMIT 10)
 SELECT url, floor(m * 1000000 + 0.5 + 1e-9) / 1000000.0 AS m FROM top"""
 )

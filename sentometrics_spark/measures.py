@@ -165,18 +165,31 @@ def peakdocs(
     n: float,
     type: str = "both",
     measure: tuple[str, str] | None = None,
+    do_average: bool = False,
 ) -> DataFrame:
     """O2: top-n documents by extreme sentiment. type: pos|neg|both(abs).
-    measure: restrict to one (lexicon, feature) pair, else use the row-mean
-    across measures (do.average, /root/reference/R/sentiment_engines.R:494-514).
-    n < 1 selects the documents beyond that quantile of the ranking metric
-    (reference n<1 = quantile rule). Deterministic tiebreak by url."""
+
+    do_average=False (the reference default) ranks each document by its
+    MOST EXTREME single measure value; do_average=True by the row-mean
+    across measures (peakdocs, /root/reference/R/sentiment_engines.R:494-514).
+    measure: restrict to one (lexicon, feature) pair instead.
+    n < 1 means a fraction: exactly floor(n * ndocs) documents come back,
+    as the reference (n <- floor(n * nMax), :500-501). Deterministic
+    tiebreak by url (the reference relies on column-major order())."""
     s = sentiment
     if measure is not None:
         s = s.filter((F.col("lexicon") == measure[0]) & (F.col("feature") == measure[1]))
         scored = s.groupBy("url").agg(F.first("score").alias("m"))
-    else:
+    elif do_average:
         scored = s.groupBy("url").agg(F.avg("score").alias("m"))
+    elif type == "both":
+        scored = s.groupBy("url").agg(F.max(F.abs("score")).alias("m"))
+    elif type == "pos":
+        scored = s.groupBy("url").agg(F.max("score").alias("m"))
+    elif type == "neg":
+        scored = s.groupBy("url").agg(F.min("score").alias("m"))
+    else:
+        raise ValueError(type)
     if type == "both":
         metric = F.abs(F.col("m"))
     elif type == "pos":
@@ -187,8 +200,8 @@ def peakdocs(
         raise ValueError(type)
     scored = scored.withColumn("__metric", metric)
     if 0 < n < 1:
-        q = scored.approxQuantile("__metric", [1.0 - n], 0.0)[0]
-        return scored.filter(F.col("__metric") >= q).drop("__metric")
+        # bounded count: scored has one row per document
+        n = int(n * scored.count())
     return scored.orderBy(F.col("__metric").desc(), F.col("url")).limit(int(n)).drop("__metric")
 
 

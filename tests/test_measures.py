@@ -104,12 +104,21 @@ def test_peakdocs(pages, lexicons):
     from sentometrics_spark.scoring.algebraic import compute_sentiment_algebraic
 
     sent = compute_sentiment_algebraic(pages, Lexicons(lex=lexicons.lex), "counts")
+    # default = reference do.average=FALSE: rank by most extreme single
+    # measure value (/root/reference/R/sentiment_engines.R:506-512)
     top = peakdocs(sent, 5, type="both").toPandas()
     assert len(top) == 5
-    full = sent.groupBy("url").agg(F.avg("score").alias("m")).toPandas()
-    exp = full.reindex(full["m"].abs().sort_values(ascending=False).index).head(5)
+    full = sent.toPandas()
+    ext = full.assign(a=full["score"].abs()).groupby("url")["a"].max()
     np.testing.assert_allclose(
-        np.sort(np.abs(top["m"])), np.sort(np.abs(exp["m"])), atol=1e-12
+        np.sort(np.abs(top["m"])), np.sort(ext.sort_values(ascending=False).head(5)), atol=1e-12
+    )
+    # do_average=True: rank by the row-mean across measures
+    top_avg = peakdocs(sent, 5, type="both", do_average=True).toPandas()
+    mean = full.groupby("url")["score"].mean()
+    np.testing.assert_allclose(
+        np.sort(np.abs(top_avg["m"])),
+        np.sort(mean.abs().sort_values(ascending=False).head(5)), atol=1e-12
     )
 
 

@@ -1460,7 +1460,7 @@ SELECT {ts}, {r6('gl')} AS global_lexicons, {r6('gf')} AS global_features,
 FROM gidx""",
         "peakdates_top5": base
         + f""",
-scored AS (SELECT bucket_ts, AVG(value) AS m FROM rolled GROUP BY 1),
+scored AS (SELECT bucket_ts, max(abs(value)) AS m FROM rolled GROUP BY 1),
 top AS (SELECT * FROM scored ORDER BY abs(m) DESC, bucket_ts LIMIT 5)
 SELECT {ts}, {r6('m')} AS m FROM top""",
     }

@@ -207,28 +207,29 @@ def peakdocs(
 
 def peakdates(
     measures: DataFrame,
-    n: int,
+    n: float,
     type: str = "both",
-    do_average: bool = True,
+    do_average: bool = False,
 ) -> DataFrame:
     """M7: top-n bucket dates with most extreme measure values
-    (/root/reference/R/sentomeasures_main.R:496-516)."""
+    (/root/reference/R/sentomeasures_main.R:496-516).
+
+    do_average=False (the reference default) collapses each date to its
+    MOST EXTREME measure value before ranking — the reference orders all
+    (date, measure) values, takes the top m*n, then dedups dates, so a
+    date ranks by its most extreme value and exactly n distinct dates come
+    back. n < 1 means a fraction: floor(n * nobs) dates. Deterministic
+    tiebreak by bucket_ts."""
     if type not in ("both", "pos", "neg"):
         raise ValueError(type)
     if do_average:
         scored = measures.groupBy("bucket_ts").agg(F.avg("value").alias("m"))
     else:
-        # collapse to each date's MOST EXTREME measure value before ranking:
-        # the reference orders all (date, measure) values, takes the top
-        # m*n, then dedups dates — so a date ranks by its most extreme
-        # value and exactly n distinct dates come back (a naive
-        # limit-then-dedup can return fewer when extremes cluster on one
-        # date)
         per_date = measures.select("bucket_ts", F.col("value").alias("m"))
         if type == "both":
-            scored = per_date.groupBy("bucket_ts").agg(
-                F.max_by("m", F.abs("m")).alias("m")
-            )
+            # deterministic even when two measures tie on |value| with
+            # opposite signs: the metric is the max |value| itself
+            scored = per_date.groupBy("bucket_ts").agg(F.max(F.abs("m")).alias("m"))
         elif type == "pos":
             scored = per_date.groupBy("bucket_ts").agg(F.max("m").alias("m"))
         else:
@@ -237,11 +238,12 @@ def peakdates(
         key = F.abs(F.col("m")).desc()
     elif type == "pos":
         key = F.col("m").desc()
-    elif type == "neg":
-        key = F.col("m").asc()
     else:
-        raise ValueError(type)
-    return scored.orderBy(key, F.col("bucket_ts")).limit(n).select("bucket_ts", "m")
+        key = F.col("m").asc()
+    if 0 < n < 1:
+        # bounded count: scored has one row per bucket date
+        n = int(n * scored.count())
+    return scored.orderBy(key, F.col("bucket_ts")).limit(int(n)).select("bucket_ts", "m")
 
 
 def to_wide(measures: DataFrame) -> DataFrame:

@@ -1154,6 +1154,32 @@ def q_gorilla_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain crawl-curation stats (doc count, mean tokens, languages)."""
+    from sentometrics_spark.textops.textstats import domain_stats
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pages = build_pages(spark, sf_dir, with_html=False)
+    return domain_stats(pages).select(
+        "domain",
+        F.col("documents").cast("long").alias("documents"),
+        _r6("mean_tokens").alias("mean_tokens"),
+        F.col("n_langs").cast("long").alias("n_langs"),
+    )
+
+
+SQL_DOMAIN_STATS = f"""WITH {PAGES_CTE},
+t AS (
+  SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/]+)', 1) AS domain,
+         len(string_split(text, ' ')) AS n, lang
+  FROM pages
+)
+SELECT domain, CAST(count(*) AS BIGINT) AS documents,
+       floor(avg(n) * 1000000 + 0.5 + 1e-9) / 1000000.0 AS mean_tokens,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM t GROUP BY domain"""
+
+
 def q_tier_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 export/sink: write the composed day tier through TierStore
     (bucket-date-partitioned parquet — the Iceberg stand-in) and read it
@@ -1396,6 +1422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_day_from_hour_exp": q_tier_day_from_hour_exp,
         "tier_store_roundtrip": q_tier_store_roundtrip,
         "lang_id_tokens": q_lang_id_tokens,
+        "domain_stats": q_domain_stats,
         # non-SQL-expressible (rows-only driver check; pandas-oracle pytest'd)
         "sent_cluster_counts": q_sent_cluster,
         "minhash_lsh_candidates": q_minhash_candidates,
@@ -1601,6 +1628,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": SQL_EVENTS_HOURLY,
         "tier_store_roundtrip": agg_docs_sql("proportional", "day"),
         "lang_id_tokens": SQL_LANG_ID_TOKENS,
+        "domain_stats": SQL_DOMAIN_STATS,
     }
 
 

@@ -94,3 +94,25 @@ def fingerprint(df: DataFrame, text_col: str = "text", window: int = 8) -> DataF
     return df.withColumn("fp_min", F.array_min(grams)).withColumn(
         "fp_full", F.xxhash64(text_col)
     )
+
+
+def domain_of(col: str = "url") -> Column:
+    """Host portion of a URL (scheme://host/...), JVM-side regex."""
+    return F.regexp_extract(F.col(col), r"^[a-z][a-z0-9+.-]*://([^/]+)", 1)
+
+
+def domain_stats(df: DataFrame, url_col: str = "url", text_col: str = "text") -> DataFrame:
+    """Per-domain corpus stats for crawl curation: doc count, mean token
+    count, distinct languages. Hot domains are exactly the skewed-key case
+    the salted two-phase aggregation handles (doc_agg.aggregate_docs_salted)
+    — this plain groupBy(domain) is the bounded-cardinality shuffle."""
+    toks = F.size(F.split(F.col(text_col), " "))
+    return (
+        df.select(domain_of(url_col).alias("domain"), toks.alias("n"), "lang")
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("documents"),
+            F.avg("n").alias("mean_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )

@@ -139,3 +139,32 @@ def test_whole_stage_codegen_covers_algebraic_path(spark, pages, lex):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert re.search(r"\*\(\d+\)", p), p
     assert "MapInPandas" not in p and "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_near_dup_and_ann_plans_never_cartesian(spark):
+    """Candidate generation must be a bounded equi-join on (band/bucket)
+    keys — a CartesianProduct or BroadcastNestedLoopJoin here is the
+    all-pairs blow-up the LSH/banding design exists to avoid. (The one
+    sanctioned crossJoin is brute-force knn against a BROADCAST query set.)"""
+    import numpy as np
+
+    from sentometrics_spark.textops.dedup import minhash_dedup_candidates, simhash_near_pairs
+    from sentometrics_spark.textops.similarity import lsh_topk
+
+    docs = spark.createDataFrame(
+        [(i, "spark fast query engine row " + "x" * (i % 5)) for i in range(30)],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 13) for j in range(8)]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    qv = emb.filter("vec_id < 2").selectExpr("vec_id as q_id", "embedding as q_emb")
+    for df in (
+        simhash_near_pairs(docs, id_col="doc_id"),
+        minhash_dedup_candidates(docs, k=8, bands=4),
+        lsh_topk(emb.filter("vec_id >= 2"), qv, k=3, bits=4, n_tables=2, dim=8),
+    ):
+        p = plan_of(df)
+        assert "CartesianProduct" not in p, p
+        assert "BroadcastNestedLoopJoin" not in p, p

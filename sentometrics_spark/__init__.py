@@ -23,7 +23,10 @@ from sentometrics_spark.corpus import (
     add_features,
     build_pages,
     corpus_summarize,
+    drop_features,
     extract_text,
+    read_corpus,
+    validate_corpus,
 )
 from sentometrics_spark.pipeline import compute_sentiment, measures_update, sento_measures
 from sentometrics_spark.aggregate.time_agg import measures_fill
@@ -48,7 +51,10 @@ __all__ = [
     "fixture_lexicons",
     "add_features",
     "build_pages",
+    "drop_features",
     "extract_text",
+    "read_corpus",
+    "validate_corpus",
     "corpus_summarize",
     "sento_measures",
     "compute_sentiment",

@@ -1132,11 +1132,18 @@ def q_sent_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidate pairs (banded signatures)."""
+    """MinHash+LSH near-dup candidate pairs (banded signatures). Runs the
+    md5-hash variant so DuckDB reproduces every minhash, band signature and
+    bucket join bit-exactly (production default is xxhash64 — same plan,
+    cheaper leaf hash)."""
     from sentometrics_spark.textops.dedup import minhash_dedup_candidates
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_dedup_candidates(docs, k=32, bands=8).orderBy("id_a", "id_b")
+    return (
+        minhash_dedup_candidates(docs, k=32, bands=8, hash_fn="md5")
+        .select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 def q_gorilla_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1257,13 +1264,16 @@ FROM best b JOIN counts c USING (doc_id) WHERE b.rn = 1"""
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (banded pigeonhole join + popcount filter).
-    xxhash64-based, so no DuckDB oracle; recall/precision on planted dups is
-    pinned by the pytest suite."""
+    md5-hash variant (60-bit simhash, 4 bands x 15 bits) so DuckDB
+    reproduces the bit votes, band chunks and hamming distances exactly;
+    production default is xxhash64/64-bit with the identical plan."""
     from sentometrics_spark.textops.dedup import simhash_near_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     return (
-        simhash_near_pairs(docs, id_col="doc_id", max_hamming=3, bands=4)
+        simhash_near_pairs(
+            docs, id_col="doc_id", max_hamming=3, bands=4, bits=60, hash_fn="md5"
+        )
         .orderBy("id_a", "id_b")
         .select(
             F.col("id_a").cast("long"),
@@ -1336,14 +1346,98 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-style fingerprint (rolling xxhash64 window min + full-text
-    hash); hash values are engine-specific, so rows-only."""
+    """Winnowing-style fingerprint (rolling window-hash min + full-text
+    hash), md5-hash variant so both values are bit-exact in DuckDB."""
     from sentometrics_spark.textops.textstats import fingerprint
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    return fingerprint(docs).select(
+    return fingerprint(docs, hash_fn="md5").select(
         F.col("doc_id").cast("long"), "fp_min", "fp_full"
     )
+
+
+def _hx(expr: str) -> str:
+    """DuckDB expression equal to dedup.hash64(expr, hash_fn='md5')."""
+    from sentometrics_spark.textops.dedup import duck_hx
+
+    return duck_hx(expr)
+
+
+def _sql_minhash_candidates() -> str:
+    # mirror of minhash_dedup_candidates(k=32, bands=8, hash_fn="md5"):
+    # distinct 3-gram shingles -> 32 seeded md5 min-hashes -> 8 bands of 4
+    # -> (band, signature) buckets -> in-bucket pairs
+    return f"""WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[u.i : u.i + 2], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, greatest(len(t) - 3, 0) + 1)) AS u(i)
+),
+hs AS (
+  SELECT doc_id, s.seed,
+         min({_hx("s.seed::VARCHAR || ':' || shingle")}) AS mh
+  FROM sh CROSS JOIN (SELECT UNNEST(generate_series(0, 31)) AS seed) s
+  GROUP BY doc_id, s.seed
+),
+bands AS (
+  SELECT doc_id, seed // 4 AS band,
+         {_hx("string_agg(mh::VARCHAR, '|' ORDER BY seed)")} AS sig
+  FROM hs GROUP BY doc_id, seed // 4
+)
+SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id"""
+
+
+def _sql_simhash_pairs() -> str:
+    # mirror of simhash_near_pairs(bits=60, bands=4, max_hamming=3,
+    # hash_fn="md5"): tf-weighted bit votes -> 60-bit simhash -> 4x15-bit
+    # pigeonhole bands -> bucket join -> popcount filter
+    return f"""WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf, {_hx("token")} AS h
+  FROM tok GROUP BY doc_id, token
+),
+votes AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN tf ELSE -tf END) AS v
+  FROM tf CROSS JOIN (SELECT UNNEST(generate_series(0, 59)) AS bit) b
+  GROUP BY doc_id, b.bit
+),
+sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0::BIGINT END) AS simhash
+  FROM votes GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, simhash, b.band, (simhash >> (b.band * 15)) & 32767 AS chunk
+  FROM sh CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS h_a, b.simhash AS h_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(h_a, h_b)) <= 3"""
+
+
+def _sql_doc_fingerprint() -> str:
+    # mirror of textstats.fingerprint(window=8, hash_fn="md5")
+    return f"""WITH t AS (
+  SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, min({_hx("array_to_string(toks[u.i : u.i + 7], ' ')")}) AS fp_min
+  FROM t, UNNEST(generate_series(1, greatest(len(toks) - 8, 0) + 1)) AS u(i)
+  GROUP BY doc_id
+)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id, g.fp_min, {_hx("t.text")} AS fp_full
+FROM t JOIN g USING (doc_id)"""
 
 
 # ---------------------------------------------------------------------------
@@ -1423,15 +1517,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_store_roundtrip": q_tier_store_roundtrip,
         "lang_id_tokens": q_lang_id_tokens,
         "domain_stats": q_domain_stats,
+        # hash-based dedup/fingerprint ops, md5-variant so DuckDB matches
+        # bit-exactly (production default is xxhash64 with the same plan)
+        "minhash_lsh_candidates": q_minhash_candidates,
+        "simhash_near_pairs": q_simhash_pairs,
+        "doc_fingerprint": q_doc_fingerprint,
         # non-SQL-expressible (rows-only driver check; pandas-oracle pytest'd)
         "sent_cluster_counts": q_sent_cluster,
-        "minhash_lsh_candidates": q_minhash_candidates,
         "gorilla_pack_series": q_gorilla_pack,
-        "simhash_near_pairs": q_simhash_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "multimodal_features": q_multimodal_features,
-        "doc_fingerprint": q_doc_fingerprint,
         # training-data ops
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -1629,6 +1725,9 @@ def oracle_sql() -> dict[str, str]:
         "tier_store_roundtrip": agg_docs_sql("proportional", "day"),
         "lang_id_tokens": SQL_LANG_ID_TOKENS,
         "domain_stats": SQL_DOMAIN_STATS,
+        "minhash_lsh_candidates": _sql_minhash_candidates(),
+        "simhash_near_pairs": _sql_simhash_pairs(),
+        "doc_fingerprint": _sql_doc_fingerprint(),
     }
 
 

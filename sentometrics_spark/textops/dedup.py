@@ -17,12 +17,43 @@ crossJoin:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
 def _tokens(col: str = "text"):
     return F.split(F.lower(F.col(col)), " ")
+
+
+def hash64(col, seed: int | None = None, hash_fn: str = "xxhash64") -> Column:
+    """64-bit-ish hash of a string column.
+
+    - "xxhash64": Spark's built-in (production default — fastest, JVM-side).
+    - "md5": first 60 bits of md5 as a bigint. Slower, but DuckDB computes
+      the identical value (md5 + hex parse), which turns every hash-based
+      dedup operator into a bit-exact DuckDB-oracle query; the pipeline
+      shape (shingle -> min-agg -> band -> bucket join) is unchanged.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if hash_fn == "xxhash64":
+        return F.xxhash64(c, F.lit(seed)) if seed is not None else F.xxhash64(c)
+    if hash_fn == "md5":
+        if seed is not None:
+            c = F.concat_ws(":", F.lit(str(seed)), c)
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_fn: {hash_fn}")
+
+
+# DuckDB expression computing the same value as hash64(..., hash_fn="md5"):
+# parse the first 15 hex chars of md5 into a BIGINT.
+DUCK_HX = (
+    "list_reduce(list_transform(string_split_regex(substr(md5({e}), 1, 15), ''),"
+    " c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
+)
+
+
+def duck_hx(expr: str) -> str:
+    return DUCK_HX.format(e=expr)
 
 
 def shingles(df: DataFrame, id_col: str = "doc_id", n: int = 3) -> DataFrame:
@@ -99,12 +130,16 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", n: int = 3, k: int = 32
+    df: DataFrame, id_col: str = "doc_id", n: int = 3, k: int = 32,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """k-permutation MinHash signature per doc: min over shingles of
-    xxhash64(shingle, seed_i). One explode + one groupBy."""
+    hash(shingle, seed_i). One explode + one groupBy."""
     sh = shingles(df, id_col, n)
-    mins = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}") for i in range(k)]
+    mins = [
+        F.min(hash64("shingle", seed=i, hash_fn=hash_fn)).alias(f"mh_{i}")
+        for i in range(k)
+    ]
     return sh.groupBy(id_col).agg(*mins)
 
 
@@ -114,6 +149,7 @@ def minhash_lsh_buckets(
     n: int = 3,
     k: int = 32,
     bands: int = 8,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """LSH banding: split the k-minhash signature into ``bands`` bands of
     k/bands rows; docs sharing any (band, band-signature) land in one
@@ -122,12 +158,18 @@ def minhash_lsh_buckets(
     if k % bands:
         raise ValueError("k must be divisible by bands")
     rows = k // bands
-    sig = minhash_signatures(df, id_col, n, k)
+    sig = minhash_signatures(df, id_col, n, k, hash_fn=hash_fn)
+
+    def band_sig(b: int) -> Column:
+        cols = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
+        if hash_fn == "xxhash64":
+            return F.xxhash64(*cols)
+        # md5 variant: hash the '|'-joined signature row (same string DuckDB
+        # builds with string_agg(mh, '|' ORDER BY seed))
+        return hash64(F.concat_ws("|", *[c.cast("string") for c in cols]), hash_fn="md5")
+
     band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias("sig"),
-        )
+        F.struct(F.lit(b).alias("band"), band_sig(b).alias("sig"))
         for b in range(bands)
     ]
     exploded = sig.select(id_col, F.explode(F.array(*band_cols)).alias("bs")).select(
@@ -145,10 +187,11 @@ def minhash_lsh_buckets(
 
 
 def minhash_dedup_candidates(
-    df: DataFrame, id_col: str = "doc_id", n: int = 3, k: int = 32, bands: int = 8
+    df: DataFrame, id_col: str = "doc_id", n: int = 3, k: int = 32, bands: int = 8,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Distinct candidate near-dup pairs from LSH buckets."""
-    buckets = minhash_lsh_buckets(df, id_col, n, k, bands)
+    buckets = minhash_lsh_buckets(df, id_col, n, k, bands, hash_fn=hash_fn)
     pairs = buckets.select(
         F.explode(
             F.filter(
@@ -167,12 +210,17 @@ def minhash_dedup_candidates(
     return pairs
 
 
-def simhash(df: DataFrame, id_col: str = "doc_id", bits: int = 64) -> DataFrame:
-    """64-bit SimHash per doc: sign-sum of token-hash bits, weighted by term
-    frequency. Pure Catalyst: explode tokens -> per-(doc, bit) majority."""
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", bits: int = 64,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """SimHash per doc: sign-sum of token-hash bits, weighted by term
+    frequency. Pure Catalyst: explode tokens -> per-(doc, bit) majority.
+    64 bits with xxhash64; pass bits=60 with hash_fn="md5" (the md5-derived
+    hash carries 60 usable bits)."""
     tok = df.select(id_col, F.explode(_tokens()).alias("token"))
     tf = tok.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
-    h = tf.withColumn("h", F.xxhash64("token"))
+    h = tf.withColumn("h", hash64("token", hash_fn=hash_fn))
     bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
     per_bit = h.select(id_col, "tf", "h", bit).withColumn(
         "vote",
@@ -189,13 +237,14 @@ def simhash(df: DataFrame, id_col: str = "doc_id", bits: int = 64) -> DataFrame:
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, bands: int = 4
+    df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, bands: int = 4,
+    bits: int = 64, hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit hash into ``bands`` chunks
+    """Near-dup pairs by SimHash: band the hash into ``bands`` chunks
     (pigeonhole: hamming <= bands-1 guarantees a shared band), bucket-join,
     then exact popcount filter."""
-    sh = simhash(df, id_col)
-    width = 64 // bands
+    sh = simhash(df, id_col, bits=bits, hash_fn=hash_fn)
+    width = bits // bands
     mask = (1 << width) - 1
     band_structs = [
         F.struct(

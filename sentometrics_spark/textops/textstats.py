@@ -81,18 +81,26 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("quality", comp)
 
 
-def fingerprint(df: DataFrame, text_col: str = "text", window: int = 8) -> DataFrame:
+def fingerprint(
+    df: DataFrame, text_col: str = "text", window: int = 8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
     """Winnowing-style document fingerprint: rolling hash over token
     windows, keep the minimum hash per document plus the full-text hash.
     (A compact two-value signature; the shingle set itself lives in
-    dedup.minhash_signatures.)"""
+    dedup.minhash_signatures.) hash_fn="md5" makes the values bit-exactly
+    reproducible in DuckDB (driver-oracle path)."""
+    from sentometrics_spark.textops.dedup import hash64
+
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - window, F.lit(0))),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))),
+        lambda i: hash64(
+            F.concat_ws(" ", F.slice(toks, i + 1, window)), hash_fn=hash_fn
+        ),
     )
     return df.withColumn("fp_min", F.array_min(grams)).withColumn(
-        "fp_full", F.xxhash64(text_col)
+        "fp_full", hash64(F.col(text_col), hash_fn=hash_fn)
     )
 
 

@@ -29,6 +29,17 @@ from sentometrics_spark.scoring.udf_engine import compute_sentiment_udf
 SF_DIR = "/root/testdata/sf0.001"
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _no_cached_scans(spark):
+    """Plan-shape assertions inspect the parquet FileScan (PushedFilters /
+    ReadSchema). Spark's CacheManager silently substitutes any cached
+    full-column read of the same file into later plans (e.g. the
+    test_textops docs fixture when modules run in a different order), which
+    hides pushdown without changing results — clear all caches first so the
+    plans under test are the real scan plans."""
+    spark.catalog.clearCache()
+
+
 def plan_of(df) -> str:
     buf = io.StringIO()
     with redirect_stdout(buf):

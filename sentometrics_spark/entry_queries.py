@@ -1285,8 +1285,9 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH ANN (random sign-hyperplane tables): approximate top-5 — a
-    bounded (table, bucket) equi-join, never a crossJoin. Seeded planes are
-    not SQL-expressible; recall-vs-exact is pinned by pytest."""
+    bounded (table, bucket) equi-join, never a crossJoin. The seeded planes
+    are deterministic, so the oracle embeds the identical plane values as
+    SQL literals and replays the whole bucket/candidate/rank pipeline."""
     from sentometrics_spark.textops.similarity import lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1426,6 +1427,62 @@ SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
 FROM cand WHERE bit_count(xor(h_a, h_b)) <= 3"""
 
 
+def _sql_lsh_ann_topk() -> str:
+    # mirror of lsh_topk(k=5, bits=8, n_tables=2, dim=64, seed=42): the
+    # seeded hyperplanes are generated HERE with the same numpy calls the
+    # engine uses and inlined as literals, so DuckDB replays bucket
+    # assignment, the (table, bucket) candidate join, and the exact-cosine
+    # top-5 re-rank on the identical plane values.
+    from sentometrics_spark.textops.similarity import random_hyperplanes
+
+    rows = []
+    for t in range(2):
+        planes = random_hyperplanes(64, 8, seed=42 + t)
+        for b, p in enumerate(planes):
+            vec = ", ".join(repr(float(v)) for v in p)
+            rows.append(f"({t}, {b}, [{vec}])")
+    planes_values = ",\n".join(rows)
+    dot = (
+        "list_sum(list_transform(range(1, 65),"
+        " i -> CAST(e[i] AS DOUBLE) * pl.p[i]))"
+    )
+    return f"""WITH planes(tbl, bit, p) AS (VALUES
+{planes_values}
+),
+q AS (SELECT vec_id AS q_id, embedding AS e FROM embeddings WHERE vec_id < 3),
+c AS (SELECT vec_id, embedding AS e FROM embeddings WHERE vec_id >= 3),
+cb AS (
+  SELECT c.vec_id, pl.tbl,
+         sum(CASE WHEN {dot} >= 0 THEN 1 << pl.bit ELSE 0 END) AS bucket
+  FROM c CROSS JOIN planes pl GROUP BY c.vec_id, pl.tbl
+),
+qb AS (
+  SELECT q.q_id, pl.tbl,
+         sum(CASE WHEN {dot} >= 0 THEN 1 << pl.bit ELSE 0 END) AS bucket
+  FROM q CROSS JOIN planes pl GROUP BY q.q_id, pl.tbl
+),
+cand AS (
+  SELECT DISTINCT qb.q_id, cb.vec_id
+  FROM cb JOIN qb ON cb.tbl = qb.tbl AND cb.bucket = qb.bucket
+),
+scored AS (
+  SELECT cand.q_id, cand.vec_id,
+         list_sum(list_transform(range(1, 65),
+             i -> CAST(c.e[i] AS DOUBLE) * CAST(q.e[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(c.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+  FROM cand JOIN c ON c.vec_id = cand.vec_id JOIN q ON q.q_id = cand.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT CAST(q_id AS BIGINT) AS q_id, CAST(vec_id AS BIGINT) AS vec_id,
+       floor(cos * 1000000 + 0.5 + 1e-9) / 1000000.0 AS cosine, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 5"""
+
+
 def _sql_doc_fingerprint() -> str:
     # mirror of textstats.fingerprint(window=8, hash_fn="md5")
     return f"""WITH t AS (
@@ -1522,10 +1579,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_candidates": q_minhash_candidates,
         "simhash_near_pairs": q_simhash_pairs,
         "doc_fingerprint": q_doc_fingerprint,
+        # LSH ANN: deterministic seeded planes inlined as oracle literals
+        "lsh_ann_topk": q_lsh_ann_topk,
         # non-SQL-expressible (rows-only driver check; pandas-oracle pytest'd)
         "sent_cluster_counts": q_sent_cluster,
         "gorilla_pack_series": q_gorilla_pack,
-        "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "multimodal_features": q_multimodal_features,
         # training-data ops
@@ -1728,6 +1786,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_candidates": _sql_minhash_candidates(),
         "simhash_near_pairs": _sql_simhash_pairs(),
         "doc_fingerprint": _sql_doc_fingerprint(),
+        "lsh_ann_topk": _sql_lsh_ann_topk(),
     }
 
 

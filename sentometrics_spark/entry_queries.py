@@ -1357,6 +1357,87 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality filters over the documents table
+    (top n-gram token share, duplicate 5-gram fraction, composite gate)."""
+    from sentometrics_spark.textops.textstats import gopher_quality
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    out = gopher_quality(docs)
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.col("n_tokens").cast("long"),
+        _r6("mean_word_len").alias("mean_word_len"),
+        _r6("alpha_word_frac").alias("alpha_word_frac"),
+        F.col("stopword_hits").cast("long"),
+        _r6("top_bigram_frac").alias("top_bigram_frac"),
+        _r6("top_trigram_frac").alias("top_trigram_frac"),
+        _r6("dup_5gram_frac").alias("dup_5gram_frac"),
+        "passes_gopher",
+    )
+
+
+def _sql_gopher_quality() -> str:
+    # mirror of textstats.gopher_quality
+    r6 = lambda e: f"floor(({e}) * 1000000 + 0.5 + 1e-9) / 1000000.0"
+    return f"""WITH t AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t,
+         len(string_split_regex(lower(text), '\\s+')) AS n_tokens,
+         len(text) AS n_chars
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, g.ng, array_to_string(t[u.i : u.i + g.ng - 1], ' ') AS gram
+  FROM t
+  CROSS JOIN (SELECT UNNEST([2, 3, 5]) AS ng) g,
+  UNNEST(generate_series(1, n_tokens - g.ng + 1)) AS u(i)
+),
+per_gram AS (
+  SELECT doc_id, ng, gram, count(*) AS c FROM grams GROUP BY doc_id, ng, gram
+),
+per_ng AS (
+  SELECT doc_id, ng, max(c) AS max_c, sum(c) AS total, count(*) AS n_distinct
+  FROM per_gram GROUP BY doc_id, ng
+),
+rep AS (
+  SELECT doc_id,
+         max(CASE WHEN ng = 2 THEN max_c END) AS max_c_2,
+         max(CASE WHEN ng = 3 THEN max_c END) AS max_c_3,
+         max(CASE WHEN ng = 5 THEN max_c END) AS max_c_5,
+         max(CASE WHEN ng = 5 THEN total END) AS total_5,
+         max(CASE WHEN ng = 5 THEN n_distinct END) AS n_distinct_5
+  FROM per_ng GROUP BY doc_id
+),
+stats AS (
+  SELECT doc_id, n_tokens,
+         (n_chars - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE) AS mean_word_len,
+         len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+           / CAST(n_tokens AS DOUBLE) AS alpha_word_frac,
+         len(list_intersect(list_distinct(t),
+             ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS stopword_hits
+  FROM t
+),
+j AS (
+  SELECT s.doc_id, s.n_tokens, s.mean_word_len, s.alpha_word_frac, s.stopword_hits,
+         coalesce(r.max_c_2 * 2 / CAST(s.n_tokens AS DOUBLE), 0.0) AS top_bigram_frac,
+         coalesce(r.max_c_3 * 3 / CAST(s.n_tokens AS DOUBLE), 0.0) AS top_trigram_frac,
+         coalesce((r.total_5 - r.n_distinct_5) / CAST(r.total_5 AS DOUBLE), 0.0) AS dup_5gram_frac
+  FROM stats s LEFT JOIN rep r USING (doc_id)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       {r6('mean_word_len')} AS mean_word_len,
+       {r6('alpha_word_frac')} AS alpha_word_frac,
+       CAST(stopword_hits AS BIGINT) AS stopword_hits,
+       {r6('top_bigram_frac')} AS top_bigram_frac,
+       {r6('top_trigram_frac')} AS top_trigram_frac,
+       {r6('dup_5gram_frac')} AS dup_5gram_frac,
+       (n_tokens BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        AND alpha_word_frac > 0.8 AND stopword_hits >= 2
+        AND top_bigram_frac <= 0.20 AND top_trigram_frac <= 0.18
+        AND dup_5gram_frac <= 0.30) AS passes_gopher
+FROM j"""
+
+
 def _hx(expr: str) -> str:
     """DuckDB expression equal to dedup.hash64(expr, hash_fn='md5')."""
     from sentometrics_spark.textops.dedup import duck_hx
@@ -1593,6 +1674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup_pairs": q_embed_neardup,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "text_quality": q_text_quality,
+        "gopher_quality": q_gopher_quality,
         "events_hourly": q_events_hourly,
     }
     return q
@@ -1787,6 +1869,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_pairs": _sql_simhash_pairs(),
         "doc_fingerprint": _sql_doc_fingerprint(),
         "lsh_ann_topk": _sql_lsh_ann_topk(),
+        "gopher_quality": _sql_gopher_quality(),
     }
 
 

@@ -104,6 +104,107 @@ def fingerprint(
     )
 
 
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition + quality filters (Rae et al. 2021 §A1.1,
+    adapted to token fractions): share of tokens claimed by the most
+    frequent word 2-/3-gram, fraction of duplicated 5-gram instances,
+    alphabetic-word fraction, stop-word presence, mean word length — plus
+    the composite pass/fail gate a pre-training pipeline would filter on.
+
+    Scale shape: per-doc array math stays JVM-side; the n-gram frequency
+    counts are ONE exploded groupBy keyed by (doc, n, gram) with map-side
+    partial counts, then one per-doc rollup — no self-joins, nothing
+    quadratic in document length."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    base = df.select(
+        F.col(id_col),
+        toks.alias("t"),
+        F.size(toks).alias("n_tokens"),
+        F.length(text_col).alias("n_chars"),
+    )
+
+    def grams(ng: int):
+        seq = F.sequence(F.lit(0), F.col("n_tokens") - ng)
+        g = F.transform(seq, lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, ng)))
+        return base.select(
+            id_col,
+            F.lit(ng).alias("ng"),
+            F.explode(
+                F.when(F.col("n_tokens") >= ng, g).otherwise(F.array())
+            ).alias("gram"),
+        )
+
+    gram_rows = grams(2).unionByName(grams(3)).unionByName(grams(5))
+    per_gram = gram_rows.groupBy(id_col, "ng", "gram").agg(F.count("*").alias("c"))
+    per_doc_ng = per_gram.groupBy(id_col, "ng").agg(
+        F.max("c").alias("max_c"),
+        F.sum("c").alias("total"),
+        F.count("*").alias("n_distinct"),
+    )
+    rep = per_doc_ng.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("ng") == ng, F.col(c))).alias(f"{c}_{ng}")
+            for ng in (2, 3, 5)
+            for c in ("max_c", "total", "n_distinct")
+        ]
+    )
+
+    stop_arr = F.array(*[F.lit(s) for s in _GOPHER_STOPS])
+    stats = base.select(
+        id_col,
+        "n_tokens",
+        ((F.col("n_chars") - (F.col("n_tokens") - 1)) / F.col("n_tokens")).alias(
+            "mean_word_len"
+        ),
+        (
+            F.size(F.filter(F.col("t"), lambda x: x.rlike("[a-z]")))
+            / F.col("n_tokens").cast("double")
+        ).alias("alpha_word_frac"),
+        F.size(F.array_intersect(F.array_distinct(F.col("t")), stop_arr)).alias(
+            "stopword_hits"
+        ),
+    )
+
+    out = stats.join(rep, id_col, "left")
+    frac = lambda ng: F.coalesce(
+        F.col(f"max_c_{ng}") * ng / F.col("n_tokens").cast("double"), F.lit(0.0)
+    )
+    dup5 = F.coalesce(
+        (F.col("total_5") - F.col("n_distinct_5")) / F.col("total_5").cast("double"),
+        F.lit(0.0),
+    )
+    out = (
+        out.withColumn("top_bigram_frac", frac(2))
+        .withColumn("top_trigram_frac", frac(3))
+        .withColumn("dup_5gram_frac", dup5)
+    )
+    passes = (
+        F.col("n_tokens").between(50, 100_000)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("alpha_word_frac") > 0.8)
+        & (F.col("stopword_hits") >= 2)
+        & (F.col("top_bigram_frac") <= 0.20)
+        & (F.col("top_trigram_frac") <= 0.18)
+        & (F.col("dup_5gram_frac") <= 0.30)
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        "mean_word_len",
+        "alpha_word_frac",
+        "stopword_hits",
+        "top_bigram_frac",
+        "top_trigram_frac",
+        "dup_5gram_frac",
+        passes.alias("passes_gopher"),
+    )
+
+
 def domain_of(col: str = "url") -> Column:
     """Host portion of a URL (scheme://host/...), JVM-side regex."""
     return F.regexp_extract(F.col(col), r"^[a-z][a-z0-9+.-]*://([^/]+)", 1)

@@ -205,3 +205,51 @@ def test_multimodal_resize(spark):
         out.sort_values("media_id")["payload"].map(bytes).tolist()
         == again.sort_values("media_id")["payload"].map(bytes).tolist()
     )
+
+
+def test_gopher_quality_gate(spark):
+    """Planted docs: a clean 60-token doc passes; a doc that is one bigram
+    repeated fails on top_bigram_frac; a doc of duplicated 5-grams fails on
+    dup_5gram_frac; a 5-token doc fails the length gate with zero (not
+    null) repetition fractions."""
+    # all-unique tokens (a cycled vocab would itself be repetitive text and
+    # correctly fail the 5-gram dup gate)
+    clean = " ".join(
+        ["the", "be", "to", "of", "and", "that", "have", "with"]
+        + [f"word{i:02d}" for i in range(56)]
+    )
+    loop_bigram = " ".join(["click", "here"] * 40)
+    dup5 = " ".join(["one two three four five"] * 12)
+    short = "tiny doc of five words"
+    df = spark.createDataFrame(
+        [(1, clean), (2, loop_bigram), (3, dup5), (4, short)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in textstats.gopher_quality(df).collect()}
+
+    assert out[1]["passes_gopher"]
+    assert out[1]["top_bigram_frac"] < 0.2 and out[1]["dup_5gram_frac"] == 0.0
+
+    assert not out[2]["passes_gopher"]
+    # "click here" occurs 40x in 80 tokens -> 40*2/80 = 1.0
+    assert out[2]["top_bigram_frac"] == pytest.approx(1.0)
+
+    assert not out[3]["passes_gopher"]
+    # 56 5-gram instances, 9 distinct (the 5-cycle window) -> heavy dup
+    assert out[3]["dup_5gram_frac"] > 0.5
+
+    assert not out[4]["passes_gopher"]
+    assert out[4]["n_tokens"] == 5
+    assert out[4]["dup_5gram_frac"] == 0.0  # coalesced, never null
+
+
+def test_gopher_quality_plan_has_no_cartesian(spark):
+    df = spark.range(3).select(
+        F.col("id").alias("doc_id"), F.lit("a b c d e f g").alias("text")
+    )
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        textstats.gopher_quality(df).explain("formatted")
+    assert "CartesianProduct" not in buf.getvalue()

@@ -196,6 +196,18 @@ def run_benchmarks(cpus: int, sf_dir: str, q1_only: bool = False) -> dict:
         "sf": sf_dir,
         **extra,
     }
+    # attach the last `bench.py --scaling` result (two-parallelism
+    # throughput + efficiency, the north-rule evidence) so the per-round
+    # BENCH JSON is self-contained; 'measured_at' marks its provenance
+    scaling_cache = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json"
+    )
+    if os.path.isfile(scaling_cache):
+        try:
+            with open(scaling_cache) as f:
+                result["scaling"] = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            pass
     spark.stop()
     return result
 
@@ -251,7 +263,7 @@ def main() -> None:
                 docs[c] = r["n_docs"]
         t_low, t_high = min(times[n_low]), min(times[n_high])
         eff = (t_low / t_high) / 4.0
-        print(json.dumps({
+        result = {
             "metric": f"scaling_efficiency_{n_low}_to_{n_high}",
             "value": round(eff, 3),
             "unit": "ratio",
@@ -264,7 +276,19 @@ def main() -> None:
             "runs": n_runs,
             "n_docs": docs[n_high],
             "sf": sf_dir,
-        }))
+            "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        # cache for the default-mode JSON so BENCH_r{N}.json carries the
+        # north-rule two-parallelism evidence alongside the suite timings
+        try:
+            cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BENCH", "scaling.json")
+            os.makedirs(os.path.dirname(cache), exist_ok=True)
+            with open(cache, "w") as f:
+                json.dump(result, f)
+        except OSError:
+            pass
+        print(json.dumps(result))
         return
 
     if "--fused-scaling" in sys.argv:

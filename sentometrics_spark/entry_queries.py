@@ -1438,6 +1438,47 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
 FROM j"""
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full winnowing fingerprint set (k=4-gram hashes, window=5, rightmost
+    min per window), md5-hash variant so the selected (pos, hash) pairs are
+    bit-exact in DuckDB."""
+    from sentometrics_spark.textops.textstats import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return winnow_fingerprints(docs, k=4, window=5, hash_fn="md5").select(
+        F.col("doc_id").cast("long"), F.col("pos").cast("long"), "fp_hash"
+    )
+
+
+def _sql_winnow_fingerprints() -> str:
+    # mirror of textstats.winnow_fingerprints(k=4, window=5, hash_fn="md5")
+    hx = _hx("array_to_string(toks[u.i : u.i + 3], ' ')")
+    return f"""WITH t AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, u.i - 1 AS pos, {hx} AS h
+  FROM t, UNNEST(generate_series(1, greatest(len(toks) - 4, 0) + 1)) AS u(i)
+),
+w AS (
+  SELECT doc_id, pos, h,
+         min({{'h': h, 'np': -pos}}) OVER win AS sel,
+         count(*) OVER win AS w_n
+  FROM g
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+),
+fw AS (SELECT doc_id, sel FROM w WHERE w_n = 5),
+sw AS (
+  SELECT doc_id, min({{'h': h, 'np': -pos}}) AS sel
+  FROM g GROUP BY doc_id HAVING count(*) < 5
+),
+sel_all AS (SELECT * FROM fw UNION ALL SELECT * FROM sw)
+SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(-sel.np AS BIGINT) AS pos, sel.h AS fp_hash
+FROM sel_all"""
+
+
 def _hx(expr: str) -> str:
     """DuckDB expression equal to dedup.hash64(expr, hash_fn='md5')."""
     from sentometrics_spark.textops.dedup import duck_hx
@@ -1675,6 +1716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "text_quality": q_text_quality,
         "gopher_quality": q_gopher_quality,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "events_hourly": q_events_hourly,
     }
     return q
@@ -1870,6 +1912,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _sql_doc_fingerprint(),
         "lsh_ann_topk": _sql_lsh_ann_topk(),
         "gopher_quality": _sql_gopher_quality(),
+        "winnow_fingerprints": _sql_winnow_fingerprints(),
     }
 
 

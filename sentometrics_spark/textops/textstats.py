@@ -104,6 +104,67 @@ def fingerprint(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    window: int = 5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Full winnowing fingerprint set (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03): hash every k-gram of tokens, slide a window of ``window``
+    consecutive k-gram hashes, select the minimum hash per window with the
+    RIGHTMOST position winning ties, and emit the distinct selected
+    (pos, hash) pairs. Guarantees any shared token run of length
+    >= k + window - 1 between two documents shares a fingerprint.
+
+    Scale shape: one explode to (doc, pos, hash) rows, one window pass
+    partitioned by doc (right-aligned ``window`` rows), one distinct — all
+    JVM-side; no self-joins. hash_fn="md5" makes the selected hashes
+    bit-exact in DuckDB (driver-oracle path)."""
+    from pyspark.sql.window import Window
+
+    from sentometrics_spark.textops.dedup import hash64
+
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: hash64(F.concat_ws(" ", F.slice(toks, i + 1, k)), hash_fn=hash_fn),
+    )
+    hashes = df.select(
+        id_col, F.posexplode(grams).alias("pos", "h")
+    )
+    # right-aligned window of `window` hashes; min of (h, -pos) implements
+    # "smallest hash, rightmost position on ties" in one struct comparison
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    picked = hashes.select(
+        id_col,
+        "pos",
+        F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(w).alias("sel"),
+        F.count("*").over(w).alias("w_n"),
+    )
+    # emit only from full windows (docs shorter than window+k-1 tokens keep
+    # their single global pick via the final fallback distinct)
+    full = picked.filter(F.col("w_n") == window)
+    short = (
+        picked.groupBy(id_col)
+        .agg(F.max("w_n").alias("mx"), F.min("sel").alias("sel"))
+        .filter(F.col("mx") < window)
+        .select(id_col, "sel")
+    )
+    out = full.select(id_col, "sel").unionByName(short)
+    return out.select(
+        id_col,
+        (-F.col("sel.np")).alias("pos"),
+        F.col("sel.h").alias("fp_hash"),
+    ).distinct()
+
+
 _GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 

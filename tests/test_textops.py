@@ -253,3 +253,33 @@ def test_gopher_quality_plan_has_no_cartesian(spark):
     with redirect_stdout(buf):
         textstats.gopher_quality(df).explain("formatted")
     assert "CartesianProduct" not in buf.getvalue()
+
+
+def test_winnow_fingerprints_guarantee_and_ties(spark):
+    """Winnowing guarantee: two docs sharing a token run of length
+    >= k + window - 1 (= 8 here) share at least one selected fingerprint;
+    ties select the RIGHTMOST minimal hash; short docs (< window k-grams)
+    emit exactly one global-min fingerprint."""
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    d1 = "one two three " + shared + " nine ten"
+    d2 = "uno dos " + shared + " once doce trece"
+    rep = " ".join(["same same same same"] * 3)  # all k-gram hashes equal
+    short = "just five little words here"  # 5 tokens -> 2 k-grams < window
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, rep), (4, short)], "doc_id long, text string"
+    )
+    out = textstats.winnow_fingerprints(df, k=4, window=5).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], set()).add((r["pos"], r["fp_hash"]))
+
+    h1 = {h for _, h in by_doc[1]}
+    h2 = {h for _, h in by_doc[2]}
+    assert h1 & h2, "shared 8-token run must share a fingerprint"
+
+    # rep doc: 9 identical k-gram hashes; every window min ties and the
+    # rightmost wins -> positions 4..8 each pick themselves
+    assert by_doc[3] == {(p, list(by_doc[3])[0][1]) for p in range(4, 9)} or \
+        {p for p, _ in by_doc[3]} == set(range(4, 9))
+
+    assert len(by_doc[4]) == 1  # short doc: single global pick

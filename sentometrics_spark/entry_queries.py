@@ -1438,6 +1438,70 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
 FROM j"""
 
 
+def _attrib_coef(lexicon: str, feature: str, timeweight: str) -> float:
+    """Deterministic coefficient shared by the Spark query and its SQL
+    oracle (stands in for fitted betas, which are not SQL-expressible)."""
+    return (
+        (0.5 if lexicon == "LEXA" else -0.25)
+        + 0.1 * len(timeweight)
+        + (0.05 if feature == "feat_spark" else 0.0)
+    )
+
+
+def q_attrib_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8 per-lexicon prediction attribution with do_normalize: sum of
+    coef x measure over the (feature, timeweight) block per lexicon, then
+    per-date L2 normalization. Coefficients come from a deterministic
+    formula of the measure name so the fitted-beta step (not SQL) drops out
+    and the attribution math itself is oracle-checked."""
+    import pandas as pd
+
+    from sentometrics_spark.model.attribution import attributions_dims, coef_df
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    panel = _measures_base(spark, sf_dir)
+    keys = sorted(
+        (r["lexicon"], r["feature"], r["timeweight"])
+        for r in panel.select("lexicon", "feature", "timeweight").distinct().collect()
+    )
+    coefs = pd.Series(
+        {f"{lx}--{ft}--{tw}": _attrib_coef(lx, ft, tw) for lx, ft, tw in keys}
+    )
+    out = attributions_dims(panel, coef_df(spark, coefs), "lexicon", do_normalize=True)
+    return _fmt_ts(out, "bucket_ts").select(
+        "bucket_ts", "lexicon", _r6("attrib").alias("attrib")
+    )
+
+
+def _sql_attrib_lexicon() -> str:
+    base = measures_cte("day", 7, _kernels_for(_ALMON2, 7), "zero", "equal_weight")
+    r6 = lambda e: f"floor(({e}) * 1000000 + 0.5 + 1e-9) / 1000000.0"
+    return base + f""",
+co AS (
+  SELECT lexicon, feature, timeweight,
+         (CASE WHEN lexicon = 'LEXA' THEN 0.5 ELSE -0.25 END)
+         + 0.1 * len(timeweight)
+         + (CASE WHEN feature = 'feat_spark' THEN 0.05 ELSE 0.0 END) AS coef
+  FROM (SELECT DISTINCT lexicon, feature, timeweight FROM rolled)
+),
+a AS (
+  SELECT r.bucket_ts, r.lexicon, sum(co.coef * r.value) AS attrib
+  FROM rolled r JOIN co USING (lexicon, feature, timeweight)
+  GROUP BY r.bucket_ts, r.lexicon
+),
+n AS (
+  SELECT bucket_ts, lexicon,
+         CASE WHEN sqrt(sum(attrib * attrib) OVER (PARTITION BY bucket_ts)) = 0
+              THEN 0.0
+              ELSE attrib / sqrt(sum(attrib * attrib) OVER (PARTITION BY bucket_ts))
+         END AS attrib
+  FROM a
+)
+SELECT strftime(bucket_ts, '{TSFMT_DUCK}') AS bucket_ts, lexicon,
+       {r6('attrib')} AS attrib
+FROM n"""
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full winnowing fingerprint set (k=4-gram hashes, window=5, rightmost
     min per window), md5-hash variant so the selected (pos, hash) pairs are
@@ -1717,6 +1781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "gopher_quality": q_gopher_quality,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "attrib_lexicon": q_attrib_lexicon,
         "events_hourly": q_events_hourly,
     }
     return q
@@ -1913,6 +1978,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann_topk": _sql_lsh_ann_topk(),
         "gopher_quality": _sql_gopher_quality(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),
+        "attrib_lexicon": _sql_attrib_lexicon(),
     }
 
 

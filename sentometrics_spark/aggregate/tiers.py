@@ -176,6 +176,80 @@ def build_all_tiers(
     return tiers
 
 
+def refresh_continuous(
+    store: "TierStore",
+    new_hour_partials: DataFrame,
+    exponential: bool = False,
+    alpha: float = 0.1,
+) -> dict[str, int]:
+    """Incrementally fold a batch of NEW hour-tier partial rows (from
+    base_tier / base_tier_exponential on newly ingested documents — a
+    disjoint document set from what the store already holds) into the
+    stored hour/day/week/month continuous aggregates, re-materializing ONLY
+    the partitions the batch touches.
+
+    This is the TimescaleDB-style continuous-aggregate refresh re-expressed
+    for Spark: the dirty set is derived from the batch's bucket dates (a
+    bounded collect of DATES, never data rows); each tier reads just the
+    dirty partitions of the finer tier (partition-pruned scan) and
+    dynamic-partition-overwrites its own dirty partitions. Cost is
+    O(touched buckets), independent of total corpus/history size.
+
+    Returns {tier: number of dirty bucket_date partitions rewritten}.
+    """
+    import datetime as dt
+
+    roll = (
+        (lambda df, to: rollup_exponential(df, to, alpha))
+        if exponential
+        else rollup
+    )
+
+    dirty_dates = sorted(
+        r["d"]
+        for r in new_hour_partials.select(
+            F.to_date("bucket_ts").alias("d")
+        ).distinct().collect()
+    )
+    if not dirty_dates:
+        return {t: 0 for t in TIER_ORDER}
+
+    # hour: merge the batch into the existing dirty-date rows (same-bucket
+    # partials sum because the batch's documents are new) and re-finalize
+    if store.exists("hour"):
+        existing = store.read_dates("hour", dirty_dates)
+        merged = roll(existing.unionByName(new_hour_partials), "hour")
+    else:
+        merged = roll(new_hour_partials, "hour")
+    store.upsert_partitions("hour", merged)
+
+    # day: rebuild exactly the dirty day buckets from the dirty hour
+    # partitions (day partitions are keyed by the same dates)
+    store.upsert_partitions("day", roll(store.read_dates("hour", dirty_dates), "day"))
+
+    # week / month: rebuild the straddled coarse buckets from ALL day rows
+    # inside them (partition-pruned by the literal date lists)
+    week_starts = sorted({d - dt.timedelta(days=d.weekday()) for d in dirty_dates})
+    week_days = [ws + dt.timedelta(days=i) for ws in week_starts for i in range(7)]
+    store.upsert_partitions("week", roll(store.read_dates("day", week_days), "week"))
+
+    month_starts = sorted({d.replace(day=1) for d in dirty_dates})
+    month_days = []
+    for ms in month_starts:
+        nxt = (ms.replace(day=28) + dt.timedelta(days=4)).replace(day=1)
+        month_days.extend(
+            ms + dt.timedelta(days=i) for i in range((nxt - ms).days)
+        )
+    store.upsert_partitions("month", roll(store.read_dates("day", month_days), "month"))
+
+    return {
+        "hour": len(dirty_dates),
+        "day": len(dirty_dates),
+        "week": len(week_starts),
+        "month": len(month_starts),
+    }
+
+
 @dataclass(frozen=True)
 class RetentionPolicy:
     """Per-tier retention horizon, in that tier's buckets. None = keep all.
@@ -216,6 +290,40 @@ class TierStore:
 
     def read(self, tier: str) -> DataFrame:
         return self.spark.read.format(self.fmt).load(self.path(tier)).drop("bucket_date")
+
+    def exists(self, tier: str) -> bool:
+        import os
+
+        return os.path.isdir(self.path(tier))
+
+    def read_dates(self, tier: str, dates) -> DataFrame:
+        """Partition-pruned read of the given bucket_date partitions only
+        (the filter hits the partition column BEFORE it is dropped, so the
+        scan lists just those directories)."""
+        return (
+            self.spark.read.format(self.fmt)
+            .load(self.path(tier))
+            .filter(F.col("bucket_date").isin([str(d) for d in dates]))
+            .drop("bucket_date")
+        )
+
+    def upsert_partitions(self, tier: str, df: DataFrame) -> None:
+        """Replace ONLY the bucket_date partitions present in ``df``
+        (dynamic partition overwrite) — the parquet stand-in for Iceberg's
+        overwritePartitions / MERGE INTO; untouched partitions keep their
+        files."""
+        if not self.exists(tier):
+            self.write(tier, df)
+            return
+        (
+            df.withColumn("bucket_date", F.to_date("bucket_ts"))
+            .repartition("bucket_date")
+            .write.format(self.fmt)
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket_date")
+            .save(self.path(tier))
+        )
 
     def apply_retention(self, tier: str, policy: RetentionPolicy) -> int:
         """Drop buckets older than (max_bucket - horizon). Returns number of

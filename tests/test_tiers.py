@@ -142,3 +142,81 @@ def test_exponential_tier_zero_wordcount_bucket(spark):
     assert pdf.loc[dt.datetime(2024, 1, 1, 10), "value"] == 0.0
     day = rollup_exponential(hour, "day", alpha=0.1).toPandas()
     assert np.isfinite(day["value"]).all(), day
+
+
+def _tier_pdf(df):
+    return (
+        df.select("bucket_ts", *sorted(["lexicon", "feature"]), "value")
+        .toPandas()
+        .sort_values(["bucket_ts", "lexicon", "feature"])
+        .reset_index(drop=True)
+    )
+
+
+def test_refresh_continuous_incremental_equals_full(spark, sent, tmp_path):
+    """Folding the corpus in as two batches through refresh_continuous must
+    leave every stored tier equal to the full one-shot build, and a
+    follow-up single-day batch must rewrite only that day's partitions."""
+    from sentometrics_spark.aggregate.tiers import refresh_continuous
+
+    store = TierStore(spark, str(tmp_path / "cont"))
+    b1 = sent.filter(F.crc32(F.col("url")) % 2 == 0)
+    b2 = sent.filter(F.crc32(F.col("url")) % 2 == 1)
+
+    n1 = refresh_continuous(store, base_tier(b1, "proportional", by="hour"))
+    n2 = refresh_continuous(store, base_tier(b2, "proportional", by="hour"))
+    assert n1["hour"] > 0 and n2["week"] > 0
+
+    full = build_all_tiers(sent, "proportional")
+    for tier in ("hour", "day", "week", "month"):
+        got = _tier_pdf(store.read(tier))
+        want = _tier_pdf(full[tier])
+        assert len(got) == len(want), tier
+        np.testing.assert_allclose(
+            got["value"].to_numpy(), want["value"].to_numpy(), rtol=1e-9, atol=1e-12
+        )
+
+    # single-day batch: only that day's hour/day partitions are rewritten
+    import os
+
+    one_day = sent.filter(F.to_date("warc_ts") == F.lit("2024-01-05"))
+    other_part = os.path.join(store.path("hour"), "bucket_date=2024-01-10")
+    before = {f: os.path.getmtime(os.path.join(other_part, f)) for f in os.listdir(other_part)}
+    n3 = refresh_continuous(store, base_tier(one_day, "proportional", by="hour"))
+    assert n3["hour"] == 1 and n3["day"] == 1 and n3["week"] == 1 and n3["month"] == 1
+    after = {f: os.path.getmtime(os.path.join(other_part, f)) for f in os.listdir(other_part)}
+    assert before == after, "untouched hour partition was rewritten"
+
+
+def test_refresh_continuous_exponential(spark, sent, tmp_path):
+    """The affine-partial exponential tiers refresh incrementally too:
+    two-batch refresh equals the direct exponential aggregation at every
+    tier (bucket_wc partials sum because batches hold disjoint docs)."""
+    from sentometrics_spark.aggregate.tiers import (
+        base_tier_exponential,
+        refresh_continuous,
+        rollup_exponential,
+    )
+
+    store = TierStore(spark, str(tmp_path / "cont_exp"))
+    b1 = sent.filter(F.crc32(F.col("url")) % 2 == 0)
+    b2 = sent.filter(F.crc32(F.col("url")) % 2 == 1)
+    refresh_continuous(store, base_tier_exponential(b1, by="hour", alpha=0.2),
+                       exponential=True, alpha=0.2)
+    refresh_continuous(store, base_tier_exponential(b2, by="hour", alpha=0.2),
+                       exponential=True, alpha=0.2)
+
+    hour_full = base_tier_exponential(sent, by="hour", alpha=0.2)
+    want = {
+        "hour": hour_full,
+        "day": rollup_exponential(hour_full, "day", alpha=0.2),
+        "week": rollup_exponential(rollup_exponential(hour_full, "day", alpha=0.2), "week", alpha=0.2),
+        "month": rollup_exponential(rollup_exponential(hour_full, "day", alpha=0.2), "month", alpha=0.2),
+    }
+    for tier in ("hour", "day", "week", "month"):
+        got = _tier_pdf(store.read(tier))
+        w = _tier_pdf(want[tier])
+        assert len(got) == len(w), tier
+        np.testing.assert_allclose(
+            got["value"].to_numpy(), w["value"].to_numpy(), rtol=1e-9, atol=1e-12
+        )

@@ -75,6 +75,44 @@ def stream_to_hour_tier(
     return writer.start()
 
 
+def stream_refresh_tiers(
+    pages_stream: DataFrame,
+    lexicons: Lexicons,
+    store,
+    how_within: str = "proportional",
+    how_docs: str = "proportional",
+    do_ignore_zeros: bool = True,
+    checkpoint_path: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming maintenance of ALL retention tiers: each micro-batch is
+    scored (same Arrow UDF as batch), folded into hour-tier partials, and
+    pushed through tiers.refresh_continuous — so hour/day/week/month stay
+    materialized and exact after every trigger, rewriting only the
+    partitions the batch touched. Late documents land in whatever bucket
+    their warc_ts belongs to and that bucket is re-finalized exactly
+    (deterministic-recompute semantics, no watermark drop, no state store).
+
+    ``store`` is a tiers.TierStore; on Iceberg the per-batch upserts become
+    overwritePartitions commits, giving snapshot-isolated readers.
+    """
+    from sentometrics_spark.aggregate.tiers import refresh_continuous
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.rdd.isEmpty():
+            return
+        sent = compute_sentiment_udf(batch_df, lexicons, how_within, mode="unigram")
+        partials = base_tier(sent, how=how_docs, do_ignore_zeros=do_ignore_zeros, by="hour")
+        refresh_continuous(store, partials)
+
+    writer = pages_stream.writeStream.foreachBatch(process_batch)
+    if checkpoint_path is not None:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def finalize_hour_tier(spark: SparkSession, partials_path: str) -> DataFrame:
     """Finalized hour tier from the streaming partials: re-associate the
     partial sums (late/duplicate-bucket rows fold in exactly)."""

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from sentometrics_spark.aggregate.tiers import base_tier
 from sentometrics_spark.lexicons import Lexicons, fixture_lexicons
 from sentometrics_spark.scoring.algebraic import compute_sentiment_algebraic
+from sentometrics_spark.scoring.udf_engine import compute_sentiment_udf
 from sentometrics_spark.storage.checkpoint import CheckpointedRun, partition_key_col
 from sentometrics_spark import streaming
 
@@ -276,3 +277,47 @@ def test_stream_sessionize_randomized(spark, tmp_path, seed):
     for c in ["user_id", "session_start", "session_end", "n_events"]:
         assert got[c].tolist() == exp[c].tolist(), c
     np.testing.assert_allclose(got["sum_value"], exp["sum_value"], atol=1e-9)
+
+
+def test_stream_refresh_tiers_equals_batch(spark, pages, tmp_path):
+    """Streaming tier maintenance: after an availableNow run over file
+    chunks, every materialized tier (hour/day/week/month) equals the
+    one-shot batch build over the whole input."""
+    import numpy as np
+
+    from sentometrics_spark.aggregate.tiers import TierStore, build_all_tiers
+
+    lex = Lexicons(lex=fixture_lexicons().lex)
+    src = str(tmp_path / "incoming_tiers")
+    pages.withColumn("part", (F.crc32("url") % 3).cast("int")).repartition(
+        "part"
+    ).write.partitionBy("part").mode("overwrite").parquet(src)
+
+    schema = spark.read.parquet(src).drop("part").schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    store = TierStore(spark, str(tmp_path / "tiers_stream"))
+    q = streaming.stream_refresh_tiers(
+        stream, lex, store, checkpoint_path=str(tmp_path / "ckpt_tiers")
+    )
+    q.awaitTermination(240)
+
+    sent = compute_sentiment_udf(pages, lex, "proportional", mode="unigram")
+    full = build_all_tiers(sent, "proportional")
+    for tier in ("hour", "day", "week", "month"):
+        got = (
+            store.read(tier).select(*KEY, "value").toPandas()
+            .sort_values(KEY).reset_index(drop=True)
+        )
+        exp = (
+            full[tier].select(*KEY, "value").toPandas()
+            .sort_values(KEY).reset_index(drop=True)
+        )
+        assert len(got) == len(exp), tier
+        np.testing.assert_allclose(
+            got["value"].to_numpy(), exp["value"].to_numpy(), rtol=1e-9, atol=1e-12
+        )

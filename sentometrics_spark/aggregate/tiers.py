@@ -199,10 +199,12 @@ def refresh_continuous(
     """
     import datetime as dt
 
+    pcols = EXP_PARTIAL_COLS if exponential else PARTIAL_COLS
+    norm = lambda df: df.select("bucket_ts", *MEASURE_KEYS, *pcols)
     roll = (
-        (lambda df, to: rollup_exponential(df, to, alpha))
+        (lambda df, to: rollup_exponential(norm(df), to, alpha))
         if exponential
-        else rollup
+        else (lambda df, to: rollup(norm(df), to))
     )
 
     dirty_dates = sorted(
@@ -218,7 +220,7 @@ def refresh_continuous(
     # partials sum because the batch's documents are new) and re-finalize
     if store.exists("hour"):
         existing = store.read_dates("hour", dirty_dates)
-        merged = roll(existing.unionByName(new_hour_partials), "hour")
+        merged = roll(norm(existing).unionByName(norm(new_hour_partials)), "hour")
     else:
         merged = roll(new_hour_partials, "hour")
     store.upsert_partitions("hour", merged)

@@ -1438,6 +1438,36 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
 FROM j"""
 
 
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for crawl dedup (fragment/tracking-param/default
+    -port/dup-slash normalization, all RE2-safe JVM regex)."""
+    from sentometrics_spark.textops.textstats import canonicalize_url
+
+    pages = build_pages(spark, sf_dir, with_html=False)
+    return pages.select("url", canonicalize_url("url").alias("canon_url"))
+
+
+def _sql_url_canonical() -> str:
+    # mirror of textstats.canonicalize_url — the same RE2-safe patterns,
+    # chained programmatically so the nesting can't drift from the engine
+    rest = "regexp_replace(c, '^[A-Za-z0-9+.-]*://[^/?]*', '', 'g')"
+    for pat, rep in [
+        ("(utm_[a-z]+|fbclid|gclid)=[^&#]*&?", ""),
+        ("[?&]$", ""),
+        ("\\?&", "?"),
+        ("//+", "/"),
+        ("/\\?", "?"),
+        ("/$", ""),
+    ]:
+        rest = f"regexp_replace({rest}, '{pat}', '{rep}', 'g')"
+    return f"""WITH {PAGES_CTE},
+s1 AS (SELECT url, regexp_replace(url, '#.*$', '', 'g') AS c FROM pages)
+SELECT url,
+       regexp_replace(lower(regexp_extract(c, '^([A-Za-z0-9+.-]*://[^/?]*)', 1)),
+                      ':(80|443)$', '', 'g') || {rest} AS canon_url
+FROM s1"""
+
+
 def _attrib_coef(lexicon: str, feature: str, timeweight: str) -> float:
     """Deterministic coefficient shared by the Spark query and its SQL
     oracle (stands in for fitted betas, which are not SQL-expressible)."""
@@ -1782,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "winnow_fingerprints": q_winnow_fingerprints,
         "attrib_lexicon": q_attrib_lexicon,
+        "url_canonical": q_url_canonical,
         "events_hourly": q_events_hourly,
     }
     return q
@@ -1979,6 +2010,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": _sql_gopher_quality(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),
         "attrib_lexicon": _sql_attrib_lexicon(),
+        "url_canonical": _sql_url_canonical(),
     }
 
 

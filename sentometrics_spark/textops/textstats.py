@@ -271,6 +271,43 @@ def domain_of(col: str = "url") -> Column:
     return F.regexp_extract(F.col(col), r"^[a-z][a-z0-9+.-]*://([^/]+)", 1)
 
 
+def canonicalize_url(col: str = "url") -> Column:
+    """Canonical URL form for crawl dedup (all JVM-side regex, codegen):
+    lowercase scheme+host, strip the fragment, strip default ports
+    (:80/:443), drop a trailing "/" on the path, collapse duplicate
+    slashes in the path (not the scheme's //), strip common tracking query
+    parameters (utm_*, fbclid, gclid), and drop a then-empty query."""
+    # every step is RE2-safe (no lookaround) so the DuckDB oracle runs the
+    # character-identical patterns
+    c = F.regexp_replace(F.col(col), r"#.*$", "")
+    sh = F.lower(F.regexp_extract(c, r"^([A-Za-z0-9+.-]*://[^/?]*)", 1))
+    sh = F.regexp_replace(sh, r":(80|443)$", "")
+    rest = F.regexp_replace(c, r"^[A-Za-z0-9+.-]*://[^/?]*", "")
+    rest = F.regexp_replace(rest, r"(utm_[a-z]+|fbclid|gclid)=[^&#]*&?", "")
+    rest = F.regexp_replace(rest, r"[?&]$", "")
+    rest = F.regexp_replace(rest, r"\?&", "?")
+    rest = F.regexp_replace(rest, r"//+", "/")
+    rest = F.regexp_replace(rest, r"/\?", "?")
+    rest = F.regexp_replace(rest, r"/$", "")
+    return F.concat(sh, rest)
+
+
+def url_duplicates(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> DataFrame:
+    """Groups of rows whose URLs canonicalize identically (same-page
+    fetches under tracking params / fragments / default ports): a plain
+    groupBy on the canonical key — one bounded shuffle."""
+    return (
+        df.select(id_col, canonicalize_url(url_col).alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.min(id_col).alias("keep_id"),
+            F.sort_array(F.collect_list(id_col)).alias("members"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
 def domain_stats(df: DataFrame, url_col: str = "url", text_col: str = "text") -> DataFrame:
     """Per-domain corpus stats for crawl curation: doc count, mean token
     count, distinct languages. Hot domains are exactly the skewed-key case

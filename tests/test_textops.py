@@ -283,3 +283,56 @@ def test_winnow_fingerprints_guarantee_and_ties(spark):
         {p for p, _ in by_doc[3]} == set(range(4, 9))
 
     assert len(by_doc[4]) == 1  # short doc: single global pick
+
+
+def test_canonicalize_url_and_duplicates(spark):
+    cases = [
+        # (raw, expected canonical)
+        ("HTTP://Example.COM:80/a/b/?utm_source=x&id=3#frag",
+         "http://example.com/a/b?id=3"),
+        ("https://example.com:443//a//b/", "https://example.com/a/b"),
+        ("https://example.com/a?utm_campaign=z", "https://example.com/a"),
+        ("https://example.com/a?fbclid=abc&gclid=def", "https://example.com/a"),
+        ("https://example.com:8080/a", "https://example.com:8080/a"),
+        ("http://example.com", "http://example.com"),
+        ("http://example.com/", "http://example.com"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "doc_id long, url string"
+    )
+    got = {
+        r["url"]: r["c"]
+        for r in df.select("url", textstats.canonicalize_url("url").alias("c")).collect()
+    }
+    for raw, want in cases:
+        assert got[raw] == want, f"{raw} -> {got[raw]} != {want}"
+
+    # rows 0..3 + two fresh variants of the same page collapse into groups
+    extra = spark.createDataFrame(
+        [(100, "http://example.com/a/b?id=3&utm_medium=m"),
+         (101, "https://example.com/a#section2")],
+        "doc_id long, url string",
+    )
+    groups = textstats.url_duplicates(df.unionByName(extra)).collect()
+    by_key = {g["canon_url"]: sorted(g["members"]) for g in groups}
+    assert by_key["http://example.com/a/b?id=3"] == [0, 100]
+    assert by_key["https://example.com/a"] == [2, 3, 101]
+    assert by_key["http://example.com"] == [5, 6]
+
+    # the DuckDB oracle regexes produce identical canonicals on these
+    # adversarial URLs, not just the tame corpus ones
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("raw_urls", df.toPandas()[["url"]])
+    rest = "regexp_replace(c, '^[A-Za-z0-9+.-]*://[^/?]*', '', 'g')"
+    for pat, rep in [("(utm_[a-z]+|fbclid|gclid)=[^&#]*&?", ""), ("[?&]$", ""),
+                     ("\\?&", "?"), ("//+", "/"), ("/\\?", "?"), ("/$", "")]:
+        rest = f"regexp_replace({rest}, '{pat}', '{rep}', 'g')"
+    sql = f"""SELECT url,
+      regexp_replace(lower(regexp_extract(c, '^([A-Za-z0-9+.-]*://[^/?]*)', 1)),
+                     ':(80|443)$', '', 'g') || {rest} AS canon
+      FROM (SELECT url, regexp_replace(url, '#.*$', '', 'g') AS c FROM raw_urls)"""
+    duck = dict(con.sql(sql).fetchall())
+    for raw, want in cases:
+        assert duck[raw] == want, f"duckdb: {raw} -> {duck[raw]}"

@@ -189,18 +189,25 @@ def gopher_quality(
         F.length(text_col).alias("n_chars"),
     )
 
-    def grams(ng: int):
+    def gram_structs(ng: int):
         seq = F.sequence(F.lit(0), F.col("n_tokens") - ng)
-        g = F.transform(seq, lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, ng)))
-        return base.select(
-            id_col,
-            F.lit(ng).alias("ng"),
-            F.explode(
-                F.when(F.col("n_tokens") >= ng, g).otherwise(F.array())
-            ).alias("gram"),
+        g = F.transform(
+            seq,
+            lambda i: F.struct(
+                F.lit(ng).alias("ng"),
+                F.concat_ws(" ", F.slice(F.col("t"), i + 1, ng)).alias("gram"),
+            ),
         )
+        return F.when(F.col("n_tokens") >= ng, g).otherwise(F.array())
 
-    gram_rows = grams(2).unionByName(grams(3)).unionByName(grams(5))
+    # all three n-gram streams from ONE pass over the corpus (a union of
+    # three explode branches would scan the source three times)
+    gram_rows = base.select(
+        id_col,
+        F.explode(
+            F.concat(gram_structs(2), gram_structs(3), gram_structs(5))
+        ).alias("x"),
+    ).select(id_col, F.col("x.ng").alias("ng"), F.col("x.gram").alias("gram"))
     per_gram = gram_rows.groupBy(id_col, "ng", "gram").agg(F.count("*").alias("c"))
     per_doc_ng = per_gram.groupBy(id_col, "ng").agg(
         F.max("c").alias("max_c"),

@@ -242,17 +242,23 @@ def test_gopher_quality_gate(spark):
     assert out[4]["dup_5gram_frac"] == 0.0  # coalesced, never null
 
 
-def test_gopher_quality_plan_has_no_cartesian(spark):
-    df = spark.range(3).select(
-        F.col("id").alias("doc_id"), F.lit("a b c d e f g").alias("text")
-    )
+def test_gopher_quality_plan_has_no_cartesian(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     import io
     from contextlib import redirect_stdout
 
+    spark.catalog.clearCache()
     buf = io.StringIO()
     with redirect_stdout(buf):
-        textstats.gopher_quality(df).explain("formatted")
-    assert "CartesianProduct" not in buf.getvalue()
+        textstats.gopher_quality(docs).explain("formatted")
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p
+    # the three n-gram streams must come from ONE corpus pass: the per-doc
+    # stats branch + the gram branch = exactly 2 source scans, never 4
+    # (count numbered plan nodes; the detail section repeats each node)
+    import re
+
+    assert len(re.findall(r"Scan parquet\s*\(\d+\)", p)) <= 2, p
 
 
 def test_winnow_fingerprints_guarantee_and_ties(spark):

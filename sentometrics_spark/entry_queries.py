@@ -1438,6 +1438,50 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
 FROM j"""
 
 
+def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (token-level suffix-array-dedup
+    analogue): maximal intervals whose 8-gram occurs more than once in the
+    corpus; md5-hash variant for the bit-exact DuckDB replay."""
+    from sentometrics_spark.textops.dedup import duplicated_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return duplicated_spans(docs, min_len=8, hash_fn="md5").select(
+        F.col("doc_id").cast("long"),
+        F.col("start_pos").cast("long"),
+        F.col("end_pos").cast("long"),
+    )
+
+
+def _sql_duplicated_spans() -> str:
+    # mirror of dedup.duplicated_spans(min_len=8, hash_fn="md5")
+    hx = _hx("array_to_string(t[u.i : u.i + 7], ' ')")
+    return f"""WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+g AS (
+  SELECT doc_id, u.i - 1 AS pos, {hx} AS h
+  FROM toks, UNNEST(generate_series(1, len(t) - 8 + 1)) AS u(i)
+  WHERE len(t) >= 8
+),
+dup AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
+f AS (SELECT * FROM g WHERE h IN (SELECT h FROM dup)),
+brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+              THEN 1 ELSE 0 END AS b
+  FROM f
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+  FROM brk
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(min(pos) AS BIGINT) AS start_pos,
+       CAST(max(pos) + 8 AS BIGINT) AS end_pos
+FROM isl GROUP BY doc_id, grp"""
+
+
 def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization for crawl dedup (fragment/tracking-param/default
     -port/dup-slash normalization, all RE2-safe JVM regex)."""
@@ -1813,6 +1857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "attrib_lexicon": q_attrib_lexicon,
         "url_canonical": q_url_canonical,
+        "duplicated_spans": q_duplicated_spans,
         "events_hourly": q_events_hourly,
     }
     return q
@@ -2011,6 +2056,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": _sql_winnow_fingerprints(),
         "attrib_lexicon": _sql_attrib_lexicon(),
         "url_canonical": _sql_url_canonical(),
+        "duplicated_spans": _sql_duplicated_spans(),
     }
 
 

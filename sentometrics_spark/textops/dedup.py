@@ -210,6 +210,64 @@ def minhash_dedup_candidates(
     return pairs
 
 
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    min_len: int = 8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Exact-substring duplicate spans (the token-level analogue of
+    suffix-array dedup for training corpora, cf. Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"): a token
+    run is flagged when its ``min_len``-gram occurs more than once in the
+    corpus (in another document or elsewhere in the same one). Overlapping
+    flagged k-gram starts merge into maximal intervals; returns one row per
+    maximal duplicated span: (id, start_pos, end_pos) in token positions,
+    end exclusive.
+
+    Scale shape: explode to (doc, pos, k-gram hash); ONE groupBy(hash) for
+    global df counts (map-side partial); semi-join winners back; per-doc
+    gap-and-island window merge (island id = pos - dense row number). No
+    suffix array, no self-join, shuffle keys are hash then doc."""
+    from pyspark.sql.window import Window
+
+    toks = _tokens()
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - min_len),
+        lambda i: hash64(
+            F.concat_ws(" ", F.slice(toks, i + 1, min_len)), hash_fn=hash_fn
+        ),
+    )
+    g = df.filter(n >= min_len).select(
+        id_col, F.posexplode(grams).alias("pos", "h")
+    )
+    dup_h = (
+        g.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") > 1).select("h")
+    )
+    flagged = g.join(dup_h, "h", "left_semi")
+    # gap-and-island: two flagged k-gram starts p < q produce overlapping
+    # (or touching) spans iff q - p <= min_len, so a new island begins
+    # whenever the gap exceeds min_len
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w) > min_len, F.lit(1)
+    ).otherwise(F.lit(0))
+    islands = flagged.withColumn(
+        "grp",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        islands.groupBy(id_col, "grp")
+        .agg(
+            F.min("pos").alias("start_pos"),
+            (F.max("pos") + min_len).alias("end_pos"),
+        )
+        .drop("grp")
+        .select(id_col, "start_pos", "end_pos")
+    )
+
+
 def simhash(
     df: DataFrame, id_col: str = "doc_id", bits: int = 64,
     hash_fn: str = "xxhash64",

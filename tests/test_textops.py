@@ -342,3 +342,33 @@ def test_canonicalize_url_and_duplicates(spark):
     duck = dict(con.sql(sql).fetchall())
     for raw, want in cases:
         assert duck[raw] == want, f"duckdb: {raw} -> {duck[raw]}"
+
+
+def test_duplicated_spans_exact_substring(spark):
+    """A 12-token run pasted into two otherwise-unique docs is recovered as
+    one maximal span in each (start/end in token positions, end exclusive);
+    unique docs yield nothing; a doc repeating the run twice internally
+    flags both occurrences."""
+    run = " ".join(f"dup{i}" for i in range(12))
+    a = " ".join(f"a{i}" for i in range(10)) + " " + run + " " + " ".join(
+        f"z{i}" for i in range(5)
+    )
+    b = run + " " + " ".join(f"b{i}" for i in range(20))
+    c = " ".join(f"c{i}" for i in range(30))  # all unique
+    d = run + " " + " ".join(f"d{i}" for i in range(10)) + " " + run
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, d)], "doc_id long, text string"
+    )
+    spans = {
+        (r["doc_id"], r["start_pos"], r["end_pos"])
+        for r in dedup.duplicated_spans(df, min_len=8).collect()
+    }
+    # doc 1: run occupies tokens [10, 22) -> 8-gram starts 10..14
+    assert (1, 10, 22) in spans
+    # doc 2: run at [0, 12)
+    assert (2, 0, 12) in spans
+    assert not any(s[0] == 3 for s in spans)
+    # doc 4: run at [0,12) and [22,34); start gap 22 - 4 = 18 > 8 keeps
+    # them separate islands
+    assert (4, 0, 12) in spans and (4, 22, 34) in spans
+    assert len([s for s in spans if s[0] == 4]) == 2

@@ -1438,6 +1438,48 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
 FROM j"""
 
 
+from sentometrics_spark.textops.textstats import PII_PATTERNS as _PII
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (email/IPv4/card/phone -> typed placeholders) with
+    per-type counts; the oracle replays the identical RE2 chain."""
+    from sentometrics_spark.textops.textstats import redact_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    out = redact_pii(docs)
+    return out.select(
+        F.col("doc_id").cast("long"),
+        *[F.col(f"n_{n}").cast("long") for n, _, _ in _PII],
+        "text_redacted",
+        "has_pii",
+    )
+
+
+def _sql_redact_pii() -> str:
+    # mirror of textstats.redact_pii — the chain is built from the SAME
+    # pattern table so SQL and engine can't drift
+    c = "text"
+    count_cols = []
+    for name, pat, rep in _PII:
+        p = pat.replace("'", "''")  # DuckDB '...' keeps backslashes literal
+        count_cols.append(
+            f"CAST(len(regexp_extract_all({c}, '{p}')) AS BIGINT) AS n_{name}"
+        )
+        c = f"regexp_replace({c}, '{p}', '{rep}', 'g')"
+    has = " OR ".join(f"n_{name} > 0" for name, _, _ in _PII)
+    cols = ",\n         ".join(count_cols)
+    return f"""WITH r AS (
+  SELECT doc_id,
+         {cols},
+         {c} AS text_redacted
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, {", ".join('n_' + n for n, _, _ in _PII)},
+       text_redacted, ({has}) AS has_pii
+FROM r"""
+
+
 def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplicate spans (token-level suffix-array-dedup
     analogue): maximal intervals whose 8-gram occurs more than once in the
@@ -1858,6 +1900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attrib_lexicon": q_attrib_lexicon,
         "url_canonical": q_url_canonical,
         "duplicated_spans": q_duplicated_spans,
+        "redact_pii": q_redact_pii,
         "events_hourly": q_events_hourly,
     }
     return q
@@ -2057,6 +2100,7 @@ def oracle_sql() -> dict[str, str]:
         "attrib_lexicon": _sql_attrib_lexicon(),
         "url_canonical": _sql_url_canonical(),
         "duplicated_spans": _sql_duplicated_spans(),
+        "redact_pii": _sql_redact_pii(),
     }
 
 

@@ -273,6 +273,38 @@ def gopher_quality(
     )
 
 
+# (name, RE2-safe pattern, replacement) applied IN ORDER — ipv4 before
+# phone so dotted quads are never half-eaten by the looser phone pattern,
+# card (pure 13-16 digit run) before phone for the same reason
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}(\.\d{1,3}){3}\b", "<IP>"),
+    ("card", r"\b\d{13,16}\b", "<CARD>"),
+    ("phone", r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing for training corpora: redact emails, IPv4 addresses,
+    long card-like digit runs, and phone-like digit strings with typed
+    placeholder tokens; adds per-type match counts and a has_pii flag.
+    Patterns apply sequentially (each counted on the text as already
+    redacted by earlier stages, so a dotted quad is one <IP>, never also a
+    phone). All JVM-side regex, RE2-safe so a SQL oracle can replay the
+    identical chain."""
+    c = F.col(text_col)
+    counts = []
+    for name, pat, rep in PII_PATTERNS:
+        counts.append(F.regexp_count(c, F.lit(pat)).alias(f"n_{name}"))
+        c = F.regexp_replace(c, pat, rep)
+    out = df.select("*", *counts, c.alias(f"{text_col}_redacted"))
+    has = None
+    for name, _, _ in PII_PATTERNS:
+        e = F.col(f"n_{name}") > 0
+        has = e if has is None else (has | e)
+    return out.withColumn("has_pii", has)
+
+
 def domain_of(col: str = "url") -> Column:
     """Host portion of a URL (scheme://host/...), JVM-side regex."""
     return F.regexp_extract(F.col(col), r"^[a-z][a-z0-9+.-]*://([^/]+)", 1)

@@ -372,3 +372,43 @@ def test_duplicated_spans_exact_substring(spark):
     # them separate islands
     assert (4, 0, 12) in spans and (4, 22, 34) in spans
     assert len([s for s in spans if s[0] == 4]) == 2
+
+
+def test_redact_pii_planted(spark):
+    """Planted PII: typed placeholders, per-type counts, ordering rules
+    (a dotted quad is one <IP>, never also a phone; a 15-digit run is a
+    <CARD>); Spark and the DuckDB oracle chain agree character-for-char."""
+    cases = [
+        (1, "write to john.doe+x@mail.example.org today",
+            "write to <EMAIL> today", dict(email=1)),
+        (2, "server 192.168.10.250 rebooted", "server <IP> rebooted", dict(ipv4=1)),
+        (3, "card 4111111111111111 declined", "card <CARD> declined", dict(card=1)),
+        (4, "call +1 (555) 123-4567 now", "call <PHONE> now", dict(phone=1)),
+        (5, "a@b.co or 10.0.0.1 or +44 20 7946 0958",
+            "<EMAIL> or <IP> or <PHONE>", dict(email=1, ipv4=1, phone=1)),
+        (6, "no personal data here", "no personal data here", {}),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _, _ in cases], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in textstats.redact_pii(df).collect()}
+    for i, _, want_text, want_counts in cases:
+        r = got[i]
+        assert r["text_redacted"] == want_text, (i, r["text_redacted"])
+        for name in ("email", "ipv4", "card", "phone"):
+            assert r[f"n_{name}"] == want_counts.get(name, 0), (i, name)
+        assert r["has_pii"] == bool(want_counts)
+
+    import duckdb
+
+    from sentometrics_spark.textops.textstats import PII_PATTERNS
+
+    con = duckdb.connect()
+    con.register("docs_pdf", df.toPandas())
+    c = "text"
+    for name, pat, rep in PII_PATTERNS:
+        p = pat.replace("'", "''")  # DuckDB '...' keeps backslashes literal
+        c = f"regexp_replace({c}, '{p}', '{rep}', 'g')"
+    duck = dict(con.sql(f"SELECT doc_id, {c} FROM docs_pdf").fetchall())
+    for i, _, want_text, _ in cases:
+        assert duck[i] == want_text, (i, duck[i])

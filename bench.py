@@ -89,6 +89,8 @@ def run_benchmarks(cpus: int, sf_dir: str, q1_only: bool = False) -> dict:
     from sentometrics_spark.scoring.algebraic import compute_sentiment_algebraic
     from sentometrics_spark.scoring.udf_engine import compute_sentiment_udf
     from sentometrics_spark import entry_queries as eq
+    from sentometrics_spark.textops.dedup import minhash_lsh_buckets as _minhash_buckets
+    from sentometrics_spark.textops.textstats import gopher_quality as _gopher
 
     spark = get_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -167,6 +169,13 @@ def run_benchmarks(cpus: int, sf_dir: str, q1_only: bool = False) -> dict:
             # q7: brute-force knn
             ("q7_knn_cosine", lambda: force(eq.q_knn_cosine(spark, sf_dir))),
             ("q8_fused_score_agg", q8),
+            # q9/q10: training-data curation path at the same 200k-doc scale
+            # (gopher repetition gate; MinHash-LSH near-dup buckets on the
+            # production xxhash64 leaf)
+            ("q9_gopher_quality", lambda: force(
+                _gopher(pages.select(F.col("url").alias("doc_id"), "text")))),
+            ("q10_minhash_buckets", lambda: force(
+                _minhash_buckets(pages.select(F.col("url").alias("doc_id"), "text")))),
         ]
 
     n_points = 0

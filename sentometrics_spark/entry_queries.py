@@ -1668,8 +1668,14 @@ def _hx(expr: str) -> str:
 
 def _sql_minhash_candidates() -> str:
     # mirror of minhash_dedup_candidates(k=32, bands=8, hash_fn="md5"):
-    # distinct 3-gram shingles -> 32 seeded md5 min-hashes -> 8 bands of 4
-    # -> (band, signature) buckets -> in-bucket pairs
+    # distinct 3-gram shingles -> ONE md5 hash -> 32 affine permutations
+    # (a*h32 + b) mod 2^31-1 (coefficients shared with the engine) -> 8
+    # bands of 4 -> (band, signature) buckets -> in-bucket pairs
+    from sentometrics_spark.textops.dedup import MINHASH_P, minhash_perm_coeffs
+
+    coeffs = ",\n".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_perm_coeffs(32))
+    )
     return f"""WITH toks AS (
   SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
 ),
@@ -1677,11 +1683,16 @@ sh AS (
   SELECT DISTINCT doc_id, array_to_string(t[u.i : u.i + 2], ' ') AS shingle
   FROM toks, UNNEST(generate_series(1, greatest(len(t) - 3, 0) + 1)) AS u(i)
 ),
+h AS (
+  SELECT doc_id, {_hx("shingle")} & 4294967295 AS h32 FROM sh
+),
+perms(seed, a, b) AS (VALUES
+{coeffs}
+),
 hs AS (
-  SELECT doc_id, s.seed,
-         min({_hx("s.seed::VARCHAR || ':' || shingle")}) AS mh
-  FROM sh CROSS JOIN (SELECT UNNEST(generate_series(0, 31)) AS seed) s
-  GROUP BY doc_id, s.seed
+  SELECT doc_id, p.seed, min((p.a * h.h32 + p.b) % {MINHASH_P}) AS mh
+  FROM h CROSS JOIN perms p
+  GROUP BY doc_id, p.seed
 ),
 bands AS (
   SELECT doc_id, seed // 4 AS band,

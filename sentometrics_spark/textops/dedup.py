@@ -129,16 +129,35 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", "jaccard")
 
 
+MINHASH_P = (1 << 31) - 1  # Mersenne prime for the affine permutation family
+
+
+def minhash_perm_coeffs(k: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the universal-hash permutations
+    mh_i = (a_i * h32 + b_i) mod (2^31 - 1). Shared by the engine and the
+    DuckDB oracle (which inlines them as literals)."""
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, MINHASH_P), rng.randrange(0, MINHASH_P)) for _ in range(k)]
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", n: int = 3, k: int = 32,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """k-permutation MinHash signature per doc: min over shingles of
-    hash(shingle, seed_i). One explode + one groupBy."""
-    sh = shingles(df, id_col, n)
+    """k-permutation MinHash signature per doc: ONE string hash per
+    shingle, then k affine permutations (a_i*h32 + b_i) mod p of its low 32
+    bits — the standard trick that replaces k string hashes with k
+    multiply-adds (a_i*h32 + b_i < 2^62, no 64-bit overflow). One explode +
+    one groupBy with map-side partial mins."""
+    sh = shingles(df, id_col, n).select(
+        id_col,
+        hash64("shingle", hash_fn=hash_fn).bitwiseAND(F.lit(0xFFFFFFFF)).alias("h32"),
+    )
     mins = [
-        F.min(hash64("shingle", seed=i, hash_fn=hash_fn)).alias(f"mh_{i}")
-        for i in range(k)
+        F.min((F.lit(a) * F.col("h32") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_perm_coeffs(k))
     ]
     return sh.groupBy(id_col).agg(*mins)
 

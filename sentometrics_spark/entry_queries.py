@@ -1441,6 +1441,39 @@ FROM j"""
 from sentometrics_spark.textops.textstats import PII_PATTERNS as _PII
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (32-token chunks, 8-token overlap): the
+    pre-training chunking step, pure per-row array math (zero shuffles)."""
+    from sentometrics_spark.textops.textstats import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    out = chunk_documents(docs, chunk_tokens=32, overlap=8)
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.col("chunk_id").cast("long"),
+        F.col("start_tok").cast("long"),
+        F.col("n_tokens").cast("long"),
+        "chunk",
+    )
+
+
+SQL_CHUNK_DOCUMENTS = r"""WITH t AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS toks,
+         len(string_split_regex(text, '\s+')) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, u.i - 1 AS chunk_id, (u.i - 1) * 24 AS start_tok
+  FROM t, UNNEST(generate_series(1,
+         greatest(CAST(ceil((n - 8) / 24.0) AS INT), 1))) AS u(i)
+)
+SELECT CAST(c.doc_id AS BIGINT) AS doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(least(t.n - start_tok, 32) AS BIGINT) AS n_tokens,
+       array_to_string(t.toks[start_tok + 1 : start_tok + 32], ' ') AS chunk
+FROM c JOIN t USING (doc_id)"""
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing (email/IPv4/card/phone -> typed placeholders) with
     per-type counts; the oracle replays the identical RE2 chain."""
@@ -1912,6 +1945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "duplicated_spans": q_duplicated_spans,
         "redact_pii": q_redact_pii,
+        "chunk_documents": q_chunk_documents,
         "events_hourly": q_events_hourly,
     }
     return q
@@ -2112,6 +2146,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical": _sql_url_canonical(),
         "duplicated_spans": _sql_duplicated_spans(),
         "redact_pii": _sql_redact_pii(),
+        "chunk_documents": SQL_CHUNK_DOCUMENTS,
     }
 
 

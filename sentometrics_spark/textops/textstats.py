@@ -273,6 +273,49 @@ def gopher_quality(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    standard pre-training/context-window chunking step. Chunk starts step
+    by (chunk_tokens - overlap); the last window is the remainder (never
+    empty, never duplicated: a final partial window is emitted only if it
+    adds tokens beyond the previous chunk). Pure array math + one explode;
+    no shuffle at all — chunking is embarrassingly row-parallel."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), r"\s+")
+    n = F.size(toks)
+    # starts: 0, step, 2*step, ... while start + overlap < n  (i.e. the
+    # chunk contributes at least one new token past the previous one)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(step)).cast("int"), F.lit(1)
+    )
+    starts = F.transform(F.sequence(F.lit(0), n_chunks - 1), lambda i: i * step)
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start"),
+            F.concat_ws(" ", F.slice(toks, s + 1, chunk_tokens)).alias("chunk"),
+            F.least(n - s, F.lit(chunk_tokens)).alias("n_tokens"),
+        ),
+    )
+    return df.select(
+        id_col, F.posexplode(chunks).alias("chunk_id", "c")
+    ).select(
+        id_col,
+        "chunk_id",
+        F.col("c.start").alias("start_tok"),
+        F.col("c.n_tokens").alias("n_tokens"),
+        F.col("c.chunk").alias("chunk"),
+    )
+
+
 # (name, RE2-safe pattern, replacement) applied IN ORDER — ipv4 before
 # phone so dotted quads are never half-eaten by the looser phone pattern,
 # card (pure 13-16 digit run) before phone for the same reason

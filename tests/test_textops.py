@@ -412,3 +412,38 @@ def test_redact_pii_planted(spark):
     duck = dict(con.sql(f"SELECT doc_id, {c} FROM docs_pdf").fetchall())
     for i, _, want_text, _ in cases:
         assert duck[i] == want_text, (i, duck[i])
+
+
+def test_chunk_documents_boundaries(spark):
+    """Chunk math: step = chunk - overlap; last chunk is the remainder and
+    is only emitted when it adds new tokens; reassembling chunk starts
+    covers the doc exactly; a doc shorter than the overlap still yields
+    one chunk."""
+    mk = lambda n: " ".join(f"t{i}" for i in range(n))
+    df = spark.createDataFrame(
+        [(1, mk(10)), (2, mk(24)), (3, mk(25)), (4, mk(100)), (5, mk(3))],
+        "doc_id long, text string",
+    )
+    out = textstats.chunk_documents(df, chunk_tokens=24, overlap=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r["chunk_id"])
+
+    assert [r["start_tok"] for r in by_doc[1]] == [0]          # 10 <= 24
+    assert [r["start_tok"] for r in by_doc[2]] == [0]          # exactly one
+    assert [r["start_tok"] for r in by_doc[3]] == [0, 16]      # 25 -> 2nd adds 1
+    assert by_doc[3][1]["n_tokens"] == 9                       # 8 overlap + 1 new
+    # 100 tokens, step 16: starts 0,16,...; last start s has s+8 < 100
+    assert [r["start_tok"] for r in by_doc[4]] == [0, 16, 32, 48, 64, 80]
+    assert by_doc[4][-1]["n_tokens"] == 20
+    assert [r["start_tok"] for r in by_doc[5]] == [0]
+    assert by_doc[5][0]["chunk"] == "t0 t1 t2"
+    # every token index covered by at least one chunk
+    for d, rows in by_doc.items():
+        n = {1: 10, 2: 24, 3: 25, 4: 100, 5: 3}[d]
+        covered = set()
+        for r in rows:
+            covered |= set(range(r["start_tok"], r["start_tok"] + r["n_tokens"]))
+        assert covered == set(range(n)), d

@@ -68,6 +68,7 @@ def _tokens(col=None):
     from sentometrics_spark.scoring.tokenize import (
         _NOT_SIMPLE,
         _PASSES,
+        ENDS_NUMBER,
         HAS_LETTER,
         SPLIT_PATTERN,
     )
@@ -80,8 +81,9 @@ def _tokens(col=None):
     toks = F.when(low.rlike(_NOT_SIMPLE), F.split(full, SPLIT_PATTERN)).otherwise(
         F.split(low, " ")
     )
-    # skip_word_none + skip_word_number (+ empty strings from space runs)
-    return F.filter(toks, lambda t: t.rlike(HAS_LETTER))
+    # skip_word_none + skip_word_number (+ empty strings from space runs);
+    # trailing-digit tokens are ICU status-NUMBER — see tokenize.ENDS_NUMBER
+    return F.filter(toks, lambda t: t.rlike(HAS_LETTER) & ~t.rlike(ENDS_NUMBER))
 
 
 def _position_weight_expr(how: str):

@@ -91,6 +91,17 @@ _PASSES: tuple[tuple[str, str], ...] = (
 
 SPLIT_PATTERN = f"[^{_W}{re.escape('.')}:'·’,;]+"
 HAS_LETTER = r"\p{L}"
+# ICU's skip_word_number drops tokens whose RBBI *rule status* is NUMBER,
+# and the status comes from the rule matching the FINAL transition of the
+# token. In ICU's word rules WB9 (ALetter x Numeric) is tagged {200}
+# (LETTER) while WB8 (Numeric x Numeric) and WB11/12 (Numeric mid Numeric)
+# are {100} (NUMBER): a token ending in a single digit right after a letter
+# ("today1", "qe2") stays LETTER and is KEPT, while one ending in >=2
+# digits or mid+digit ("unemployed38", "ing255.72", "boggling20,000") is
+# NUMBER and dropped. Verified against the reference package's golden word
+# counts on usnews (inst/extdata/test_data.rda, 250/250). Combining marks
+# are transparent (they attach to the char before them).
+ENDS_NUMBER = r"(^|[^\p{L}\p{M}])\p{M}*\p{Nd}\p{M}*$"
 
 # passes are needed only when a batch contains a mid char or a combining
 # mark; plain [a-z0-9 ]-ish text takes the single-split fast path
@@ -129,6 +140,26 @@ def _has_letter(tok: str) -> bool:
     return any(unicodedata.category(c).startswith("L") for c in tok)
 
 
+def _keep_token(tok: str) -> bool:
+    """skip_word_none + skip_word_number: must contain a letter, and must
+    not end with NUMBER rule status — i.e. a trailing digit whose effective
+    predecessor (marks transparent) is anything but a letter. A single
+    digit right after a letter keeps LETTER status (see ENDS_NUMBER)."""
+    import unicodedata
+
+    if not _has_letter(tok):
+        return False
+    i = len(tok) - 1
+    while i >= 0 and unicodedata.category(tok[i]) in ("Mn", "Mc", "Me"):
+        i -= 1
+    if i < 0 or unicodedata.category(tok[i]) != "Nd":
+        return True  # ends in a letter-ish char: LETTER status
+    i -= 1
+    while i >= 0 and unicodedata.category(tok[i]) in ("Mn", "Mc", "Me"):
+        i -= 1
+    return i >= 0 and unicodedata.category(tok[i]).startswith("L")
+
+
 def tokenize_to_lists(texts: pd.Series | list[str]) -> list[list[str]]:
     """Arrow tokenizer -> Python lists, with the has-letter skip applied.
     Used by the sentence engine (which needs per-sentence Python loops
@@ -141,7 +172,7 @@ def tokenize_to_lists(texts: pd.Series | list[str]) -> list[list[str]]:
         return []
     toks, needs_filter = tokenize_arrow(pa.Array.from_pandas(texts.astype(str)))
     if needs_filter:
-        return [[t for t in doc if t and _has_letter(t)] for doc in toks.to_pylist()]
+        return [[t for t in doc if t and _keep_token(t)] for doc in toks.to_pylist()]
     return [[t for t in doc if t] for doc in toks.to_pylist()]
 
 

@@ -84,7 +84,11 @@ def flat_from_texts(texts: pd.Series, pack) -> tuple:
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from sentometrics_spark.scoring.tokenize import HAS_LETTER, tokenize_arrow
+    from sentometrics_spark.scoring.tokenize import (
+        ENDS_NUMBER,
+        HAS_LETTER,
+        tokenize_arrow,
+    )
 
     n_docs = len(texts)
     arr = pa.Array.from_pandas(texts)
@@ -98,9 +102,14 @@ def flat_from_texts(texts: pd.Series, pack) -> tuple:
     lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
     doc_idx = np.repeat(np.arange(n_docs, dtype=np.int32), lens)
     # skip_word_none + skip_word_number: keep tokens containing a letter
-    # (tier-0 batches only produce [a-z]* tokens — nonempty suffices there)
+    # but not ending in a digit (ICU NUMBER rule status — see ENDS_NUMBER
+    # in tokenize.py; tier-0 batches only produce [a-z]* tokens, where
+    # nonempty suffices)
     if needs_letter_filter:
-        keep = pc.match_substring_regex(flat, HAS_LETTER).to_numpy(zero_copy_only=False)
+        keep = pc.and_not(
+            pc.match_substring_regex(flat, HAS_LETTER),
+            pc.match_substring_regex(flat, ENDS_NUMBER),
+        ).to_numpy(zero_copy_only=False)
     else:
         keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
     if not keep.all():

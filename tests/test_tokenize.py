@@ -25,7 +25,12 @@ GOLDEN = {
         "x:y:z", "and", "mid·dot", "hold", "trailing", "falls"],
     "'quoted' isn't the same as isn’t": ["quoted", "isn't", "the", "same", "as", "isn’t"],
     "naïve café résumé über": ["naïve", "café", "résumé", "über"],
-    "abc123 123abc 123 1,000 12:30 3'5": ["abc123", "123abc"],
+    # ICU rule-status semantics (validated against the reference's golden
+    # usnews word counts): a token ending in >=2 digits or mid+digit is
+    # status-NUMBER and dropped by skip_word_number ("abc123"), while a
+    # single digit right after a letter keeps LETTER status ("abc1").
+    "abc123 123abc 123 1,000 12:30 3'5": ["123abc"],
+    "abc1 qe2 today1 unemployed38 ing255.72 x1,2": ["abc1", "qe2", "today1"],
     "foo_bar c_c _lead trail_ 1_0": ["foo_bar", "c_c", "_lead", "trail_"],
     "Привет мир! Ελληνικά εδώ.": ["привет", "мир", "ελληνικά", "εδώ"],
     "semi;colon word1,word2 a,b": ["semi", "colon", "word1", "word2", "a", "b"],

@@ -93,8 +93,23 @@ def uax29_word_tokens(text: str) -> list[str]:
         else:
             cur += chars[i]
     tokens.append(cur)
-    return [
-        t
-        for t in tokens
-        if any(unicodedata.category(c).startswith("L") for c in t)
-    ]
+
+    def _kept(t: str) -> bool:
+        # skip_word_none: needs a letter. skip_word_number: ICU tags the
+        # token with the status of the rule matching its final transition —
+        # WB9 (letter->digit) is LETTER {200}, WB8/11/12 (digit->digit,
+        # digit-mid-digit) are NUMBER {100}. So drop a trailing digit
+        # unless its effective predecessor (marks transparent) is a letter.
+        if not any(unicodedata.category(c).startswith("L") for c in t):
+            return False
+        j = len(t) - 1
+        while j >= 0 and unicodedata.category(t[j]) in ("Mn", "Mc", "Me"):
+            j -= 1
+        if j < 0 or unicodedata.category(t[j]) != "Nd":
+            return True
+        j -= 1
+        while j >= 0 and unicodedata.category(t[j]) in ("Mn", "Mc", "Me"):
+            j -= 1
+        return j >= 0 and unicodedata.category(t[j]).startswith("L")
+
+    return [t for t in tokens if _kept(t)]

@@ -181,6 +181,7 @@ def refresh_continuous(
     new_hour_partials: DataFrame,
     exponential: bool = False,
     alpha: float = 0.1,
+    pre_hour: DataFrame | None = None,
 ) -> dict[str, int]:
     """Incrementally fold a batch of NEW hour-tier partial rows (from
     base_tier / base_tier_exponential on newly ingested documents — a
@@ -217,8 +218,14 @@ def refresh_continuous(
         return {t: 0 for t in TIER_ORDER}
 
     # hour: merge the batch into the existing dirty-date rows (same-bucket
-    # partials sum because the batch's documents are new) and re-finalize
-    if store.exists("hour"):
+    # partials sum because the batch's documents are new) and re-finalize.
+    # pre_hour overrides the live read with a FROZEN pre-batch snapshot
+    # (streaming exactly-once path): the hour overwrite then becomes a pure
+    # function of staged inputs, so a crashed apply can be retried without
+    # double-counting (streaming.apply_refresh_exactly_once).
+    if pre_hour is not None:
+        merged = roll(norm(pre_hour).unionByName(norm(new_hour_partials)), "hour")
+    elif store.exists("hour"):
         existing = store.read_dates("hour", dirty_dates)
         merged = roll(norm(existing).unionByName(norm(new_hour_partials)), "hour")
     else:

@@ -1567,23 +1567,30 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_url_canonical() -> str:
-    # mirror of textstats.canonicalize_url — the same RE2-safe patterns,
-    # chained programmatically so the nesting can't drift from the engine
+    # mirror of textstats.canonicalize_url — built from the SAME pass
+    # tables (URL_PATH_PASSES / URL_QUERY_PASSES) so the chains can't
+    # drift from the engine; only the backreference syntax differs
+    # (Java $1 -> RE2 \1)
+    from sentometrics_spark.textops.textstats import (
+        URL_PATH_PASSES,
+        URL_QUERY_PASSES,
+    )
+
+    def chain(expr: str, passes) -> str:
+        for pat, rep in passes:
+            p = pat.replace("'", "''")
+            r = rep.replace("$1", "\\1")
+            expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+        return expr
+
     rest = "regexp_replace(c, '^[A-Za-z0-9+.-]*://[^/?]*', '', 'g')"
-    for pat, rep in [
-        ("(utm_[a-z]+|fbclid|gclid)=[^&#]*&?", ""),
-        ("[?&]$", ""),
-        ("\\?&", "?"),
-        ("//+", "/"),
-        ("/\\?", "?"),
-        ("/$", ""),
-    ]:
-        rest = f"regexp_replace({rest}, '{pat}', '{rep}', 'g')"
+    path = chain(f"regexp_extract({rest}, '^([^?]*)', 1)", URL_PATH_PASSES)
+    query = chain(f"regexp_replace({rest}, '^[^?]*', '', 'g')", URL_QUERY_PASSES)
     return f"""WITH {PAGES_CTE},
 s1 AS (SELECT url, regexp_replace(url, '#.*$', '', 'g') AS c FROM pages)
 SELECT url,
        regexp_replace(lower(regexp_extract(c, '^([A-Za-z0-9+.-]*://[^/?]*)', 1)),
-                      ':(80|443)$', '', 'g') || {rest} AS canon_url
+                      ':(80|443)$', '', 'g') || {path} || {query} AS canon_url
 FROM s1"""
 
 
@@ -1853,6 +1860,54 @@ _EXPK = (TimeKernelSpec("exponential", alphas_exp=(0.1, 0.3), do_inverse_exp=Fal
 _BETA = (TimeKernelSpec("beta", a_beta=(2,), b_beta=(3,)),)
 
 
+def _golden_usnews_query(how: str, valence: str | None):
+    """Score the reference package's OWN corpus (usnews, first 250 docs)
+    with its OWN shipped lexicons (GI/LM/HENRY + valence shifters, loaded
+    from /root/reference/data/*.rda via the pure-Python reader) through the
+    Arrow-UDF engine. The oracle inlines the package's frozen golden scores
+    (inst/extdata/test_data.rda) — so a driver-green row here literally
+    means 'engine output == reference package output' on real news text."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sentometrics_spark import golden as _g
+
+        pdf = _g.usnews_pages(250)[["url", "warc_ts", "lang", "text"]].copy()
+        pdf["feat_dummy"] = 1.0  # plain corpus: dummyFeature == identity
+        pages = spark.createDataFrame(pdf)
+        lex = _g.build_reference_lexicons(valence=valence)
+        sent = compute_sentiment_udf(pages, lex, how)
+        return sent.select(
+            "url",
+            F.col("word_count").cast("int").alias("word_count"),
+            "lexicon",
+            _r6("score").alias("score"),
+        )
+
+    return q
+
+
+def _sql_golden_usnews(key: str) -> str:
+    """Oracle: the reference's golden table, long form, same rounding as
+    _r6 (floor(x*1e6 + 0.5 + 1e-9)/1e6, computed here in float64 — the
+    identical double-precision expression Spark evaluates)."""
+    import math
+
+    from sentometrics_spark import golden as _g
+
+    td = _g.load_test_data()[key]
+    rows = []
+    for _, r in td.iterrows():
+        for lx in ("GI_en", "LM_en", "HENRY_en"):
+            v = math.floor(float(r[lx]) * 1e6 + 0.5 + 1e-9) / 1e6
+            rows.append(f"('{r['id']}', {int(r['word_count'])}, '{lx}', {v!r})")
+    return (
+        "SELECT url, CAST(word_count AS INT) AS word_count, lexicon, "
+        "CAST(score AS DOUBLE) AS score FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS g(url, word_count, lexicon, score)"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # corpus (S1-S7)
@@ -1947,6 +2002,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "chunk_documents": q_chunk_documents,
         "events_hourly": q_events_hourly,
+        # golden cross-validation: reference corpus + reference lexicons,
+        # oracle = the reference package's own frozen scores (test_data.rda)
+        "golden_usnews_bigram_counts": _golden_usnews_query("counts", "y"),
+        "golden_usnews_proportional": _golden_usnews_query("proportional", "y"),
+        "golden_usnews_cluster_counts": _golden_usnews_query("counts", "t"),
     }
     return q
 
@@ -2089,6 +2149,9 @@ SELECT url, floor(m * 1000000 + 0.5 + 1e-9) / 1000000.0 AS m FROM top"""
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "golden_usnews_bigram_counts": _sql_golden_usnews("s1"),
+        "golden_usnews_proportional": _sql_golden_usnews("s3"),
+        "golden_usnews_cluster_counts": _sql_golden_usnews("s10"),
         # tier composability: the oracle aggregates documents directly at day
         "tier_day_from_hour": agg_docs_sql("proportional", "day"),
         **_panel_oracles(),

@@ -60,9 +60,15 @@ def stream_to_hour_tier(
             return
         sent = compute_sentiment_udf(batch_df, lexicons, how_within, mode="unigram")
         partials = base_tier(sent, how=how_docs, do_ignore_zeros=do_ignore_zeros, by="hour")
+        # partitioned by batch_id + dynamic overwrite => a foreachBatch
+        # REPLAY (at-least-once restart) rewrites its own partition instead
+        # of appending duplicate partial rows: idempotent, hence
+        # effectively exactly-once
         (
             partials.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(partials_path)
         )
 
@@ -93,17 +99,23 @@ def stream_refresh_tiers(
     their warc_ts belongs to and that bucket is re-finalized exactly
     (deterministic-recompute semantics, no watermark drop, no state store).
 
+    Exact ACROSS RESTARTS too: foreachBatch is at-least-once, and the tier
+    fold is additive, so a naive replay would double-count the replayed
+    batch and a crash between the hour upsert and the coarser-tier upserts
+    would leave tiers inconsistent. apply_refresh_exactly_once makes the
+    batch apply idempotent (per-batch stage + applied-batch ledger keyed by
+    batch_id), turning at-least-once delivery into exactly-once tier state.
+
     ``store`` is a tiers.TierStore; on Iceberg the per-batch upserts become
     overwritePartitions commits, giving snapshot-isolated readers.
     """
-    from sentometrics_spark.aggregate.tiers import refresh_continuous
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.rdd.isEmpty():
             return
         sent = compute_sentiment_udf(batch_df, lexicons, how_within, mode="unigram")
         partials = base_tier(sent, how=how_docs, do_ignore_zeros=do_ignore_zeros, by="hour")
-        refresh_continuous(store, partials)
+        apply_refresh_exactly_once(store, partials, batch_id)
 
     writer = pages_stream.writeStream.foreachBatch(process_batch)
     if checkpoint_path is not None:
@@ -111,6 +123,74 @@ def stream_refresh_tiers(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def apply_refresh_exactly_once(
+    store,
+    partials: DataFrame,
+    batch_id: int,
+    exponential: bool = False,
+    alpha: float = 0.1,
+) -> bool:
+    """Idempotent tier refresh for one micro-batch (exactly-once on top of
+    foreachBatch's at-least-once replay).
+
+    Protocol, all keyed by ``batch_id`` under the store root:
+      1. ledger check — ``_stream_applied/batch_<id>`` exists => this batch
+         already folded in fully; a restart replay is a no-op;
+      2. stage — write the batch's hour partials (``new``) AND a frozen
+         snapshot of the store's pre-batch dirty-date hour rows (``pre``)
+         to ``_stream_stage/batch_<id>``, sealed by a ``_STAGED`` marker.
+         Until the marker exists the store has not been touched, so a crash
+         mid-staging just restages from scratch;
+      3. apply — refresh_continuous with ``pre_hour=pre``: every tier
+         partition overwrite is a pure function of the FROZEN stage
+         (pre ∪ new), so a crash anywhere inside the apply (including
+         between the hour upsert and the day/week/month upserts) is
+         repaired by simply re-running the apply — same inputs, same
+         partition contents, no double-count;
+      4. commit — write the ledger marker, then drop the stage.
+
+    On Iceberg, steps 3-4 collapse into transactional overwritePartitions
+    commits carrying the batch id as snapshot metadata; this is the
+    filesystem stand-in with the same externally observable semantics.
+    Returns True if the batch was applied, False if skipped as a replay."""
+    import os
+    import shutil
+
+    from sentometrics_spark.aggregate.tiers import refresh_continuous
+
+    spark = store.spark
+    ledger_dir = os.path.join(store.root, "_stream_applied")
+    os.makedirs(ledger_dir, exist_ok=True)
+    marker = os.path.join(ledger_dir, f"batch_{batch_id}")
+    stage = os.path.join(store.root, "_stream_stage", f"batch_{batch_id}")
+    if os.path.exists(marker):
+        shutil.rmtree(stage, ignore_errors=True)  # crash between 4's steps
+        return False
+
+    new_path = os.path.join(stage, "new")
+    pre_path = os.path.join(stage, "pre")
+    staged_flag = os.path.join(stage, "_STAGED")
+    if not os.path.exists(staged_flag):
+        partials.write.mode("overwrite").parquet(new_path)
+        new = spark.read.parquet(new_path)
+        dirty = [
+            r["d"]
+            for r in new.select(F.to_date("bucket_ts").alias("d")).distinct().collect()
+        ]
+        pre = store.read_dates("hour", dirty) if store.exists("hour") else new.limit(0)
+        pre.write.mode("overwrite").parquet(pre_path)
+        with open(staged_flag, "w"):
+            pass
+
+    new = spark.read.parquet(new_path)
+    pre = spark.read.parquet(pre_path)
+    refresh_continuous(store, new, exponential=exponential, alpha=alpha, pre_hour=pre)
+    with open(marker, "w"):
+        pass
+    shutil.rmtree(stage, ignore_errors=True)
+    return True
 
 
 def finalize_hour_tier(spark: SparkSession, partials_path: str) -> DataFrame:
@@ -258,7 +338,9 @@ def compact_partials(spark: SparkSession, partials_path: str) -> None:
         "bucket_ts", *MEASURE_KEYS, "value", "wsum", "wden", "n_docs_in", "n_docs", "batch_id"
     )
     tmp = partials_path.rstrip("/") + "__compact"
-    compacted.write.mode("overwrite").parquet(tmp)
+    # keep the batch_id=... partition layout the streaming writer uses, so
+    # post-compaction appends land beside it without mixing layouts
+    compacted.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
     # local-fs swap; on Iceberg this is an atomic rewrite-data-files commit
     shutil.rmtree(partials_path)
     os.rename(tmp, partials_path)

@@ -149,8 +149,11 @@ def minhash_signatures(
     """k-permutation MinHash signature per doc: ONE string hash per
     shingle, then k affine permutations (a_i*h32 + b_i) mod p of its low 32
     bits — the standard trick that replaces k string hashes with k
-    multiply-adds (a_i*h32 + b_i < 2^62, no 64-bit overflow). One explode +
-    one groupBy with map-side partial mins."""
+    multiply-adds. With a < MINHASH_P < 2^31 and h32 < 2^32 the product
+    stays just under 2^63 (~2^63 - 2^33), so it fits signed 64-bit with no
+    overflow — but only because MINHASH_P is a 31-bit prime; a larger
+    modulus would silently wrap. One explode + one groupBy with map-side
+    partial mins."""
     sh = shingles(df, id_col, n).select(
         id_col,
         hash64("shingle", hash_fn=hash_fn).bitwiseAND(F.lit(0xFFFFFFFF)).alias("h32"),

@@ -323,7 +323,14 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b\d{1,3}(\.\d{1,3}){3}\b", "<IP>"),
     ("card", r"\b\d{13,16}\b", "<CARD>"),
-    ("phone", r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+    # digit-GROUP structure with single separators, not a free [\d\s().-]
+    # run: an unbounded class merged adjacent space-separated numbers into
+    # one match and swallowed ISO dates. Requiring >=3 groups where the
+    # 3rd has 3-4 digits excludes yyyy-mm-dd (day is 2 digits) while
+    # keeping +1 555 123 4567 / (555) 123-4567 / 0171 234 5678 shapes.
+    ("phone",
+     r"\+?\(?\d{1,4}\)?[\s.-]\(?\d{2,4}\)?[\s.-]\d{3,4}([\s.-]\d{2,4}){0,2}\b",
+     "<PHONE>"),
 )
 
 
@@ -353,25 +360,47 @@ def domain_of(col: str = "url") -> Column:
     return F.regexp_extract(F.col(col), r"^[a-z][a-z0-9+.-]*://([^/]+)", 1)
 
 
+# path/query passes shared verbatim with the SQL oracle
+# (entry_queries._sql_url_canonical), all RE2-safe. Path and query are
+# canonicalized SEPARATELY: slash collapsing must never rewrite '//'
+# inside query values, and the tracking-param strip is anchored to a
+# preceding [?&] so a param merely CONTAINING 'utm_...' (e.g. autm_src)
+# is untouched.
+URL_PATH_PASSES: tuple[tuple[str, str], ...] = (
+    (r"//+", "/"),  # duplicate slashes inside the path only
+    (r"/$", ""),  # trailing slash (incl. bare-root '/')
+)
+URL_QUERY_PASSES: tuple[tuple[str, str], ...] = (
+    # drop tracking params, keeping the introducing [?&] (replacement $1);
+    # the trailing '&' is NOT consumed, so back-to-back tracking params all
+    # match in one global pass — leftover runs are collapsed next
+    (r"([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*", "$1"),
+    (r"&&+", "&"),
+    (r"\?&", "?"),
+    (r"[?&]+$", ""),  # a then-empty (or dangling-separator) query
+)
+
+
 def canonicalize_url(col: str = "url") -> Column:
     """Canonical URL form for crawl dedup (all JVM-side regex, codegen):
     lowercase scheme+host, strip the fragment, strip default ports
     (:80/:443), drop a trailing "/" on the path, collapse duplicate
-    slashes in the path (not the scheme's //), strip common tracking query
-    parameters (utm_*, fbclid, gclid), and drop a then-empty query."""
+    slashes in the path (not the scheme's // or query values), strip
+    common tracking query parameters (utm_*, fbclid, gclid — anchored to
+    [?&]), and drop a then-empty query."""
     # every step is RE2-safe (no lookaround) so the DuckDB oracle runs the
     # character-identical patterns
     c = F.regexp_replace(F.col(col), r"#.*$", "")
     sh = F.lower(F.regexp_extract(c, r"^([A-Za-z0-9+.-]*://[^/?]*)", 1))
     sh = F.regexp_replace(sh, r":(80|443)$", "")
     rest = F.regexp_replace(c, r"^[A-Za-z0-9+.-]*://[^/?]*", "")
-    rest = F.regexp_replace(rest, r"(utm_[a-z]+|fbclid|gclid)=[^&#]*&?", "")
-    rest = F.regexp_replace(rest, r"[?&]$", "")
-    rest = F.regexp_replace(rest, r"\?&", "?")
-    rest = F.regexp_replace(rest, r"//+", "/")
-    rest = F.regexp_replace(rest, r"/\?", "?")
-    rest = F.regexp_replace(rest, r"/$", "")
-    return F.concat(sh, rest)
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.regexp_replace(rest, r"^[^?]*", "")
+    for pat, rep in URL_PATH_PASSES:
+        path = F.regexp_replace(path, pat, rep)
+    for pat, rep in URL_QUERY_PASSES:
+        query = F.regexp_replace(query, pat, rep)
+    return F.concat(sh, path, query)
 
 
 def url_duplicates(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> DataFrame:

@@ -302,6 +302,15 @@ def test_canonicalize_url_and_duplicates(spark):
         ("https://example.com:8080/a", "https://example.com:8080/a"),
         ("http://example.com", "http://example.com"),
         ("http://example.com/", "http://example.com"),
+        # precision pins (ADVICE r2): the tracking strip is [?&]-anchored —
+        # a param NAME merely containing the token survives; '//' inside a
+        # query VALUE survives slash collapsing; back-to-back tracking
+        # params all drop in one pass
+        ("https://example.com/p?autm_source=x", "https://example.com/p?autm_source=x"),
+        ("https://example.com/p?next=https://other.io//x",
+         "https://example.com/p?next=https://other.io//x"),
+        ("https://example.com/p?utm_a=1&utm_b=2&keep=3", "https://example.com/p?keep=3"),
+        ("https://example.com/p?utm_a=1&utm_b=2", "https://example.com/p"),
     ]
     df = spark.createDataFrame(
         [(i, u) for i, (u, _) in enumerate(cases)], "doc_id long, url string"
@@ -329,15 +338,26 @@ def test_canonicalize_url_and_duplicates(spark):
     # adversarial URLs, not just the tame corpus ones
     import duckdb
 
+    from sentometrics_spark.textops.textstats import (
+        URL_PATH_PASSES,
+        URL_QUERY_PASSES,
+    )
+
     con = duckdb.connect()
     con.register("raw_urls", df.toPandas()[["url"]])
+
+    def chain(expr, passes):
+        for pat, rep in passes:
+            expr = (f"regexp_replace({expr}, '{pat}', "
+                    f"'{rep.replace('$1', chr(92) + '1')}', 'g')")
+        return expr
+
     rest = "regexp_replace(c, '^[A-Za-z0-9+.-]*://[^/?]*', '', 'g')"
-    for pat, rep in [("(utm_[a-z]+|fbclid|gclid)=[^&#]*&?", ""), ("[?&]$", ""),
-                     ("\\?&", "?"), ("//+", "/"), ("/\\?", "?"), ("/$", "")]:
-        rest = f"regexp_replace({rest}, '{pat}', '{rep}', 'g')"
+    path = chain(f"regexp_extract({rest}, '^([^?]*)', 1)", URL_PATH_PASSES)
+    query = chain(f"regexp_replace({rest}, '^[^?]*', '', 'g')", URL_QUERY_PASSES)
     sql = f"""SELECT url,
       regexp_replace(lower(regexp_extract(c, '^([A-Za-z0-9+.-]*://[^/?]*)', 1)),
-                     ':(80|443)$', '', 'g') || {rest} AS canon
+                     ':(80|443)$', '', 'g') || {path} || {query} AS canon
       FROM (SELECT url, regexp_replace(url, '#.*$', '', 'g') AS c FROM raw_urls)"""
     duck = dict(con.sql(sql).fetchall())
     for raw, want in cases:
@@ -387,6 +407,10 @@ def test_redact_pii_planted(spark):
         (5, "a@b.co or 10.0.0.1 or +44 20 7946 0958",
             "<EMAIL> or <IP> or <PHONE>", dict(email=1, ipv4=1, phone=1)),
         (6, "no personal data here", "no personal data here", {}),
+        # precision pins (ADVICE r2): ISO dates are NOT phones, and
+        # adjacent space-separated numbers are not merged into one match
+        (7, "dated 2024-01-05 and 1999-12-31", "dated 2024-01-05 and 1999-12-31", {}),
+        (8, "scores 12 34 56 78 ok", "scores 12 34 56 78 ok", {}),
     ]
     df = spark.createDataFrame(
         [(i, t) for i, t, _, _ in cases], "doc_id long, text string"

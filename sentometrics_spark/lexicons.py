@@ -21,6 +21,57 @@ from dataclasses import dataclass, field
 import numpy as np
 
 
+# languages (and script ranges) that ICU word-segments by DICTIONARY, which
+# this engine's UAX-29 rule tokenizer deliberately does not reproduce
+# (scoring/tokenize.py module docstring): an unspaced ideograph/Thai run
+# stays ONE token here, so a lexicon keyed to these languages would silently
+# never match. Fail fast at lexicon construction instead; the supported path
+# for such corpora is caller-supplied tokenization via the tokens_col
+# passthrough (T3, compute_sentiment_udf(tokens_col=...)).
+_DICT_SEGMENTED_LANGS = {"zh", "ja", "th", "lo", "km", "my"}
+_DICT_SEGMENTED_RANGES = (
+    (0x4E00, 0x9FFF, "Han"),
+    (0x3400, 0x4DBF, "Han ext-A"),
+    (0x3040, 0x309F, "Hiragana"),
+    (0x30A0, 0x30FF, "Katakana"),
+    (0x0E00, 0x0E7F, "Thai"),
+    (0x0E80, 0x0EFF, "Lao"),
+    (0x1780, 0x17FF, "Khmer"),
+    (0x1000, 0x109F, "Myanmar"),
+)
+
+
+def _check_not_dictionary_segmented(lang: str, words) -> None:
+    # entries in a dictionary-segmented SCRIPT can never match a UAX-29
+    # token (an unspaced run stays one oversized token): hard error.
+    for w in words:
+        for ch in w:
+            cp = ord(ch)
+            for lo, hi, script in _DICT_SEGMENTED_RANGES:
+                if lo <= cp <= hi:
+                    raise ValueError(
+                        f"lexicon entry '{w}' (lang '{lang}') contains {script} "
+                        "codepoints: these scripts need ICU dictionary word "
+                        "segmentation, which this engine does not implement — "
+                        "the entry would silently never match. Pre-tokenize "
+                        "the corpus and pass tokens_col= (T3 passthrough)."
+                    )
+    # a zh/ja/th-keyed lexicon whose entries are all spaced-script (e.g.
+    # latin loanwords) CAN match, but word counts over native-script runs
+    # diverge from ICU, skewing proportional denominators: warn loudly.
+    if lang.split("-")[0].lower() in _DICT_SEGMENTED_LANGS:
+        import warnings
+
+        warnings.warn(
+            f"language '{lang}' is ICU dictionary-segmented; this engine's "
+            "UAX-29 tokenizer keeps unspaced runs as single tokens, so word "
+            "counts (and proportional-type denominators) will diverge from "
+            "the reference on native-script text. For exact parity, "
+            "pre-tokenize and pass tokens_col= (T3 passthrough).",
+            stacklevel=3,
+        )
+
+
 @dataclass(frozen=True)
 class Lexicons:
     # {lang: {lexicon_name: {word: y}}}
@@ -35,12 +86,15 @@ class Lexicons:
 
     def __post_init__(self) -> None:
         for lang, lexs in self.lex.items():
+            _check_not_dictionary_segmented(lang, (w for ws in lexs.values() for w in ws))
             for name, words in lexs.items():
                 if "--" in name or "-" in name:
                     raise ValueError(f"'-' not allowed in lexicon name: {name}")
                 for w in words:
                     if w != w.lower():
                         raise ValueError(f"lexicon words must be lowercase: {w}")
+        for lang, vmap in self.valence.items():
+            _check_not_dictionary_segmented(lang, vmap)
 
     @property
     def languages(self) -> list[str]:

@@ -210,11 +210,20 @@ def minhash_lsh_buckets(
 
 def minhash_dedup_candidates(
     df: DataFrame, id_col: str = "doc_id", n: int = 3, k: int = 32, bands: int = 8,
-    hash_fn: str = "xxhash64",
+    hash_fn: str = "xxhash64", max_bucket_size: int = 256,
 ) -> DataFrame:
-    """Distinct candidate near-dup pairs from LSH buckets."""
+    """Distinct candidate near-dup pairs from LSH buckets.
+
+    Buckets up to ``max_bucket_size`` emit all O(m²) within-bucket pairs.
+    DEGENERATE buckets (boilerplate pages sharing a band signature — m can
+    be 10⁵⁺ at crawl scale) are capped: they emit only (keep_id, member)
+    star pairs, O(m) rows, which still link every member into the same
+    connected component for the downstream keep-one resolution. Without the
+    cap a single hot bucket materializes m² rows and dominates the job."""
     buckets = minhash_lsh_buckets(df, id_col, n, k, bands, hash_fn=hash_fn)
-    pairs = buckets.select(
+    small = buckets.filter(F.col("bucket_size") <= max_bucket_size)
+    big = buckets.filter(F.col("bucket_size") > max_bucket_size)
+    all_pairs = small.select(
         F.explode(
             F.filter(
                 F.flatten(
@@ -228,8 +237,13 @@ def minhash_dedup_candidates(
                 lambda p: p["id_a"] < p["id_b"],
             )
         ).alias("p")
-    ).select("p.id_a", "p.id_b").distinct()
-    return pairs
+    ).select("p.id_a", "p.id_b")
+    # keep_id == min(members), so (keep_id, member) is already ordered
+    star_pairs = (
+        big.select(F.col("keep_id").alias("id_a"), F.explode("members").alias("id_b"))
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    return all_pairs.unionByName(star_pairs).distinct()
 
 
 def duplicated_spans(
@@ -295,25 +309,43 @@ def simhash(
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash per doc: sign-sum of token-hash bits, weighted by term
-    frequency. Pure Catalyst: explode tokens -> per-(doc, bit) majority.
-    64 bits with xxhash64; pass bits=60 with hash_fn="md5" (the md5-derived
-    hash carries 60 usable bits)."""
-    tok = df.select(id_col, F.explode(_tokens()).alias("token"))
-    tf = tok.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
-    h = tf.withColumn("h", hash64("token", hash_fn=hash_fn))
-    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    per_bit = h.select(id_col, "tf", "h", bit).withColumn(
-        "vote",
-        F.when(F.expr("(h >> bit) & 1") == 1, F.col("tf")).otherwise(-F.col("tf")),
+    frequency. Single map-only pass — per row, one codegen'd
+    ``aggregate`` over the token-hash array builds all ``bits``
+    accumulator slots (a +1/-1 vote per occurrence sums to exactly the
+    tf-weighted vote per distinct term), then the sign vector packs into
+    one bigint. NO explode, NO shuffle: the previous formulation blew each
+    (doc, distinct token) into 64 bit-rows and paid two hash shuffles for
+    what is a per-document reduction. 64 bits with xxhash64; pass bits=60
+    with hash_fn="md5" (the md5-derived hash carries 60 usable bits)."""
+    toks = _tokens()
+    hashes = F.transform(toks, lambda t: hash64(t, hash_fn=hash_fn))
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda a, b: a
+            + F.when(
+                F.call_function("shiftright", h, b).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        ),
     )
-    votes = per_bit.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
-    return votes.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
+    packed = F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda v, b: F.when(
+                v > 0, F.call_function("shiftleft", F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda s, x: s.bitwiseOR(x),
     )
+    # null-text docs carried no rows through the old explode and must stay
+    # absent here too (size(null) is null => filtered)
+    return df.filter(F.size(toks) > 0).select(id_col, packed.alias("simhash"))
 
 
 def simhash_near_pairs(

@@ -201,8 +201,20 @@ def ivf_assign(
 ) -> tuple[DataFrame, np.ndarray]:
     """IVF coarse quantizer: fit k-means-lite centroids on a driver sample
     (numpy), assign every vector to its nearest cell JVM-side. Returns
-    (assigned df with 'cell', centroids array)."""
-    pdf = emb.select(vec_col).limit(sample).toPandas()
+    (assigned df with 'cell', centroids array).
+
+    The sample is drawn by seeded-hash order (top-k over xxhash64(id)) —
+    deterministic, one O(n) scan, and independent of the table's physical
+    layout. A bare limit() would take the FIRST partitions, biasing the
+    centroids whenever the table is sorted or partitioned by anything
+    correlated with the vectors."""
+    pdf = (
+        emb.select(vec_col, F.xxhash64(F.col(id_col), F.lit(seed)).alias("__r"))
+        .orderBy("__r")
+        .limit(sample)
+        .select(vec_col)
+        .toPandas()
+    )
     X = np.vstack(pdf[vec_col].to_numpy())
     rng = np.random.RandomState(seed)
     cent = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)].astype(np.float64)

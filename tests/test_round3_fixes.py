@@ -7,6 +7,11 @@
      double-counting.
   2. stream_to_hour_tier partials survive a replay without duplication
      (batch_id partition overwrite instead of blind append).
+  3. minhash_dedup_candidates caps degenerate LSH buckets: an m-member
+     boilerplate bucket emits O(m) star pairs, never O(m²).
+  4. simhash signatures are computed map-only (no explode, no shuffle).
+  5. ivf_assign's k-means sample is layout-independent (seeded hash
+     order), not first-partitions-biased.
 """
 
 import os
@@ -167,3 +172,151 @@ def test_hour_partials_replay_overwrites_not_appends(spark, tmp_path, split_part
     np.testing.assert_allclose(
         once["value"].to_numpy(), twice["value"].to_numpy(), rtol=0, atol=0
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup / ANN scale fixes
+# ---------------------------------------------------------------------------
+
+
+def _plan_of(df) -> str:
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_minhash_degenerate_bucket_emits_star_pairs(spark):
+    """300 identical boilerplate docs share every LSH band: with the cap,
+    the candidate output is the 299 (keep_id, member) star pairs — O(m) —
+    and every member stays connected to keep_id for dedup resolution."""
+    from sentometrics_spark.textops import dedup
+
+    docs = spark.createDataFrame(
+        [(i, "identical boilerplate page about spark engines forever") for i in range(300)],
+        "doc_id long, text string",
+    )
+    pairs = dedup.minhash_dedup_candidates(
+        docs, k=8, bands=4, max_bucket_size=64
+    ).toPandas()
+    assert len(pairs) == 299
+    assert (pairs["id_a"] == 0).all()  # keep_id = min member
+    assert set(pairs["id_b"]) == set(range(1, 300))
+
+
+def test_minhash_cap_inactive_below_threshold(spark):
+    """Small buckets produce the identical all-pairs set with or without
+    the cap."""
+    from sentometrics_spark.textops import dedup
+
+    rows = []
+    for g in range(4):
+        for j in range(5):
+            rows.append((g * 10 + j, f"group {g} shared text body tokens here {g}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.minhash_dedup_candidates(docs, k=8, bands=4, max_bucket_size=64)
+    uncapped = dedup.minhash_dedup_candidates(
+        docs, k=8, bands=4, max_bucket_size=10**9
+    )
+    a = {tuple(r) for r in capped.collect()}
+    b = {tuple(r) for r in uncapped.collect()}
+    assert a == b and len(a) >= 4 * 10  # 4 groups x C(5,2)
+
+
+def test_minhash_star_pairs_plan_not_cartesian(spark):
+    from sentometrics_spark.textops import dedup
+
+    docs = spark.createDataFrame(
+        [(i, "same text " + str(i % 2)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    p = _plan_of(dedup.minhash_dedup_candidates(docs, k=8, bands=4, max_bucket_size=4))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_simhash_signature_plan_is_map_only(spark):
+    """The signature computation is a per-row aggregate over the token
+    array: zero Exchanges in the plan (the old formulation exploded 64
+    bit-rows per (doc, token) and shuffled twice)."""
+    import re
+
+    from sentometrics_spark.textops import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"some text body {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    p = _plan_of(dedup.simhash(docs))
+    assert not re.findall(r"^\(\d+\) Exchange\b", p, flags=re.M), p
+    assert "Generate" not in p  # no explode
+
+
+def test_simhash_null_text_absent_punct_kept(spark):
+    """Parity with the old explode formulation: a null text produces no
+    signature row; a punctuation-only text is one whitespace token in the
+    textops layer and keeps its row."""
+    from sentometrics_spark.textops import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "real tokens here"), (2, "..."), (3, None)],
+        "doc_id long, text string",
+    )
+    out = dedup.simhash(docs).toPandas()
+    assert set(out["doc_id"]) == {1, 2}
+
+
+def test_ivf_sample_is_layout_independent(spark):
+    """Adversarial layout: the table's leading rows are all cluster A.
+    A first-partitions sample would fit centroids only on A; the seeded
+    hash-order sample must see both clusters."""
+    import numpy as np
+
+    from sentometrics_spark.textops import similarity
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(500):  # cluster A first in id/file order
+        rows.append((i, (rng.randn(8) * 0.05).tolist()))
+    for i in range(500, 2000):  # cluster B: far away, later rows
+        rows.append((i, (rng.randn(8) * 0.05 + 10.0).tolist()))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).coalesce(1)  # single partition => limit() would take cluster A only
+    assigned, cent = similarity.ivf_assign(emb, n_cells=4, sample=300, seed=1)
+    d_to_b = np.abs(cent - 10.0).mean(axis=1).min()
+    assert d_to_b < 1.0, f"no centroid near cluster B: {cent.mean(axis=1)}"
+    # and assignment separates the clusters
+    cells = assigned.select("vec_id", "cell").toPandas()
+    a_cells = set(cells[cells.vec_id < 500]["cell"])
+    b_cells = set(cells[cells.vec_id >= 500]["cell"])
+    assert a_cells.isdisjoint(b_cells)
+
+
+def test_dictionary_segmented_lexicon_fails_fast():
+    """Lexicon/valence entries containing Han/Thai/... codepoints raise at
+    construction (the UAX-29 tokenizer keeps unspaced ideograph runs as
+    one token, so such entries would silently never match); a zh/ja/th
+    language KEY with spaced-script entries only warns (entries can match,
+    but word counts diverge on native-script runs — and the driver's
+    synthetic corpus legitimately labels ASCII text 'zh')."""
+    with pytest.raises(ValueError, match="Han"):
+        Lexicons(lex={"zh": {"LEXA": {"好": 1.0}}})
+    with pytest.raises(ValueError, match="Thai"):
+        Lexicons(lex={"th": {"LEXA": {"ดี": 1.0}}})
+    with pytest.raises(ValueError, match="Han"):
+        Lexicons(lex={"en": {"LEXA": {"好": 1.0}}})
+    with pytest.raises(ValueError, match="Thai"):
+        Lexicons(lex={"en": {"LEXA": {"fast": 1.0}}},
+                 valence={"en": {"ไม่": (-1.0, 1)}})
+    with pytest.warns(UserWarning, match="dictionary-segmented"):
+        Lexicons(lex={"ja": {"LEXA": {"sushi": 1.0}}})
+    # spaced scripts stay allowed, no warning (Hangul, Cyrillic)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        Lexicons(lex={"ko": {"LEXA": {"좋다": 1.0}}})
+        Lexicons(lex={"ru": {"LEXA": {"хорошо": 1.0}}})

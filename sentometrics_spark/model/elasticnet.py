@@ -19,7 +19,7 @@ import pandas as pd
 class ModelCtr:
     """R1: model-control validation (ctr_model, /root/reference/R/sentomodel.R:86-178).
     Families: gaussian | binomial (y in {0,1}) | multinomial (y categorical,
-    fit one-vs-rest as the glmnet-multinomial stand-in)."""
+    symmetric softmax elastic net — glmnet family='multinomial' semantics)."""
 
     model: str = "gaussian"
     calibration: str = "BIC"  # BIC | AIC | Cp | cv
@@ -168,6 +168,94 @@ def logistic_enet_cd(
     coefs = b / xs
     intercept = b0 - float(xm @ coefs)
     return coefs, intercept
+
+
+def multinomial_enet_cd(
+    X: np.ndarray,
+    Y: np.ndarray,
+    alpha: float,
+    lam: float,
+    tol: float = 1e-7,
+    max_outer: int = 60,
+    max_inner: int = 200,
+    warm: tuple[np.ndarray, np.ndarray] | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """SYMMETRIC multinomial elastic net, glmnet-style (Friedman, Hastie &
+    Tibshirani 2010 §4 "Regularized multinomial regression"; the reference
+    delegates to glmnet family='multinomial',
+    /root/reference/R/sentomodel.R:313-367): full softmax likelihood over K
+    class coefficient vectors, fit by block coordinate descent — cycle over
+    classes, each class taking a partial quadratic (IRLS) approximation
+    with probabilities from the CURRENT full softmax, then inner weighted
+    coordinate descent on that class's column. This differs from
+    one-vs-rest: each class's working response depends on ALL classes'
+    coefficients through the softmax, so the selected supports can differ.
+
+    The symmetric parametrization is unidentified under per-feature shifts;
+    for penalized coefficients the elastic-net penalty itself picks the
+    minimal-penalty representative (strictly so for alpha<1), and the
+    unpenalized intercepts are centered to mean zero each outer cycle (the
+    glmnet convention). Returns (B [p,K] on the original scale, b0 [K])."""
+    n, p = X.shape
+    K = Y.shape[1]
+    xm, xs = X.mean(0), X.std(0)
+    xs[xs == 0] = 1.0
+    Xs = (X - xm) / xs
+    if warm is not None:
+        B = warm[0].copy()
+        b0 = warm[1].copy()
+    else:
+        B = np.zeros((p, K))
+        pri = np.clip(Y.mean(0), 1e-4, 1.0)
+        b0 = np.log(pri)
+        b0 -= b0.mean()
+    eta = Xs @ B + b0
+    for _ in range(max_outer):
+        eta_prev = eta.copy()
+        m = eta.max(axis=1, keepdims=True)
+        P = np.exp(eta - m)
+        P /= P.sum(axis=1, keepdims=True)
+        P = np.clip(P, 1e-5, 1 - 1e-5)
+        for k in range(K):
+            w = P[:, k] * (1.0 - P[:, k])
+            z = eta[:, k] + (Y[:, k] - P[:, k]) / w
+            wn = w / n
+            col_den = (wn * Xs.T**2).sum(axis=1)
+            b = B[:, k]
+            c0 = b0[k]
+            r = z - Xs @ b - c0
+            for _ in range(max_inner):
+                delta = 0.0
+                for j in range(p):
+                    bj = b[j]
+                    zj = float((wn * Xs[:, j]) @ r) + col_den[j] * bj
+                    bn = _soft(zj, lam * alpha) / (col_den[j] + lam * (1 - alpha))
+                    if bn != bj:
+                        r += Xs[:, j] * (bj - bn)
+                        b[j] = bn
+                        delta = max(delta, abs(bn - bj))
+                c0_new = c0 + float((wn @ r) / wn.sum())
+                r += c0 - c0_new
+                c0 = c0_new
+                if delta < tol:
+                    break
+            b0[k] = c0
+            eta[:, k] = Xs @ b + c0
+        # center the unpenalized intercepts (softmax-invariant shift)
+        shift = b0.mean()
+        b0 -= shift
+        eta -= shift
+        if float(np.abs(eta - eta_prev).max()) < 1e-6:
+            break
+    coefs = B / xs[:, None]
+    b0_out = b0 - coefs.T @ xm
+    return coefs, b0_out
+
+
+def _multinomial_deviance(Y: np.ndarray, eta: np.ndarray) -> float:
+    m = eta.max(axis=1, keepdims=True)
+    logp = (eta - m) - np.log(np.exp(eta - m).sum(axis=1, keepdims=True))
+    return float(-2.0 * (Y * logp).sum())
 
 
 def _binomial_deviance(y: np.ndarray, eta: np.ndarray) -> float:
@@ -359,71 +447,72 @@ def sento_model(y: pd.Series, X: pd.DataFrame, ctr: ModelCtr = ModelCtr()) -> Se
 
 
 def _sento_model_multinomial(y: pd.Series, X: pd.DataFrame, ctr: ModelCtr) -> SentoModel:
-    """Multinomial via one-vs-rest binomial fits sharing the (alpha, lambda)
-    selected on the pooled OvR deviance (the glmnet family='multinomial'
-    stand-in; /root/reference/R/sentomodel.R:86-178 accepts the family)."""
+    """SYMMETRIC multinomial elastic net (softmax likelihood over all K
+    class columns, multinomial_enet_cd) calibrated on multinomial deviance
+    + penalty*df (IC) or rolling-origin classification error (cv) — the
+    glmnet family='multinomial' semantics the reference delegates to
+    (/root/reference/R/sentomodel.R:313-367). One-vs-rest is NOT used: the
+    per-class working responses couple through the shared softmax, so
+    supports and coefficients can differ from OvR."""
     y_al, X_al = align_variables(y, X, ctr.h, ctr.do_difference)
     X_al = clean_panel(X_al)
     Xn = X_al.to_numpy(dtype=float)
     classes = sorted(pd.unique(y_al))
     n = len(y_al)
-    ys = {c: (y_al == c).to_numpy(dtype=float) for c in classes}
+    Y = np.column_stack([(y_al == c).to_numpy(dtype=float) for c in classes])
+
+    def path(alpha: float) -> np.ndarray:
+        # glmnet-style path: lambda_max is the largest per-class screening
+        # bound, taken over all K class indicators
+        lmaxes = [
+            _lambda_path(Xn, Y[:, k], alpha, 2)[0] for k in range(len(classes))
+        ]
+        lmax = max(lmaxes)
+        return np.logspace(np.log10(lmax), np.log10(lmax * 1e-4), ctr.n_lambdas)
 
     best = None
-    ref = ys[classes[0]]
     if ctr.calibration == "cv":
-        # rolling-origin CV on pooled OvR classification error (argmax
-        # prediction over the per-class scores), mirroring the
-        # gaussian/binomial cv branch in sento_model
         yn_lbl = y_al.to_numpy()
         for alpha in ctr.alphas:
-            lams = _lambda_path(Xn, ref, alpha, ctr.n_lambdas)
-            for lam in lams:
-                per_class = {
-                    c: logistic_enet_cd(Xn, ys[c], alpha, lam) for c in classes
-                }
+            for lam in path(alpha):
+                B, b0 = multinomial_enet_cd(Xn, Y, alpha, lam)
                 errs = []
                 for tr, te in create_cv_slices(n, ctr.cv_train, ctr.cv_test):
-                    etas = []
-                    for c in classes:
-                        c2, i2 = logistic_enet_cd(Xn[tr], ys[c][tr], alpha, lam)
-                        etas.append(Xn[te] @ c2 + i2)
-                    pred_idx = np.argmax(np.vstack(etas), axis=0)
+                    B2, b02 = multinomial_enet_cd(Xn[tr], Y[tr], alpha, lam)
+                    pred_idx = np.argmax(Xn[te] @ B2 + b02, axis=1)
                     pred = np.array(classes, dtype=object)[pred_idx]
                     errs.append(float((pred != yn_lbl[te]).mean()))
                 crit = float(np.mean(errs)) if errs else np.inf
                 if best is None or crit < best[0]:
-                    best = (crit, alpha, lam, per_class)
+                    best = (crit, alpha, lam, (B, b0))
     else:
-        # calibrate on the pooled grid: sum of per-class deviances + penalty*df
         pen = {"BIC": np.log(n), "AIC": 2.0, "Cp": 2.0}[ctr.calibration]
         for alpha in ctr.alphas:
-            lams = _lambda_path(Xn, ref, alpha, ctr.n_lambdas)
-            for lam in lams:
-                tot, dftot = 0.0, 0.0
-                per_class = {}
-                for c in classes:
-                    coefs, b0 = logistic_enet_cd(Xn, ys[c], alpha, lam)
-                    tot += _binomial_deviance(ys[c], Xn @ coefs + b0)
-                    dftot += _df_enet(Xn, coefs, lam, alpha)
-                    per_class[c] = (coefs, b0)
-                crit = tot + pen * dftot
+            warm = None
+            for lam in path(alpha):
+                B, b0 = multinomial_enet_cd(Xn, Y, alpha, lam, warm=warm)
+                warm = (B, b0)
+                dev = _multinomial_deviance(Y, Xn @ B + b0)
+                dftot = sum(
+                    _df_enet(Xn, B[:, k], lam, alpha) for k in range(len(classes))
+                )
+                crit = dev + pen * dftot
                 if best is None or crit < best[0]:
-                    best = (crit, alpha, lam, per_class)
-    crit, alpha, lam, per_class = best
+                    best = (crit, alpha, lam, (B.copy(), b0.copy()))
+    crit, alpha, lam, (B, b0) = best
     coef_df = pd.DataFrame(
-        {c: per_class[c][0] for c in classes}, index=X_al.columns
+        {c: B[:, i] for i, c in enumerate(classes)}, index=X_al.columns
     )
     return SentoModel(
         coefs=coef_df[classes[0]],
-        intercept=per_class[classes[0]][1],
+        intercept=float(b0[0]),
         alpha=alpha,
         lam=lam,
         criterion=crit,
         ctr=ctr,
         classes=classes,
         coefs_multi=coef_df,
-        intercepts_multi=np.array([per_class[c][1] for c in classes]),
+        intercepts_multi=b0,
     )
 
 

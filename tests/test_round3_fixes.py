@@ -320,3 +320,74 @@ def test_dictionary_segmented_lexicon_fails_fast():
         warnings.simplefilter("error")
         Lexicons(lex={"ko": {"LEXA": {"좋다": 1.0}}})
         Lexicons(lex={"ru": {"LEXA": {"хорошо": 1.0}}})
+
+
+def test_symmetric_multinomial_kkt_and_ovr_divergence():
+    """multinomial_enet_cd solves the SYMMETRIC softmax elastic net: the
+    KKT conditions of that joint objective hold at the solution — the
+    unpenalized-loss gradient for every active (feature, class) equals
+    -lam*((1-alpha)*b + alpha*sign(b)), and inactive entries satisfy
+    |grad| <= lam*alpha. A one-vs-rest stack (per-class independent
+    binomial fits) violates these conditions on the same data, so the two
+    estimators are demonstrably different objects."""
+    from sentometrics_spark.model.elasticnet import (
+        logistic_enet_cd,
+        multinomial_enet_cd,
+    )
+
+    rng = np.random.RandomState(11)
+    n, p, K = 240, 6, 3
+    X = rng.normal(size=(n, p))
+    latent = np.stack(
+        [1.5 * X[:, 0] - 0.5 * X[:, 3], 1.5 * X[:, 1] + 0.5 * X[:, 3], 1.5 * X[:, 2]],
+        axis=1,
+    ) + 0.3 * rng.normal(size=(n, K))
+    yl = latent.argmax(axis=1)
+    Y = np.eye(K)[yl]
+    alpha, lam = 0.8, 0.02
+
+    def kkt_violation(B_std, b0_std):
+        """Max KKT violation of the symmetric objective, on standardized X
+        (the scale the penalty applies on, as in glmnet)."""
+        xm, xs = X.mean(0), X.std(0)
+        Xs = (X - xm) / xs
+        eta = Xs @ B_std + b0_std
+        m = eta.max(axis=1, keepdims=True)
+        P = np.exp(eta - m)
+        P /= P.sum(axis=1, keepdims=True)
+        G = Xs.T @ (P - Y) / n  # d(-loglik/n)/dB
+        worst = 0.0
+        for j in range(p):
+            for k in range(K):
+                b = B_std[j, k]
+                if abs(b) > 1e-8:
+                    worst = max(
+                        worst, abs(G[j, k] + lam * ((1 - alpha) * b + alpha * np.sign(b)))
+                    )
+                else:
+                    worst = max(worst, max(0.0, abs(G[j, k]) - lam * alpha))
+        return worst
+
+    B, b0 = multinomial_enet_cd(X, Y, alpha, lam)
+    # report in standardized coordinates: invert the de-standardization
+    xs = X.std(0)
+    B_std = B * xs[:, None]
+    b0_std = b0 + B.T @ X.mean(0)
+    assert kkt_violation(B_std, b0_std) < 5e-4
+    # intercepts centered (glmnet's identifiability convention)
+    assert abs(b0_std.mean()) < 1e-6
+
+    # OvR stack on the same data fails the symmetric KKT by a wide margin
+    ovr_B = np.column_stack(
+        [logistic_enet_cd(X, Y[:, k], alpha, lam)[0] for k in range(K)]
+    )
+    ovr_b0 = np.array(
+        [logistic_enet_cd(X, Y[:, k], alpha, lam)[1] for k in range(K)]
+    )
+    ovr_Bs = ovr_B * xs[:, None]
+    ovr_b0s = ovr_b0 + ovr_B.T @ X.mean(0)
+    ovr_b0s = ovr_b0s - ovr_b0s.mean()
+    assert kkt_violation(ovr_Bs, ovr_b0s) > 5e-3
+    # and the planted 3-class signal is recovered
+    pred = np.argmax(X @ B + b0, axis=1)
+    assert (pred == yl).mean() > 0.85

@@ -1860,6 +1860,128 @@ _EXPK = (TimeKernelSpec("exponential", alphas_exp=(0.1, 0.3), do_inverse_exp=Fal
 _BETA = (TimeKernelSpec("beta", a_beta=(2,), b_beta=(3,)),)
 
 
+_SNAPSHOT_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot exact dedup: documents from the first five sources
+    play the already-ingested snapshot (their content hashes = the
+    fingerprint store); the rest arrive as the new batch and are
+    classified new / dup_history / dup_batch. md5 hash variant so DuckDB
+    reproduces the fingerprints bit-exactly."""
+    from sentometrics_spark.textops.dedup import dedup_incremental, hash64
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hist = docs.filter(F.col("source").isin(*_SNAPSHOT_SOURCES))
+    seen = hist.select(hash64(F.col("text"), hash_fn="md5").alias("content_hash"))
+    batch = docs.filter(~F.col("source").isin(*_SNAPSHOT_SOURCES))
+    out = dedup_incremental(batch, seen, hash_fn="md5")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("content_hash").cast("long").alias("content_hash"),
+        "status",
+    )
+
+
+def _sql_dedup_incremental() -> str:
+    hx = _hx("text")
+    srcs = ", ".join(f"'{s}'" for s in _SNAPSHOT_SOURCES)
+    return f"""WITH seen AS (
+  SELECT DISTINCT {hx} AS content_hash FROM documents WHERE source IN ({srcs})
+),
+batch AS (
+  SELECT doc_id, {hx} AS content_hash FROM documents WHERE source NOT IN ({srcs})
+),
+firsts AS (
+  SELECT content_hash, MIN(doc_id) AS first_id FROM batch GROUP BY 1
+)
+SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+       CAST(b.content_hash AS BIGINT) AS content_hash,
+       CASE WHEN s.content_hash IS NOT NULL THEN 'dup_history'
+            WHEN b.doc_id <> f.first_id THEN 'dup_batch'
+            ELSE 'new' END AS status
+FROM batch b
+JOIN firsts f ON b.content_hash = f.content_hash
+LEFT JOIN seen s ON b.content_hash = s.content_hash"""
+
+
+def q_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM cross-entropy quality proxy over the documents table."""
+    from sentometrics_spark.textops.textstats import lm_cross_entropy
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = lm_cross_entropy(docs)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _r6("cross_entropy_bits").alias("cross_entropy_bits"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+_SQL_LM_CROSS_ENTROPY = """WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents
+),
+tok2 AS (SELECT * FROM tok WHERE token <> ''),
+counts AS (SELECT token, CAST(count(*) AS DOUBLE) AS c FROM tok2 GROUP BY 1),
+tot AS (SELECT SUM(c) AS n_corpus, CAST(count(*) AS DOUBLE) AS vocab FROM counts)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       floor((-AVG(log2((c.c + 1.0) / (tot.n_corpus + tot.vocab)))) * 1000000 + 0.5 + 1e-9) / 1000000.0
+         AS cross_entropy_bits,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM tok2 t JOIN counts c ON t.token = c.token CROSS JOIN tot
+GROUP BY t.doc_id"""
+
+
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-bigram importance weights: the first five sources are
+    the target domain; every doc gets a log importance weight toward that
+    profile. md5 feature hashing so DuckDB buckets identically."""
+    from sentometrics_spark.textops.textstats import dsir_importance
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dsir_importance(
+        docs, F.col("source").isin(*_SNAPSHOT_SOURCES), buckets=256, hash_fn="md5"
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _r6("log_weight").alias("log_weight"),
+        F.col("n_feats").cast("long").alias("n_feats"),
+    )
+
+
+def _sql_dsir_importance() -> str:
+    hx = _hx("g")
+    srcs = ", ".join(f"'{s}'" for s in _SNAPSHOT_SOURCES)
+    return f"""WITH toks AS (
+  SELECT doc_id, source IN ({srcs}) AS is_t,
+         string_split(lower(text), ' ') AS t
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, is_t,
+         {hx} % 256 AS b
+  FROM (
+    SELECT doc_id, is_t,
+           array_to_string(list_slice(t, i, i + 1), ' ') AS g
+    FROM toks, UNNEST(generate_series(1, greatest(len(t) - 1, 1))) AS u(i)
+  )
+),
+dist AS (
+  SELECT b, CAST(count(*) AS DOUBLE) AS c_raw,
+         CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS DOUBLE) AS c_t
+  FROM feat GROUP BY 1
+),
+tot AS (SELECT SUM(c_raw) AS n_raw, SUM(c_t) AS n_t FROM dist)
+SELECT CAST(f.doc_id AS BIGINT) AS doc_id,
+       floor(SUM(ln((d.c_t + 1.0) / (tot.n_t + 256.0))
+               - ln((d.c_raw + 1.0) / (tot.n_raw + 256.0))) * 1000000 + 0.5 + 1e-9)
+         / 1000000.0 AS log_weight,
+       CAST(count(*) AS BIGINT) AS n_feats
+FROM feat f JOIN dist d ON f.b = d.b CROSS JOIN tot
+GROUP BY f.doc_id"""
+
+
 def _golden_usnews_query(how: str, valence: str | None):
     """Score the reference package's OWN corpus (usnews, first 250 docs)
     with its OWN shipped lexicons (GI/LM/HENRY + valence shifters, loaded
@@ -2002,6 +2124,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "chunk_documents": q_chunk_documents,
         "events_hourly": q_events_hourly,
+        # incremental curation (round 3)
+        "dedup_incremental_status": q_dedup_incremental,
+        "lm_cross_entropy": q_lm_cross_entropy,
+        "dsir_importance": q_dsir_importance,
         # golden cross-validation: reference corpus + reference lexicons,
         # oracle = the reference package's own frozen scores (test_data.rda)
         "golden_usnews_bigram_counts": _golden_usnews_query("counts", "y"),
@@ -2152,6 +2278,9 @@ def oracle_sql() -> dict[str, str]:
         "golden_usnews_bigram_counts": _sql_golden_usnews("s1"),
         "golden_usnews_proportional": _sql_golden_usnews("s3"),
         "golden_usnews_cluster_counts": _sql_golden_usnews("s10"),
+        "dedup_incremental_status": _sql_dedup_incremental(),
+        "lm_cross_entropy": _SQL_LM_CROSS_ENTROPY,
+        "dsir_importance": _sql_dsir_importance(),
         # tier composability: the oracle aggregates documents directly at day
         "tier_day_from_hour": agg_docs_sql("proportional", "day"),
         **_panel_oracles(),

@@ -208,6 +208,51 @@ def minhash_lsh_buckets(
     )
 
 
+def dedup_incremental(
+    new_df: DataFrame,
+    seen: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Cross-snapshot exact dedup — the incremental form of
+    ``exact_duplicates`` for a rolling crawl: classify each incoming
+    document against a HISTORICAL fingerprint store ``seen`` (a DataFrame
+    with one ``content_hash`` column, e.g. the persisted hashes of every
+    previously kept snapshot) and against its own batch.
+
+    status per row:
+      'new'          first occurrence of this content anywhere;
+      'dup_history'  the hash is already in the store;
+      'dup_batch'    another doc in the SAME batch with a smaller id is
+                     the keeper.
+
+    Scale shape: one groupBy(content_hash) over the batch only and one
+    left join against the store on its hash key — the history is touched
+    only through that join (on Iceberg, a bucketed/bloom-indexed key),
+    never rescanned, so cost is O(batch), not O(history). The output is
+    the store's next delta: append rows with status='new'."""
+    batch = new_df.select(
+        F.col(id_col), hash64(F.col(text_col), hash_fn=hash_fn).alias("content_hash")
+    )
+    firsts = batch.groupBy("content_hash").agg(F.min(id_col).alias("first_id"))
+    seen_d = (
+        seen.select("content_hash").distinct().withColumn("in_hist", F.lit(True))
+    )
+    return (
+        batch.join(firsts, "content_hash")
+        .join(seen_d, "content_hash", "left")
+        .select(
+            id_col,
+            "content_hash",
+            F.when(F.col("in_hist").isNotNull(), F.lit("dup_history"))
+            .when(F.col(id_col) != F.col("first_id"), F.lit("dup_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )
+
+
 def minhash_dedup_candidates(
     df: DataFrame, id_col: str = "doc_id", n: int = 3, k: int = 32, bands: int = 8,
     hash_fn: str = "xxhash64", max_bucket_size: int = 256,

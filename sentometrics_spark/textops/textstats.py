@@ -434,3 +434,103 @@ def domain_stats(df: DataFrame, url_col: str = "url", text_col: str = "text") ->
             F.countDistinct("lang").alias("n_langs"),
         )
     )
+
+
+def lm_cross_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unigram-LM quality proxy (perplexity stand-in without an external
+    LM): cross-entropy in bits/token of each document under the corpus's
+    own unigram distribution with add-one smoothing —
+
+        p(t) = (c_t + 1) / (N + V),  H(doc) = -(1/n_d) Σ_i log2 p(tok_i)
+
+    Low H = the document looks like the corpus (common tokens); high H =
+    rare-token-heavy (gibberish, boilerplate IDs, other languages). Used
+    as a curation gate the same way a KenLM perplexity filter is.
+
+    Scale shape: one explode -> groupBy(token) for the LM (map-side
+    partials, vocabulary-bounded), a broadcast of the two scalar totals,
+    one join tokens⋈probs (shuffle on token, AQE-broadcast when the vocab
+    is small), one groupBy(doc). Nothing is quadratic; the LM can be
+    pinned per corpus snapshot exactly like the TFIDF df maps."""
+    tok = df.select(
+        id_col, F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = tok.groupBy("token").agg(F.count("*").alias("c"))
+    tot = counts.agg(
+        F.sum("c").alias("n_tokens_corpus"), F.count("*").alias("vocab")
+    )
+    probs = counts.crossJoin(F.broadcast(tot)).select(
+        "token",
+        (
+            (F.col("c") + 1.0)
+            / (F.col("n_tokens_corpus") + F.col("vocab"))
+        ).alias("p"),
+    )
+    return (
+        tok.join(probs, "token")
+        .groupBy(id_col)
+        .agg(
+            (-F.avg(F.log2("p"))).alias("cross_entropy_bits"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    is_target,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    buckets: int = 256,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """DSIR-style hashed n-gram importance weights for domain-matched data
+    selection (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling", public method description): features are word
+    n-gram occurrences hashed into ``buckets``; the per-document log
+    importance weight is
+
+        log w(d) = Σ_{f in d} log( p_target(bucket(f)) / p_raw(bucket(f)) )
+
+    with add-one smoothing over the bucket space on both distributions.
+    ``is_target`` is a boolean Column marking the target-domain rows
+    INSIDE ``df`` (raw = the whole input, the common in-corpus setup; for
+    a separate target corpus, union it in with the flag set). Sampling
+    proportional to exp(log_weight) then matches the target's hashed
+    n-gram profile.
+
+    Scale shape: explode n-grams -> ONE groupBy(bucket) building both
+    distributions at once (map-side partials, ≤ buckets rows) -> broadcast
+    the tiny log-ratio table -> per-doc sum. O(tokens) with a
+    buckets-bounded shuffle; nothing depends on corpus size."""
+    from sentometrics_spark.textops.dedup import hash64
+
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    feat = df.select(
+        id_col, F.coalesce(is_target, F.lit(False)).alias("is_t"),
+        F.explode(grams).alias("g"),
+    ).withColumn("b", F.pmod(hash64(F.col("g"), hash_fn=hash_fn), F.lit(buckets)))
+    dist = feat.groupBy("b").agg(
+        F.count("*").alias("c_raw"),
+        F.sum(F.col("is_t").cast("long")).alias("c_t"),
+    )
+    tot = dist.agg(F.sum("c_raw").alias("n_raw"), F.sum("c_t").alias("n_t"))
+    ratio = dist.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("c_t") + 1.0) / (F.col("n_t") + F.lit(float(buckets))))
+            - F.log((F.col("c_raw") + 1.0) / (F.col("n_raw") + F.lit(float(buckets))))
+        ).alias("lr"),
+    )
+    return (
+        feat.join(F.broadcast(ratio), "b")
+        .groupBy(id_col)
+        .agg(F.sum("lr").alias("log_weight"), F.count("*").alias("n_feats"))
+    )

@@ -471,3 +471,84 @@ def test_chunk_documents_boundaries(spark):
         for r in rows:
             covered |= set(range(r["start_tok"], r["start_tok"] + r["n_tokens"]))
         assert covered == set(range(n)), d
+
+
+def test_dedup_incremental_statuses(spark):
+    """Cross-snapshot dedup: planted history dup, in-batch dup, and fresh
+    docs get exactly the right status; 'new' rows are the store's delta."""
+    from pyspark.sql import functions as F
+
+    from sentometrics_spark.textops import dedup
+
+    history = spark.createDataFrame(
+        [(100, "seen before text"), (101, "another old page")],
+        "doc_id long, text string",
+    )
+    seen = history.select(dedup.hash64(F.col("text")).alias("content_hash"))
+    batch = spark.createDataFrame(
+        [
+            (1, "brand new content"),
+            (2, "seen before text"),        # dup vs history
+            (3, "brand new content"),       # dup vs doc 1 within batch
+            (4, "also fresh stuff"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["status"]
+           for r in dedup.dedup_incremental(batch, seen).collect()}
+    assert out == {1: "new", 2: "dup_history", 3: "dup_batch", 4: "also"} or True
+    assert out[1] == "new" and out[2] == "dup_history"
+    assert out[3] == "dup_batch" and out[4] == "new"
+    # folding the delta into the store makes a replayed batch all-dup
+    seen2 = seen.unionByName(
+        dedup.dedup_incremental(batch, seen)
+        .filter("status = 'new'")
+        .select("content_hash")
+    )
+    out2 = {r["doc_id"]: r["status"]
+            for r in dedup.dedup_incremental(batch, seen2).collect()}
+    assert all(s == "dup_history" for s in out2.values())
+
+
+def test_lm_cross_entropy(spark):
+    """Docs made of corpus-common tokens score lower cross-entropy than a
+    rare-token doc; values match a numpy replica of the add-one LM."""
+    import math
+
+    rows = [(i, "common words appear here often") for i in range(9)]
+    rows.append((99, "zyzzyva qwerty flurble"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["cross_entropy_bits"]
+           for r in textstats.lm_cross_entropy(docs).collect()}
+    assert out[99] > out[0]
+    # numpy replica
+    toks = [t for _, txt in rows for t in txt.split(" ")]
+    from collections import Counter
+
+    c = Counter(toks)
+    N, V = len(toks), len(c)
+    def H(txt):
+        ts = txt.split(" ")
+        return -sum(math.log2((c[t] + 1) / (N + V)) for t in ts) / len(ts)
+    assert abs(out[0] - H("common words appear here often")) < 1e-9
+    assert abs(out[99] - H("zyzzyva qwerty flurble")) < 1e-9
+
+
+def test_dsir_importance_ranks_target_like_docs(spark):
+    """Docs sharing the target domain's n-grams get higher log-importance
+    than off-domain docs; target rows themselves rank highest."""
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(10):
+        rows.append((i, "finance markets stocks bonds yields", "target"))
+    for i in range(10, 20):
+        rows.append((i, "cooking recipes pasta garlic butter", "other"))
+    rows.append((100, "finance markets stocks looking up", "candidate_like"))
+    rows.append((101, "garlic butter cooking tips", "candidate_unlike"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = textstats.dsir_importance(
+        docs, F.col("source") == "target", buckets=64
+    ).toPandas().set_index("doc_id")["log_weight"]
+    assert out[100] > out[101]
+    assert out[0] > out[10]

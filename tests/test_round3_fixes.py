@@ -391,3 +391,36 @@ def test_symmetric_multinomial_kkt_and_ovr_divergence():
     # and the planted 3-class signal is recovered
     pred = np.argmax(X @ B + b0, axis=1)
     assert (pred == yl).mean() > 0.85
+
+
+def test_new_curation_ops_plan_shapes(spark):
+    """Round-3 curation ops keep bounded plans: no CartesianProduct
+    anywhere; DSIR's log-ratio table comes back via a broadcast join (it
+    is <= buckets rows); the only nested-loop joins are single-row
+    broadcast totals."""
+    from sentometrics_spark.textops import dedup, textstats
+
+    docs = spark.createDataFrame(
+        [(i, f"some text tokens {i % 7} about engines") for i in range(40)],
+        "doc_id long, text string",
+    )
+    seen = docs.limit(5).select(dedup.hash64(F.col("text")).alias("content_hash"))
+
+    plans = {
+        "dedup_incremental": _plan_of(dedup.dedup_incremental(docs, seen)),
+        "lm_cross_entropy": _plan_of(textstats.lm_cross_entropy(docs)),
+        "dsir_importance": _plan_of(
+            textstats.dsir_importance(docs, F.col("doc_id") < 20, buckets=64)
+        ),
+    }
+    for name, p in plans.items():
+        assert "CartesianProduct" not in p, name
+    assert "BroadcastHashJoin" in plans["dsir_importance"]
+    # the only BNLJ allowed is the single-row totals broadcast
+    import re
+
+    for name in ("lm_cross_entropy", "dsir_importance"):
+        n_bnlj = len(
+            re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plans[name], flags=re.M)
+        )
+        assert n_bnlj <= 1, (name, n_bnlj)

@@ -1905,6 +1905,47 @@ JOIN firsts f ON b.content_hash = f.content_hash
 LEFT JOIN seen s ON b.content_hash = s.content_hash"""
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs from src0/src1 play the eval
+    benchmark; every remaining doc is flagged if it shares any 8-token
+    gram with them. md5 variant for the bit-exact DuckDB oracle."""
+    from sentometrics_spark.textops.dedup import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("source").isin("src0", "src1"))
+    train = docs.filter(~F.col("source").isin("src0", "src1"))
+    out = decontaminate(train, bench, n=8, hash_fn="md5")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_shared_ngrams").cast("long").alias("n_shared_ngrams"),
+        "contaminated",
+    )
+
+
+def _sql_decontaminate() -> str:
+    hx = _hx("g")
+    gram_cte = """
+  SELECT doc_id, source, {h} AS h
+  FROM (
+    SELECT doc_id, source,
+           array_to_string(list_slice(t, i, i + 7), ' ') AS g
+    FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS t FROM documents),
+         UNNEST(generate_series(1, greatest(len(t) - 7, 1))) AS u(i)
+  ) GROUP BY 1, 2, 3""".format(h=hx)
+    return f"""WITH grams AS ({gram_cte}),
+bench AS (SELECT DISTINCT h FROM grams WHERE source IN ('src0', 'src1')),
+train AS (SELECT * FROM grams WHERE source NOT IN ('src0', 'src1')),
+hits AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared_ngrams
+  FROM train t JOIN bench b ON t.h = b.h GROUP BY 1
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       coalesce(h.n_shared_ngrams, 0) AS n_shared_ngrams,
+       coalesce(h.n_shared_ngrams, 0) > 0 AS contaminated
+FROM (SELECT DISTINCT doc_id FROM documents WHERE source NOT IN ('src0', 'src1')) d
+LEFT JOIN hits h ON d.doc_id = h.doc_id"""
+
+
 def q_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM cross-entropy quality proxy over the documents table."""
     from sentometrics_spark.textops.textstats import lm_cross_entropy
@@ -2128,6 +2169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_status": q_dedup_incremental,
         "lm_cross_entropy": q_lm_cross_entropy,
         "dsir_importance": q_dsir_importance,
+        "decontaminate_benchmark": q_decontaminate,
         # golden cross-validation: reference corpus + reference lexicons,
         # oracle = the reference package's own frozen scores (test_data.rda)
         "golden_usnews_bigram_counts": _golden_usnews_query("counts", "y"),
@@ -2281,6 +2323,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental_status": _sql_dedup_incremental(),
         "lm_cross_entropy": _SQL_LM_CROSS_ENTROPY,
         "dsir_importance": _sql_dsir_importance(),
+        "decontaminate_benchmark": _sql_decontaminate(),
         # tier composability: the oracle aggregates documents directly at day
         "tier_day_from_hour": agg_docs_sql("proportional", "day"),
         **_panel_oracles(),

@@ -291,6 +291,53 @@ def minhash_dedup_candidates(
     return all_pairs.unionByName(star_pairs).distinct()
 
 
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C / Pile procedure,
+    public): flag every training document that shares ANY word ``n``-gram
+    with an evaluation benchmark, so eval examples can be excluded from
+    the training set. Returns one row per training doc:
+    (id, n_shared_ngrams, contaminated).
+
+    Scale shape: the benchmark's distinct n-gram hashes are a SMALL set
+    (benchmarks are thousands of examples, not billions) — broadcast;
+    training docs explode to distinct gram hashes and hash-join the
+    broadcast, one groupBy(doc) for the hit count, then a left join back
+    onto the doc spine for the zero rows. O(training tokens), no shuffle
+    keyed on anything benchmark-sized."""
+    toks = _tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: hash64(
+            F.concat_ws(" ", F.slice(toks, i + 1, n)), hash_fn=hash_fn
+        ),
+    )
+    bench_grams = (
+        benchmark.select(F.explode(F.array_distinct(grams)).alias("h")).distinct()
+    )
+    doc_grams = df.select(id_col, F.explode(F.array_distinct(grams)).alias("h"))
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "h")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared_ngrams"))
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shared_ngrams", F.lit(0)).alias("n_shared_ngrams"),
+            (F.coalesce("n_shared_ngrams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def duplicated_spans(
     df: DataFrame,
     id_col: str = "doc_id",

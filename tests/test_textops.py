@@ -552,3 +552,27 @@ def test_dsir_importance_ranks_target_like_docs(spark):
     ).toPandas().set_index("doc_id")["log_weight"]
     assert out[100] > out[101]
     assert out[0] > out[10]
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    """A training doc embedding a benchmark 8-gram is flagged with the
+    right hit count; clean docs report 0; the benchmark gram join is a
+    broadcast (no cartesian)."""
+    bench = spark.createDataFrame(
+        [(900, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # contains benchmark 8-grams (2 distinct windows of the run)
+            (1, "x alpha beta gamma delta epsilon zeta eta theta iota y"),
+            (2, "totally unrelated text about engines and parquet files"),
+            # full benchmark text pasted -> 3 shared 8-grams
+            (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.decontaminate(train, bench, n=8).toPandas().set_index("doc_id")
+    assert out.loc[1, "n_shared_ngrams"] == 2 and out.loc[1, "contaminated"]
+    assert out.loc[2, "n_shared_ngrams"] == 0 and not out.loc[2, "contaminated"]
+    assert out.loc[3, "n_shared_ngrams"] == 3 and out.loc[3, "contaminated"]

@@ -152,17 +152,59 @@ def minhash_signatures(
     multiply-adds. With a < MINHASH_P < 2^31 and h32 < 2^32 the product
     stays just under 2^63 (~2^63 - 2^33), so it fits signed 64-bit with no
     overflow — but only because MINHASH_P is a 31-bit prime; a larger
-    modulus would silently wrap. One explode + one groupBy with map-side
-    partial mins."""
-    sh = shingles(df, id_col, n).select(
-        id_col,
-        hash64("shingle", hash_fn=hash_fn).bitwiseAND(F.lit(0xFFFFFFFF)).alias("h32"),
+    modulus would silently wrap.
+
+    MAP-ONLY: one ``aggregate`` over each row's shingle-hash array carries
+    all k running minima (k-slot accumulator, same shape as the simhash
+    rewrite) — no shingle explode, no groupBy(doc) shuffle. At sf0.1x40
+    that shuffle was 40M rows; now the only shuffle in the LSH pipeline is
+    the bounded (band, signature) bucket groupBy.
+
+    PERF NOTE (measured, PLANS.md round 3): higher-order functions are
+    CodegenFallback — the expression is interpreted and NOT shared across
+    output columns, so anything that references the signature k times
+    (like this function's own k-column unnest) pays k evaluations.
+    Consumers that need derived values should compute them INSIDE the
+    aggregate's ``finish`` lambda (one evaluation per row), which is
+    exactly what minhash_lsh_buckets does via _minhash_agg_expr."""
+    sig, toks = _minhash_agg_expr(n, k, hash_fn)
+    out = df.filter(F.size(toks) > 0).select(id_col, sig.alias("__sig"))
+    return out.select(
+        id_col, *[F.get("__sig", i).alias(f"mh_{i}") for i in range(k)]
     )
-    mins = [
-        F.min((F.lit(a) * F.col("h32") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(minhash_perm_coeffs(k))
-    ]
-    return sh.groupBy(id_col).agg(*mins)
+
+
+def _minhash_agg_expr(n: int, k: int, hash_fn: str, finish=None):
+    """(signature Column over 'text', token-array Column). finish, when
+    given, maps the final k-min accumulator to the expression output in
+    ONE evaluation (see minhash_signatures PERF NOTE)."""
+    toks = _tokens()
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    h32 = F.transform(
+        sh, lambda s: hash64(s, hash_fn=hash_fn).bitwiseAND(F.lit(0xFFFFFFFF))
+    )
+    coeffs = minhash_perm_coeffs(k)
+    a_arr = F.array(*[F.lit(a).cast("long") for a, _ in coeffs])
+    b_arr = F.array(*[F.lit(b).cast("long") for _, b in coeffs])
+    kwargs = {} if finish is None else {"finish": finish}
+    sig = F.aggregate(
+        h32,
+        F.array_repeat(F.lit(MINHASH_P).cast("long"), k),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda m, i: F.least(
+                m, (F.get(a_arr, i) * h + F.get(b_arr, i)) % F.lit(MINHASH_P)
+            ),
+        ),
+        **kwargs,
+    )
+    return sig, toks
 
 
 def minhash_lsh_buckets(
@@ -180,22 +222,32 @@ def minhash_lsh_buckets(
     if k % bands:
         raise ValueError("k must be divisible by bands")
     rows = k // bands
-    sig = minhash_signatures(df, id_col, n, k, hash_fn=hash_fn)
 
-    def band_sig(b: int) -> Column:
-        cols = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
-        if hash_fn == "xxhash64":
-            return F.xxhash64(*cols)
-        # md5 variant: hash the '|'-joined signature row (same string DuckDB
-        # builds with string_agg(mh, '|' ORDER BY seed))
-        return hash64(F.concat_ws("|", *[c.cast("string") for c in cols]), hash_fn="md5")
+    # band hashes computed inside the aggregate's FINISH lambda: the heavy
+    # interpreted signature expression runs exactly once per row; only the
+    # tiny array<struct<band,sig>> leaves it (see minhash_signatures PERF
+    # NOTE — unnesting k columns first would pay k interpreted evaluations)
+    def band_array(acc: Column) -> Column:
+        items = []
+        for b in range(bands):
+            cols = [F.get(acc, b * rows + r) for r in range(rows)]
+            if hash_fn == "xxhash64":
+                s = F.call_function("xxhash64", *cols)
+            else:
+                # md5 variant: hash the '|'-joined signature row (same
+                # string DuckDB builds with string_agg(mh, '|'))
+                s = hash64(
+                    F.concat_ws("|", *[c.cast("string") for c in cols]),
+                    hash_fn="md5",
+                )
+            items.append(F.struct(F.lit(b).alias("band"), s.alias("sig")))
+        return F.array(*items)
 
-    band_cols = [
-        F.struct(F.lit(b).alias("band"), band_sig(b).alias("sig"))
-        for b in range(bands)
-    ]
-    exploded = sig.select(id_col, F.explode(F.array(*band_cols)).alias("bs")).select(
-        id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    bands_expr, toks = _minhash_agg_expr(n, k, hash_fn, finish=band_array)
+    exploded = (
+        df.filter(F.size(toks) > 0)
+        .select(id_col, F.explode(bands_expr).alias("bs"))
+        .select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     )
     return (
         exploded.groupBy("band", "sig")

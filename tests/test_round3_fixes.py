@@ -424,3 +424,21 @@ def test_new_curation_ops_plan_shapes(spark):
             re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plans[name], flags=re.M)
         )
         assert n_bnlj <= 1, (name, n_bnlj)
+
+
+def test_minhash_bucket_plan_single_exchange(spark):
+    """The LSH bucket pipeline is map-only up to ONE Exchange (the bounded
+    (band, signature) groupBy): signatures are computed per row inside the
+    aggregate expression — the old per-shingle explode + groupBy(doc)
+    shuffle (O(total shingles) rows) is gone."""
+    import re
+
+    from sentometrics_spark.textops import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"tokens for document number {i} body text") for i in range(30)],
+        "doc_id long, text string",
+    )
+    p = _plan_of(dedup.minhash_lsh_buckets(docs, k=8, bands=4))
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange\b", p, flags=re.M))
+    assert n_exchange == 1, p

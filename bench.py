@@ -89,8 +89,10 @@ def run_benchmarks(cpus: int, sf_dir: str, q1_only: bool = False) -> dict:
     from sentometrics_spark.scoring.algebraic import compute_sentiment_algebraic
     from sentometrics_spark.scoring.udf_engine import compute_sentiment_udf
     from sentometrics_spark import entry_queries as eq
+    from sentometrics_spark.textops.dedup import decontaminate as _decontaminate
     from sentometrics_spark.textops.dedup import minhash_lsh_buckets as _minhash_buckets
     from sentometrics_spark.textops.textstats import gopher_quality as _gopher
+    from sentometrics_spark.textops.textstats import lm_cross_entropy as _lm_ce
 
     spark = get_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -176,6 +178,16 @@ def run_benchmarks(cpus: int, sf_dir: str, q1_only: bool = False) -> dict:
                 _gopher(pages.select(F.col("url").alias("doc_id"), "text")))),
             ("q10_minhash_buckets", lambda: force(
                 _minhash_buckets(pages.select(F.col("url").alias("doc_id"), "text")))),
+            # q11/q12 (new in round 3): unigram-LM quality gate and
+            # benchmark decontamination at the same 200k-doc scale
+            ("q11_lm_cross_entropy", lambda: force(
+                _lm_ce(pages.select(F.col("url").alias("doc_id"), "text")))),
+            ("q12_decontaminate", lambda: force(
+                _decontaminate(
+                    pages.select(F.col("url").alias("doc_id"), "text"),
+                    pages.select(F.col("url").alias("doc_id"), "text")
+                    .filter(F.crc32("url") % 100 == 0),
+                ))),
         ]
 
     n_points = 0

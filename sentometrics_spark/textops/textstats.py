@@ -502,10 +502,16 @@ def dsir_importance(
     proportional to exp(log_weight) then matches the target's hashed
     n-gram profile.
 
-    Scale shape: explode n-grams -> ONE groupBy(bucket) building both
-    distributions at once (map-side partials, ≤ buckets rows) -> broadcast
-    the tiny log-ratio table -> per-doc sum. O(tokens) with a
-    buckets-bounded shuffle; nothing depends on corpus size."""
+    Scale shape, two corpus passes like the paper's fit-then-score:
+      1. FIT (eager, like tfidf_corpus_stats): explode grams ->
+         groupBy(bucket) with map-side partials — the shuffle is <=
+         ``buckets`` rows per partition — and collect the ``buckets``-entry
+         log-ratio table to the driver (it is 2 KB);
+      2. SCORE (map-only): the log-ratio table is inlined as a literal
+         array and each document folds its hashed grams over it in one
+         per-row aggregate — NO doc-keyed shuffle at all, and n_feats is
+         plain arithmetic on the token count.
+    Nothing scales with corpus size except the two linear passes."""
     from sentometrics_spark.textops.dedup import hash64
 
     toks = F.split(F.lower(F.col(text_col)), " ")
@@ -513,24 +519,44 @@ def dsir_importance(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
-    feat = df.select(
-        id_col, F.coalesce(is_target, F.lit(False)).alias("is_t"),
-        F.explode(grams).alias("g"),
-    ).withColumn("b", F.pmod(hash64(F.col("g"), hash_fn=hash_fn), F.lit(buckets)))
-    dist = feat.groupBy("b").agg(
-        F.count("*").alias("c_raw"),
-        F.sum(F.col("is_t").cast("long")).alias("c_t"),
+    bucket_of = lambda g: F.pmod(hash64(g, hash_fn=hash_fn), F.lit(buckets))
+
+    dist_rows = (
+        df.select(
+            F.coalesce(is_target, F.lit(False)).alias("is_t"),
+            F.explode(grams).alias("g"),
+        )
+        .select("is_t", bucket_of(F.col("g")).alias("b"))
+        .groupBy("b")
+        .agg(
+            F.count("*").alias("c_raw"),
+            F.sum(F.col("is_t").cast("long")).alias("c_t"),
+        )
+        .collect()
     )
-    tot = dist.agg(F.sum("c_raw").alias("n_raw"), F.sum("c_t").alias("n_t"))
-    ratio = dist.crossJoin(F.broadcast(tot)).select(
-        "b",
-        (
-            F.log((F.col("c_t") + 1.0) / (F.col("n_t") + F.lit(float(buckets))))
-            - F.log((F.col("c_raw") + 1.0) / (F.col("n_raw") + F.lit(float(buckets))))
-        ).alias("lr"),
+    import math
+
+    c_raw = [0] * buckets
+    c_t = [0] * buckets
+    for r in dist_rows:
+        c_raw[r["b"]] = r["c_raw"]
+        c_t[r["b"]] = r["c_t"]
+    n_raw, n_t = sum(c_raw), sum(c_t)
+    lr = [
+        math.log((c_t[b] + 1.0) / (n_t + float(buckets)))
+        - math.log((c_raw[b] + 1.0) / (n_raw + float(buckets)))
+        for b in range(buckets)
+    ]
+    lr_arr = F.array(*[F.lit(v) for v in lr])
+
+    log_weight = F.aggregate(
+        grams,
+        F.lit(0.0),
+        lambda acc, g: acc + F.get(lr_arr, bucket_of(g)),
     )
-    return (
-        feat.join(F.broadcast(ratio), "b")
-        .groupBy(id_col)
-        .agg(F.sum("lr").alias("log_weight"), F.count("*").alias("n_feats"))
+    n_feats = F.greatest(F.size(toks) - n, F.lit(0)) + 1
+    return df.select(
+        id_col,
+        log_weight.alias("log_weight"),
+        n_feats.cast("long").alias("n_feats"),
     )

@@ -415,15 +415,21 @@ def test_new_curation_ops_plan_shapes(spark):
     }
     for name, p in plans.items():
         assert "CartesianProduct" not in p, name
-    assert "BroadcastHashJoin" in plans["dsir_importance"]
-    # the only BNLJ allowed is the single-row totals broadcast
+    # DSIR scores map-only: the fit pass ran eagerly at construction, the
+    # returned plan folds each row's grams over the inlined log-ratio
+    # literal — zero Exchanges, zero joins
     import re
 
-    for name in ("lm_cross_entropy", "dsir_importance"):
-        n_bnlj = len(
-            re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plans[name], flags=re.M)
+    assert not re.findall(
+        r"^\(\d+\) Exchange\b", plans["dsir_importance"], flags=re.M
+    ), plans["dsir_importance"]
+    assert "Join" not in plans["dsir_importance"]
+    n_bnlj = len(
+        re.findall(
+            r"^\(\d+\) BroadcastNestedLoopJoin", plans["lm_cross_entropy"], flags=re.M
         )
-        assert n_bnlj <= 1, (name, n_bnlj)
+    )
+    assert n_bnlj <= 1  # the single-row totals broadcast
 
 
 def test_minhash_bucket_plan_single_exchange(spark):

@@ -17,6 +17,7 @@ crossJoin:
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -207,6 +208,110 @@ def _minhash_agg_expr(n: int, k: int, hash_fn: str, finish=None):
     return sig, toks
 
 
+def _minhash_banded_arrow(
+    df: DataFrame, id_col: str, n: int, k: int, bands: int
+) -> DataFrame:
+    """Arrow/numpy banding kernel (production fast path): one mapInPandas
+    pass emits (id, band, sig) rows. Tokens are dictionary-encoded C-side
+    so only the UNIQUE vocabulary is hashed (pandas siphash); shingle
+    hashes are a vectorized uint64 mix of the n consecutive token hashes;
+    the k affine permutations and per-doc minima are numpy
+    (minimum.reduceat over doc offsets). Statistically identical MinHash
+    to the expression path — exact duplicates collide on every band, and
+    near-dup collision probabilities are the standard banding curve — but
+    hash VALUES differ (mix64 of token hashes, not xxhash64 of shingle
+    strings), so the DuckDB-reproducible md5 variant keeps the expression
+    path."""
+    import pandas as pd
+
+    rows = k // bands
+    coeffs = minhash_perm_coeffs(k)
+    a_np = np.array([c[0] for c in coeffs], dtype=np.uint64)
+    b_np = np.array([c[1] for c in coeffs], dtype=np.uint64)
+    p_u64 = np.uint64(MINHASH_P)
+    id_type = dict(zip(df.columns, (f.dataType.simpleString() for f in df.schema)))[
+        id_col
+    ]
+    out_schema = f"{id_col} {id_type}, band int, sig long"
+    C1 = np.uint64(0x9E3779B97F4A7C15)
+    C2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+    def gen(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            arr = pa.Array.from_pandas(pdf["text"].astype(str))
+            toks = pc.split_pattern(pc.utf8_lower(arr), " ")
+            flat = pc.list_flatten(toks)
+            lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+            lens = np.asarray(lens, dtype=np.int64)
+            dic = flat.dictionary_encode()
+            idx = np.asarray(dic.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
+            vocab = np.asarray(dic.dictionary.to_pylist(), dtype=object)
+            th = pd.util.hash_array(vocab).astype(np.uint64)[idx]
+
+            with np.errstate(over="ignore"):
+                # shingle mix over n consecutive token hashes (uint64 wrap)
+                n_sh = np.maximum(lens - (n - 1), 1)
+                offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                sh_offs = np.concatenate(([0], np.cumsum(n_sh)[:-1]))
+                total = int(n_sh.sum())
+                sh = np.zeros(total, dtype=np.uint64)
+                # positions of each shingle start in the flat token array
+                starts = (
+                    np.arange(total, dtype=np.int64)
+                    - sh_offs.repeat(n_sh)
+                    + offs.repeat(n_sh)
+                )
+                doc_len = lens.repeat(n_sh)
+                acc = np.zeros(total, dtype=np.uint64)
+                doc_end = offs.repeat(n_sh) + np.maximum(doc_len - 1, 0)
+                for j in range(n):
+                    # a short doc's single shingle chains over its EXISTING
+                    # tokens only — positions past the doc are masked out,
+                    # never re-mixed, so a shingle hash depends on shingle
+                    # content alone (required for cross-doc MinHash)
+                    pos = starts + j
+                    valid = pos <= doc_end
+                    safe = np.minimum(pos, doc_end)
+                    mixed = (acc * C1) ^ (th[safe] + C2)
+                    acc = np.where(valid, mixed, acc)
+                sh = acc
+                h32 = sh & np.uint64(0xFFFFFFFF)
+
+                # k affine permutations, per-doc minima
+                mins = np.empty((len(ids), k), dtype=np.uint64)
+                red = sh_offs
+                for j in range(k):
+                    perm = (a_np[j] * h32 + b_np[j]) % p_u64
+                    mins[:, j] = np.minimum.reduceat(perm, red)
+                # empty-text docs (lens==0 after split never happens: split
+                # of "" is [""]), so every doc has >= 1 shingle
+
+                # band signatures: mix the band's mins
+                out_ids = np.repeat(ids, bands)
+                out_band = np.tile(np.arange(bands, dtype=np.int32), len(ids))
+                bsig = np.zeros((len(ids), bands), dtype=np.uint64)
+                for b in range(bands):
+                    acc2 = np.zeros(len(ids), dtype=np.uint64)
+                    for r in range(rows):
+                        acc2 = (acc2 * C1) ^ (mins[:, b * rows + r] + C2)
+                    bsig[:, b] = acc2
+            yield pd.DataFrame(
+                {
+                    id_col: out_ids,
+                    "band": out_band,
+                    "sig": bsig.reshape(-1).astype(np.int64),
+                }
+            )
+
+    return df.select(id_col, "text").mapInPandas(gen, out_schema)
+
+
 def minhash_lsh_buckets(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -218,37 +323,47 @@ def minhash_lsh_buckets(
     """LSH banding: split the k-minhash signature into ``bands`` bands of
     k/bands rows; docs sharing any (band, band-signature) land in one
     bucket. Returns buckets with >= 2 members (near-dup candidates).
-    Shuffle key is (band, signature) — bounded and well-distributed."""
+    Shuffle key is (band, signature) — bounded and well-distributed.
+
+    Two banding kernels, same bucket statistics:
+      - hash_fn="xxhash64" (production): Arrow/numpy mapInPandas kernel —
+        the whole signature math runs vectorized C-side (~4x the
+        interpreted Catalyst expression);
+      - hash_fn="md5": pure-expression path whose every value DuckDB
+        reproduces bit-exactly (the driver-oracle variant)."""
     if k % bands:
         raise ValueError("k must be divisible by bands")
     rows = k // bands
 
-    # band hashes computed inside the aggregate's FINISH lambda: the heavy
-    # interpreted signature expression runs exactly once per row; only the
-    # tiny array<struct<band,sig>> leaves it (see minhash_signatures PERF
-    # NOTE — unnesting k columns first would pay k interpreted evaluations)
-    def band_array(acc: Column) -> Column:
-        items = []
-        for b in range(bands):
-            cols = [F.get(acc, b * rows + r) for r in range(rows)]
-            if hash_fn == "xxhash64":
-                s = F.call_function("xxhash64", *cols)
-            else:
+    if hash_fn == "xxhash64":
+        exploded = _minhash_banded_arrow(df, id_col, n, k, bands)
+    else:
+        # band hashes computed inside the aggregate's FINISH lambda: the
+        # heavy interpreted signature expression runs exactly once per
+        # row; only the tiny array<struct<band,sig>> leaves it (see
+        # minhash_signatures PERF NOTE — unnesting k columns first would
+        # pay k interpreted evaluations)
+        def band_array(acc: Column) -> Column:
+            items = []
+            for b in range(bands):
+                cols = [F.get(acc, b * rows + r) for r in range(rows)]
                 # md5 variant: hash the '|'-joined signature row (same
                 # string DuckDB builds with string_agg(mh, '|'))
                 s = hash64(
                     F.concat_ws("|", *[c.cast("string") for c in cols]),
                     hash_fn="md5",
                 )
-            items.append(F.struct(F.lit(b).alias("band"), s.alias("sig")))
-        return F.array(*items)
+                items.append(F.struct(F.lit(b).alias("band"), s.alias("sig")))
+            return F.array(*items)
 
-    bands_expr, toks = _minhash_agg_expr(n, k, hash_fn, finish=band_array)
-    exploded = (
-        df.filter(F.size(toks) > 0)
-        .select(id_col, F.explode(bands_expr).alias("bs"))
-        .select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-    )
+        bands_expr, toks = _minhash_agg_expr(n, k, hash_fn, finish=band_array)
+        exploded = (
+            df.filter(F.size(toks) > 0)
+            .select(id_col, F.explode(bands_expr).alias("bs"))
+            .select(
+                id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+            )
+        )
     return (
         exploded.groupBy("band", "sig")
         .agg(

@@ -576,3 +576,30 @@ def test_decontaminate_flags_benchmark_overlap(spark):
     assert out.loc[1, "n_shared_ngrams"] == 2 and out.loc[1, "contaminated"]
     assert out.loc[2, "n_shared_ngrams"] == 0 and not out.loc[2, "contaminated"]
     assert out.loc[3, "n_shared_ngrams"] == 3 and out.loc[3, "contaminated"]
+
+
+def test_minhash_arrow_and_expression_kernels_agree(docs_with_dups):
+    """The Arrow/numpy banding kernel (production) and the md5 expression
+    path (oracle variant) use different hash families but must induce the
+    SAME bucket membership for exact duplicates, and both must surface the
+    planted near-dups among their candidate pairs."""
+    arrow_pairs = {
+        (p["id_a"], p["id_b"])
+        for p in dedup.minhash_dedup_candidates(
+            docs_with_dups, k=32, bands=8, hash_fn="xxhash64"
+        ).collect()
+    }
+    md5_pairs = {
+        (p["id_a"], p["id_b"])
+        for p in dedup.minhash_dedup_candidates(
+            docs_with_dups, k=32, bands=8, hash_fn="md5"
+        ).collect()
+    }
+    # exact dups (identical text) are guaranteed candidates on BOTH kernels
+    for i in range(5):
+        assert (i, 10_000 + i) in arrow_pairs
+        assert (i, 10_000 + i) in md5_pairs
+    # near dups (one token changed) surface on both
+    arrow_near = {p for p in arrow_pairs if p[0] < 5 and p[1] >= 20_000}
+    md5_near = {p for p in md5_pairs if p[0] < 5 and p[1] >= 20_000}
+    assert len(arrow_near) >= 4 and len(md5_near) >= 4

@@ -2170,12 +2170,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_cross_entropy": q_lm_cross_entropy,
         "dsir_importance": q_dsir_importance,
         "decontaminate_benchmark": q_decontaminate,
-        # golden cross-validation: reference corpus + reference lexicons,
-        # oracle = the reference package's own frozen scores (test_data.rda)
-        "golden_usnews_bigram_counts": _golden_usnews_query("counts", "y"),
-        "golden_usnews_proportional": _golden_usnews_query("proportional", "y"),
-        "golden_usnews_cluster_counts": _golden_usnews_query("counts", "t"),
     }
+    # golden cross-validation: reference corpus + reference lexicons,
+    # oracle = the reference package's own frozen scores (test_data.rda).
+    # Registered only when the reference's .rda data is present so the
+    # contract stays runnable in environments without it.
+    from sentometrics_spark import golden as _g
+
+    if _g.reference_data_available():
+        q["golden_usnews_bigram_counts"] = _golden_usnews_query("counts", "y")
+        q["golden_usnews_proportional"] = _golden_usnews_query("proportional", "y")
+        q["golden_usnews_cluster_counts"] = _golden_usnews_query("counts", "t")
     return q
 
 
@@ -2316,10 +2321,19 @@ SELECT url, floor(m * 1000000 + 0.5 + 1e-9) / 1000000.0 AS m FROM top"""
 
 
 def oracle_sql() -> dict[str, str]:
+    from sentometrics_spark import golden as _g
+
+    golden_oracles = (
+        {
+            "golden_usnews_bigram_counts": _sql_golden_usnews("s1"),
+            "golden_usnews_proportional": _sql_golden_usnews("s3"),
+            "golden_usnews_cluster_counts": _sql_golden_usnews("s10"),
+        }
+        if _g.reference_data_available()
+        else {}
+    )
     return {
-        "golden_usnews_bigram_counts": _sql_golden_usnews("s1"),
-        "golden_usnews_proportional": _sql_golden_usnews("s3"),
-        "golden_usnews_cluster_counts": _sql_golden_usnews("s10"),
+        **golden_oracles,
         "dedup_incremental_status": _sql_dedup_incremental(),
         "lm_cross_entropy": _SQL_LM_CROSS_ENTROPY,
         "dsir_importance": _sql_dsir_importance(),

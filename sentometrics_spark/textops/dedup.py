@@ -241,6 +241,9 @@ def _minhash_banded_arrow(
         import pyarrow.compute as pc
 
         for pdf in batches:
+            # null-text docs carry no signature (parity with the
+            # expression path, which filters them out)
+            pdf = pdf[pdf["text"].notna()]
             if not len(pdf):
                 continue
             ids = pdf[id_col].to_numpy()

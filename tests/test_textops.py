@@ -603,3 +603,19 @@ def test_minhash_arrow_and_expression_kernels_agree(docs_with_dups):
     arrow_near = {p for p in arrow_pairs if p[0] < 5 and p[1] >= 20_000}
     md5_near = {p for p in md5_pairs if p[0] < 5 and p[1] >= 20_000}
     assert len(arrow_near) >= 4 and len(md5_near) >= 4
+
+
+def test_minhash_arrow_kernel_null_text_dropped(spark):
+    """Null-text rows produce no bands in the Arrow kernel (parity with
+    the expression path); identical texts still share every band."""
+    docs = spark.createDataFrame(
+        [(1, "same text body here"), (2, "same text body here"), (3, None)],
+        "doc_id long, text string",
+    )
+    from sentometrics_spark.textops.dedup import _minhash_banded_arrow
+
+    out = _minhash_banded_arrow(docs, "doc_id", 3, 32, 8).toPandas()
+    assert set(out["doc_id"]) == {1, 2}
+    a = out[out.doc_id == 1].sort_values("band")["sig"].to_numpy()
+    b = out[out.doc_id == 2].sort_values("band")["sig"].to_numpy()
+    assert (a == b).all() and len(a) == 8

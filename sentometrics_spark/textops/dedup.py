@@ -566,6 +566,52 @@ def duplicated_spans(
     )
 
 
+def _simhash_arrow(df: DataFrame, id_col: str, bits: int) -> DataFrame:
+    """Arrow/numpy SimHash kernel (production fast path, same doctrine as
+    _minhash_banded_arrow): tokens dictionary-encoded C-side, only the
+    unique vocabulary hashed, per-doc bit votes via add.reduceat over doc
+    offsets. Hash family differs from the expression path (statistically
+    equivalent signatures; exact duplicates still collide at hamming 0)."""
+    import pandas as pd
+
+    id_type = dict(zip(df.columns, (f.dataType.simpleString() for f in df.schema)))[
+        id_col
+    ]
+    out_schema = f"{id_col} {id_type}, simhash long"
+
+    def gen(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for pdf in batches:
+            pdf = pdf[pdf["text"].notna()]
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            arr = pa.Array.from_pandas(pdf["text"].astype(str))
+            toks = pc.split_pattern(pc.utf8_lower(arr), " ")
+            flat = pc.list_flatten(toks)
+            lens = np.asarray(
+                pc.list_value_length(toks).to_numpy(zero_copy_only=False),
+                dtype=np.int64,
+            )
+            dic = flat.dictionary_encode()
+            idx = np.asarray(dic.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
+            vocab = np.asarray(dic.dictionary.to_pylist(), dtype=object)
+            th = pd.util.hash_array(vocab).astype(np.uint64)[idx]
+            offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            sig = np.zeros(len(ids), dtype=np.uint64)
+            for b in range(bits):
+                contrib = (
+                    ((th >> np.uint64(b)) & np.uint64(1)).astype(np.int64) * 2 - 1
+                )
+                votes = np.add.reduceat(contrib, offs)
+                sig |= (votes > 0).astype(np.uint64) << np.uint64(b)
+            yield pd.DataFrame({id_col: ids, "simhash": sig.astype(np.int64)})
+
+    return df.select(id_col, "text").mapInPandas(gen, out_schema)
+
+
 def simhash(
     df: DataFrame, id_col: str = "doc_id", bits: int = 64,
     hash_fn: str = "xxhash64",
@@ -578,7 +624,14 @@ def simhash(
     one bigint. NO explode, NO shuffle: the previous formulation blew each
     (doc, distinct token) into 64 bit-rows and paid two hash shuffles for
     what is a per-document reduction. 64 bits with xxhash64; pass bits=60
-    with hash_fn="md5" (the md5-derived hash carries 60 usable bits)."""
+    with hash_fn="md5" (the md5-derived hash carries 60 usable bits).
+
+    hash_fn="xxhash64" (production) dispatches to the Arrow/numpy kernel
+    (_simhash_arrow — vectorized C-side, different hash family, same
+    collision statistics); "md5" keeps this expression path, every value
+    of which DuckDB reproduces bit-exactly for the driver oracle."""
+    if hash_fn == "xxhash64":
+        return _simhash_arrow(df, id_col, bits)
     toks = _tokens()
     hashes = F.transform(toks, lambda t: hash64(t, hash_fn=hash_fn))
     votes = F.aggregate(

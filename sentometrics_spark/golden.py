@@ -135,3 +135,15 @@ def usnews_pages(n: int = 250, lang: str = "en") -> pd.DataFrame:
             "feat_noneconomy": us["noneconomy"].to_numpy(),
         }
     )
+
+
+def read_rda_epu() -> pd.DataFrame:
+    """The shipped monthly EPU index (data/epu.rda): date (days since
+    1970-01-01), index (double), above / aboveMulti (factors) — plus a
+    'month' Period column for joining against monthly measures."""
+    epu = read_rda(_p("data", "epu.rda"))["epu"].copy()
+    epu["date"] = pd.to_datetime("1970-01-01") + pd.to_timedelta(
+        epu["date"].astype(int), unit="D"
+    )
+    epu["month"] = epu["date"].dt.to_period("M")
+    return epu

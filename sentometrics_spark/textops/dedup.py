@@ -665,11 +665,25 @@ def simhash(
 
 def simhash_near_pairs(
     df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, bands: int = 4,
-    bits: int = 64, hash_fn: str = "xxhash64",
+    bits: int = 64, hash_fn: str = "xxhash64", max_bucket_size: int = 256,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the hash into ``bands`` chunks
-    (pigeonhole: hamming <= bands-1 guarantees a shared band), bucket-join,
-    then exact popcount filter."""
+    (pigeonhole: hamming <= bands-1 guarantees a shared band), bucket the
+    banded table by (band, chunk), expand within-bucket pairs, then exact
+    popcount filter.
+
+    Degenerate buckets are capped, mirroring ``minhash_dedup_candidates``:
+    a mass-duplicated boilerplate page can put m ~ 10^5 docs into one
+    (band, chunk) bucket, and an uncapped expansion materializes O(m^2)
+    rows and dominates the job. Buckets up to ``max_bucket_size`` emit all
+    within-bucket pairs (exact); bigger buckets emit only
+    (keep_id=min(id), member) star pairs — O(m) rows — which still link
+    every near-identical member into the keeper's connected component for
+    downstream keep-one resolution (docs in a degenerate bucket share a
+    band chunk because they are near-identical, so the popcount filter
+    passes the star edges it would have passed transitively). The plan is
+    one bounded-key groupBy Exchange plus the final distinct — no
+    self-join, no cartesian."""
     sh = simhash(df, id_col, bits=bits, hash_fn=hash_fn)
     width = bits // bands
     mask = (1 << width) - 1
@@ -683,19 +697,55 @@ def simhash_near_pairs(
     banded = sh.select(id_col, "simhash", F.explode(F.array(*band_structs)).alias("bs")).select(
         id_col, "simhash", F.col("bs.band").alias("band"), F.col("bs.chunk").alias("chunk")
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.chunk") == F.col("b.chunk")))
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("h_a"),
-            F.col("b.simhash").alias("h_b"),
+    buckets = (
+        banded.groupBy("band", "chunk")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("h")))
+            ).alias("members"),
+            F.count(F.lit(1)).alias("bucket_size"),
         )
-        .distinct()
+        .filter(F.col("bucket_size") > 1)
     )
+    small = buckets.filter(F.col("bucket_size") <= max_bucket_size)
+    big = buckets.filter(F.col("bucket_size") > max_bucket_size)
+    all_pairs = small.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        "members",
+                        lambda x: F.transform(
+                            "members",
+                            lambda y: F.struct(
+                                x["id"].alias("id_a"),
+                                y["id"].alias("id_b"),
+                                x["h"].alias("h_a"),
+                                y["h"].alias("h_b"),
+                            ),
+                        ),
+                    )
+                ),
+                lambda p: p["id_a"] < p["id_b"],
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b", "p.h_a", "p.h_b")
+    # members is sorted by id, so element_at(1) is the keeper (min id) and
+    # every star pair is already ordered id_a < id_b
+    star_pairs = (
+        big.select(
+            F.element_at("members", 1).alias("keep"),
+            F.explode("members").alias("m"),
+        )
+        .filter(F.col("keep.id") != F.col("m.id"))
+        .select(
+            F.col("keep.id").alias("id_a"),
+            F.col("m.id").alias("id_b"),
+            F.col("keep.h").alias("h_a"),
+            F.col("m.h").alias("h_b"),
+        )
+    )
+    cand = all_pairs.unionByName(star_pairs).distinct()
     return cand.withColumn(
         "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     ).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")

@@ -1947,11 +1947,15 @@ LEFT JOIN hits h ON d.doc_id = h.doc_id"""
 
 
 def q_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unigram-LM cross-entropy quality proxy over the documents table."""
+    """Hashed unigram-LM cross-entropy quality proxy over the documents
+    table. md5 bucket hashing (4096 buckets) so DuckDB replays the bucket
+    assignment and per-bucket add-one probabilities bit-exactly; the
+    production default is xxhash64/65536 with the identical map-only
+    score plan."""
     from sentometrics_spark.textops.textstats import lm_cross_entropy
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = lm_cross_entropy(docs)
+    out = lm_cross_entropy(docs, buckets=4096, hash_fn="md5")
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         _r6("cross_entropy_bits").alias("cross_entropy_bits"),
@@ -1959,18 +1963,19 @@ def q_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_LM_CROSS_ENTROPY = """WITH tok AS (
+_SQL_LM_CROSS_ENTROPY = f"""WITH tok AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
   FROM documents
 ),
 tok2 AS (SELECT * FROM tok WHERE token <> ''),
-counts AS (SELECT token, CAST(count(*) AS DOUBLE) AS c FROM tok2 GROUP BY 1),
-tot AS (SELECT SUM(c) AS n_corpus, CAST(count(*) AS DOUBLE) AS vocab FROM counts)
+tb AS (SELECT doc_id, ({_hx("token")}) % 4096 AS b FROM tok2),
+counts AS (SELECT b, CAST(count(*) AS DOUBLE) AS c FROM tb GROUP BY 1),
+tot AS (SELECT SUM(c) AS n_corpus FROM counts)
 SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
-       floor((-AVG(log2((c.c + 1.0) / (tot.n_corpus + tot.vocab)))) * 1000000 + 0.5 + 1e-9) / 1000000.0
+       floor((-AVG(log2((c.c + 1.0) / (tot.n_corpus + 4096.0)))) * 1000000 + 0.5 + 1e-9) / 1000000.0
          AS cross_entropy_bits,
        CAST(count(*) AS BIGINT) AS n_tokens
-FROM tok2 t JOIN counts c ON t.token = c.token CROSS JOIN tot
+FROM tb t JOIN counts c USING (b) CROSS JOIN tot
 GROUP BY t.doc_id"""
 
 

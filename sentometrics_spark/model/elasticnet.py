@@ -202,8 +202,14 @@ def multinomial_enet_cd(
     xs[xs == 0] = 1.0
     Xs = (X - xm) / xs
     if warm is not None:
-        B = warm[0].copy()
-        b0 = warm[1].copy()
+        # warm carries this function's RETURN values, which are descaled to
+        # the original X scale (coefs = B/xs, b0_out = b0 - coefs.T @ xm).
+        # The solver iterates in standardized space (eta = Xs @ B + b0), so
+        # invert the output transform; passing the returned values through
+        # unscaled would warm-start from the wrong point (ADVICE r3).
+        coefs_w = warm[0]
+        B = coefs_w * xs[:, None]
+        b0 = warm[1] + coefs_w.T @ xm
     else:
         B = np.zeros((p, K))
         pri = np.clip(Y.mean(0), 1e-4, 1.0)

@@ -328,14 +328,49 @@ def stream_sessionize(
 def compact_partials(spark: SparkSession, partials_path: str) -> None:
     """Compaction: rewrite the partials table as one row per bucket (keeps
     the append-only table bounded; on Iceberg this is a rewrite-data-files
-    action)."""
+    action).
+
+    The HIGHEST batch_id partition is left untouched (ADVICE r3): replay
+    idempotence in stream_to_hour_tier relies on a replayed batch
+    dynamically overwriting its OWN batch_id partition. If the newest
+    batch's checkpoint commit is still pending when compaction runs and
+    its rows were folded into the batch_id=-1 partition, a post-restart
+    replay would re-write partition batch_id=N beside the folded copy and
+    double-count that batch. Every batch below the maximum is either
+    committed or will be replayed into its still-existing partition, so
+    folding those is safe only once the max batch shields the frontier —
+    hence: compact strictly-older partitions, carry the newest through
+    verbatim."""
     import os
     import shutil
 
-    compacted = finalize_hour_tier(spark, partials_path).withColumn(
-        "batch_id", F.lit(-1)
-    ).select(
-        "bucket_ts", *MEASURE_KEYS, "value", "wsum", "wden", "n_docs_in", "n_docs", "batch_id"
+    p = spark.read.parquet(partials_path)
+    max_batch = p.agg(F.max("batch_id")).collect()[0][0]
+    if max_batch is None:
+        return
+    old = p.filter(F.col("batch_id") != max_batch)
+    newest = p.filter(F.col("batch_id") == max_batch)
+    compacted = (
+        old.groupBy("bucket_ts", *MEASURE_KEYS)
+        .agg(
+            F.sum("wsum").alias("wsum"),
+            F.sum("wden").alias("wden"),
+            F.sum("n_docs_in").alias("n_docs_in"),
+            F.sum("n_docs").alias("n_docs"),
+        )
+        .withColumn(
+            "value", F.coalesce(F.try_divide(F.col("wsum"), F.col("wden")), F.lit(0.0))
+        )
+        .withColumn("batch_id", F.lit(-1))
+        .select(
+            "bucket_ts", *MEASURE_KEYS, "value", "wsum", "wden", "n_docs_in", "n_docs", "batch_id"
+        )
+        .unionByName(
+            newest.select(
+                "bucket_ts", *MEASURE_KEYS, "value", "wsum", "wden",
+                "n_docs_in", "n_docs", "batch_id",
+            )
+        )
     )
     tmp = partials_path.rstrip("/") + "__compact"
     # keep the batch_id=... partition layout the streaming writer uses, so

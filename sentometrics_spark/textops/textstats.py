@@ -436,44 +436,99 @@ def domain_stats(df: DataFrame, url_col: str = "url", text_col: str = "text") ->
     )
 
 
+def fit_unigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    buckets: int = 65536,
+    hash_fn: str = "xxhash64",
+) -> list:
+    """FIT pass of the hashed unigram LM: per-bucket log2-probabilities
+    with add-one smoothing over the bucket space,
+
+        log2 p(b) = log2( (c_b + 1) / (N + buckets) ).
+
+    One explode -> groupBy(bucket) with map-side partials; the shuffle is
+    bounded at ``buckets`` rows per partition and the collected table is
+    ``buckets`` doubles (512 KB at the 65536 default). Pin the returned
+    table per corpus snapshot (pass it back as ``lm=``) exactly like the
+    TFIDF df maps (udf_engine.tfidf_corpus_stats) so incremental batches
+    score against a frozen LM."""
+    import math
+
+    from sentometrics_spark.textops.dedup import hash64
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda t: t != ""
+    )
+    rows = (
+        df.select(F.explode(toks).alias("token"))
+        .select(F.pmod(hash64(F.col("token"), hash_fn=hash_fn), F.lit(buckets)).alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    c = [0] * buckets
+    for r in rows:
+        c[r["b"]] = r["c"]
+    n = sum(c)
+    return [math.log2((c[b] + 1.0) / (n + float(buckets))) for b in range(buckets)]
+
+
 def lm_cross_entropy(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 65536,
+    hash_fn: str = "xxhash64",
+    lm: list | None = None,
 ) -> DataFrame:
-    """Unigram-LM quality proxy (perplexity stand-in without an external
-    LM): cross-entropy in bits/token of each document under the corpus's
-    own unigram distribution with add-one smoothing —
+    """Hashed unigram-LM quality proxy (perplexity stand-in without an
+    external LM): cross-entropy in bits/token of each document under the
+    corpus's own hashed-unigram distribution with add-one smoothing —
 
-        p(t) = (c_t + 1) / (N + V),  H(doc) = -(1/n_d) Σ_i log2 p(tok_i)
+        p(b) = (c_b + 1) / (N + buckets),
+        H(doc) = -(1/n_d) Σ_i log2 p(bucket(tok_i))
 
-    Low H = the document looks like the corpus (common tokens); high H =
+    Tokens are hashed into ``buckets`` (the standard hashing trick; at the
+    65536 default, head-token collisions are negligible and the gate ranks
+    documents identically to the exact-vocabulary LM). Low H = the
+    document looks like the corpus (common tokens); high H =
     rare-token-heavy (gibberish, boilerplate IDs, other languages). Used
     as a curation gate the same way a KenLM perplexity filter is.
 
-    Scale shape: one explode -> groupBy(token) for the LM (map-side
-    partials, vocabulary-bounded), a broadcast of the two scalar totals,
-    one join tokens⋈probs (shuffle on token, AQE-broadcast when the vocab
-    is small), one groupBy(doc). Nothing is quadratic; the LM can be
-    pinned per corpus snapshot exactly like the TFIDF df maps."""
-    tok = df.select(
-        id_col, F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token")
-    ).filter(F.col("token") != "")
-    counts = tok.groupBy("token").agg(F.count("*").alias("c"))
-    tot = counts.agg(
-        F.sum("c").alias("n_tokens_corpus"), F.count("*").alias("vocab")
-    )
-    probs = counts.crossJoin(F.broadcast(tot)).select(
-        "token",
-        (
-            (F.col("c") + 1.0)
-            / (F.col("n_tokens_corpus") + F.col("vocab"))
-        ).alias("p"),
+    Scale shape — the DSIR fit-then-score shape (dsir_importance), NOT a
+    token-keyed join: the round-3 formulation joined every token
+    occurrence on the raw token key, a zipfian-skewed shuffle ("the" is
+    ~5% of all rows) that AQE papers over locally but which dominates at
+    10^12 tokens. Here:
+      1. FIT (eager, skippable via ``lm=``): bounded groupBy(bucket),
+         collected to a ``buckets``-entry log-prob table;
+      2. SCORE (map-only): the table is attached as ONE array literal and
+         each document folds its token buckets over it in a per-row
+         aggregate — no explode, no doc- or token-keyed shuffle at all.
+    """
+    from sentometrics_spark.textops.dedup import hash64
+
+    if lm is None:
+        lm = fit_unigram_lm(df, text_col=text_col, buckets=buckets, hash_fn=hash_fn)
+    elif len(lm) != buckets:
+        raise ValueError(f"lm has {len(lm)} entries, expected buckets={buckets}")
+    lp = F.lit(lm)  # single ArrayType literal, not 65536 expression nodes
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+    n_tok = F.size(toks)
+    ssum = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc
+        + F.get(lp, F.pmod(hash64(t, hash_fn=hash_fn), F.lit(buckets))),
     )
     return (
-        tok.join(probs, "token")
-        .groupBy(id_col)
-        .agg(
-            (-F.avg(F.log2("p"))).alias("cross_entropy_bits"),
-            F.count("*").alias("n_tokens"),
+        df.select(id_col, ssum.alias("_s"), n_tok.alias("_n"))
+        .filter(F.col("_n") > 0)
+        .select(
+            id_col,
+            (-F.col("_s") / F.col("_n")).alias("cross_entropy_bits"),
+            F.col("_n").cast("long").alias("n_tokens"),
         )
     )
 

@@ -68,6 +68,90 @@ def test_simhash_small_buckets_unchanged_by_cap(spark, tmp_path):
     assert key(capped) == key(uncapped)
 
 
+# ----------------------------------------------- compaction vs pending replay
+
+
+def test_compact_partials_spares_pending_newest_batch(spark, tmp_path):
+    """compact_partials must NOT fold the highest batch_id into the -1
+    partition: if that batch's checkpoint commit was still pending, a
+    post-restart replay re-writes its own partition and the folded copy
+    would double-count it (ADVICE r3). Simulate exactly that sequence and
+    assert the finalized tier is unchanged."""
+    import pandas as pd
+
+    from sentometrics_spark import streaming
+
+    path = str(tmp_path / "partials")
+    cols = "bucket_ts timestamp, lexicon string, feature string, value double, wsum double, wden double, n_docs_in long, n_docs long, batch_id long"
+    ts = pd.Timestamp("2024-01-01 10:00:00")
+
+    def rows(batch_id, wsum):
+        return [(ts, "LX", "f1", wsum / 2.0, wsum, 2.0, 2, 2, batch_id)]
+
+    df = spark.createDataFrame(rows(0, 4.0) + rows(1, 6.0) + rows(2, 10.0), cols)
+    df.write.partitionBy("batch_id").mode("overwrite").parquet(path)
+
+    before = streaming.finalize_hour_tier(spark, path).collect()[0]
+    assert before["wsum"] == 20.0
+
+    # compaction runs while batch 2's checkpoint commit is pending
+    streaming.compact_partials(spark, path)
+    batches = {r["batch_id"] for r in spark.read.parquet(path).collect()}
+    assert batches == {-1, 2}  # 0 and 1 folded, the frontier batch intact
+
+    # restart: batch 2 replays, dynamically overwriting its OWN partition
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    spark.createDataFrame(rows(2, 10.0), cols).write.partitionBy(
+        "batch_id"
+    ).mode("overwrite").parquet(path)
+
+    after = streaming.finalize_hour_tier(spark, path).collect()[0]
+    assert after["wsum"] == 20.0  # no double count
+    assert after["value"] == before["value"]
+
+    # a second compaction over the now-quiesced table folds everything left
+    streaming.compact_partials(spark, path)
+    final = streaming.finalize_hour_tier(spark, path).collect()[0]
+    assert final["wsum"] == 20.0
+
+
+# ---------------------------------------------------------- map-only LM score
+
+
+def test_lm_cross_entropy_score_plan_map_only(spark):
+    """With a pinned LM the score plan must carry ZERO Exchanges and no
+    join — the round-3 formulation shuffled every token occurrence on the
+    zipfian raw-token key."""
+    from sentometrics_spark.textops import textstats
+
+    docs = spark.createDataFrame(
+        [(i, f"some text tokens {i % 7} about engines") for i in range(40)],
+        "doc_id long, text string",
+    )
+    lm = textstats.fit_unigram_lm(docs, buckets=64)
+    p = _plan_of(textstats.lm_cross_entropy(docs, buckets=64, lm=lm))
+    assert not re.findall(r"^\(\d+\) Exchange\b", p, flags=re.M), p
+    assert "Join" not in p, p
+    assert "Generate" not in p, p  # no explode either
+
+
+def test_lm_cross_entropy_matches_round3_ranking(spark):
+    """The bucketed LM preserves the gate's ordering: corpus-common docs
+    below rare-token docs, and fit-inline == fit-then-pin."""
+    from sentometrics_spark.textops import textstats
+
+    rows = [(i, "common words appear here often") for i in range(9)]
+    rows.append((99, "zyzzyva qwerty flurble"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    inline = {r["doc_id"]: r["cross_entropy_bits"]
+              for r in textstats.lm_cross_entropy(docs).collect()}
+    lm = textstats.fit_unigram_lm(docs)
+    pinned = {r["doc_id"]: r["cross_entropy_bits"]
+              for r in textstats.lm_cross_entropy(docs, lm=lm).collect()}
+    assert inline == pinned
+    assert inline[99] > inline[0]
+
+
 def test_simhash_pairs_plan_no_self_join(spark):
     docs = spark.createDataFrame(
         [(i, "spark fast query engine row " + "x" * (i % 5)) for i in range(30)],

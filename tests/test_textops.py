@@ -496,9 +496,7 @@ def test_dedup_incremental_statuses(spark):
     )
     out = {r["doc_id"]: r["status"]
            for r in dedup.dedup_incremental(batch, seen).collect()}
-    assert out == {1: "new", 2: "dup_history", 3: "dup_batch", 4: "also"} or True
-    assert out[1] == "new" and out[2] == "dup_history"
-    assert out[3] == "dup_batch" and out[4] == "new"
+    assert out == {1: "new", 2: "dup_history", 3: "dup_batch", 4: "new"}
     # folding the delta into the store makes a replayed batch all-dup
     seen2 = seen.unionByName(
         dedup.dedup_incremental(batch, seen)
@@ -512,26 +510,36 @@ def test_dedup_incremental_statuses(spark):
 
 def test_lm_cross_entropy(spark):
     """Docs made of corpus-common tokens score lower cross-entropy than a
-    rare-token doc; values match a numpy replica of the add-one LM."""
+    rare-token doc; values match a pure-Python replica of the hashed
+    add-one LM (md5 bucket variant, replicable outside the JVM)."""
+    import hashlib
     import math
 
+    B = 4096
     rows = [(i, "common words appear here often") for i in range(9)]
     rows.append((99, "zyzzyva qwerty flurble"))
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r["cross_entropy_bits"]
-           for r in textstats.lm_cross_entropy(docs).collect()}
+           for r in textstats.lm_cross_entropy(docs, buckets=B, hash_fn="md5").collect()}
     assert out[99] > out[0]
-    # numpy replica
-    toks = [t for _, txt in rows for t in txt.split(" ")]
+    # pure-Python replica of the bucketed LM
     from collections import Counter
 
-    c = Counter(toks)
-    N, V = len(toks), len(c)
+    bucket = lambda t: int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % B
+    c = Counter(bucket(t) for _, txt in rows for t in txt.split(" "))
+    N = sum(c.values())
     def H(txt):
         ts = txt.split(" ")
-        return -sum(math.log2((c[t] + 1) / (N + V)) for t in ts) / len(ts)
+        return -sum(math.log2((c[bucket(t)] + 1) / (N + B)) for t in ts) / len(ts)
     assert abs(out[0] - H("common words appear here often")) < 1e-9
     assert abs(out[99] - H("zyzzyva qwerty flurble")) < 1e-9
+    # pinned-LM path: scoring a new batch against the frozen snapshot LM
+    lm = textstats.fit_unigram_lm(docs, buckets=B, hash_fn="md5")
+    batch = spark.createDataFrame([(7, "common words appear here often")],
+                                  "doc_id long, text string")
+    pinned = textstats.lm_cross_entropy(
+        batch, buckets=B, hash_fn="md5", lm=lm).collect()[0]
+    assert abs(pinned["cross_entropy_bits"] - H("common words appear here often")) < 1e-9
 
 
 def test_dsir_importance_ranks_target_like_docs(spark):

@@ -83,10 +83,22 @@ class Lexicons:
     # (/root/reference/R/sentiment_engines.R:36-51): "y" -> bigram shifting,
     # "t" -> cluster scoring. Explicit mode= on compute_sentiment_udf wins.
     valence_use: str = "y"
+    # languages whose word segmentation the CALLER supplies (a jieba-style
+    # segmenter via scoring.segment.segment_corpus, or any pre-tokenized
+    # tokens_col): lifts the dictionary-segmentation fail-fast for exactly
+    # those languages. The UDF engine then REQUIRES tokens_col= whenever
+    # the corpus/lexicon touches one of them, so the default stays
+    # fail-fast and nothing can silently mis-score.
+    pretokenized_langs: frozenset = frozenset()
 
     def __post_init__(self) -> None:
+        pre = {str(l).split("-")[0].lower() for l in self.pretokenized_langs}
+        object.__setattr__(self, "pretokenized_langs", frozenset(pre))
         for lang, lexs in self.lex.items():
-            _check_not_dictionary_segmented(lang, (w for ws in lexs.values() for w in ws))
+            if lang.split("-")[0].lower() not in pre:
+                _check_not_dictionary_segmented(
+                    lang, (w for ws in lexs.values() for w in ws)
+                )
             for name, words in lexs.items():
                 if "--" in name or "-" in name:
                     raise ValueError(f"'-' not allowed in lexicon name: {name}")
@@ -94,7 +106,8 @@ class Lexicons:
                     if w != w.lower():
                         raise ValueError(f"lexicon words must be lowercase: {w}")
         for lang, vmap in self.valence.items():
-            _check_not_dictionary_segmented(lang, vmap)
+            if lang.split("-")[0].lower() not in pre:
+                _check_not_dictionary_segmented(lang, vmap)
 
     @property
     def languages(self) -> list[str]:

@@ -131,6 +131,12 @@ def compute_sentiment_algebraic(
     """Unigram (or bigram-valence) scoring as a Catalyst plan."""
     if how not in ALGEBRAIC_HOWS:
         raise ValueError(f"how={how} is not algebraically expressible; use the UDF engine")
+    if lexicons.pretokenized_langs:
+        raise ValueError(
+            "the algebraic engine has no tokens_col= passthrough and cannot "
+            "score pretokenized_langs lexicons — use compute_sentiment_udf "
+            "with segment_corpus + tokens_col."
+        )
     if use_valence_bigram and how in ("UShaped", "inverseUShaped", "exponential", "inverseExponential"):
         # the bigram engine normalizes positional weights over HIT tokens only
         # (/root/reference/src/SentimentScorerBigrams.h:55-60), which this

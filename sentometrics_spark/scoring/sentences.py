@@ -352,6 +352,12 @@ def compute_sentiment_sentences_udf(
     from pyspark.sql import functions as F
 
     spark = pages.sparkSession
+    if lexicons.pretokenized_langs:
+        raise ValueError(
+            "the sentence engine segments internally and has no tokens_col= "
+            "passthrough — pretokenized_langs lexicons are only scorable via "
+            "compute_sentiment_udf(tokens_col=...)."
+        )
     check_language_coverage(pages, set(lexicons.lex), validate_langs)
 
     has_valence = bool(lexicons.valence)

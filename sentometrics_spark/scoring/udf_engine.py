@@ -507,6 +507,14 @@ def compute_sentiment_udf(
             mode = "cluster" if lexicons.valence_use == "t" else "bigram"
     if mode not in ("unigram", "bigram", "cluster"):
         raise ValueError(f"unknown mode: {mode}")
+    if lexicons.pretokenized_langs and tokens_col is None:
+        raise ValueError(
+            "lexicons declare pretokenized_langs="
+            f"{sorted(lexicons.pretokenized_langs)} but no tokens_col= was "
+            "given: segment those languages first (scoring.segment."
+            "segment_corpus) and pass the token column, otherwise the "
+            "built-in UAX-29 tokenizer would silently mis-segment them."
+        )
 
     check_language_coverage(pages, set(lexicons.lex), validate_langs)
 

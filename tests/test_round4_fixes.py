@@ -68,6 +68,79 @@ def test_simhash_small_buckets_unchanged_by_cap(spark, tmp_path):
     assert key(capped) == key(uncapped)
 
 
+# --------------------------------------------------------- segmenter hook
+
+
+def test_segmenter_hook_scores_zh_lexicon(spark):
+    """T1 residual: a zh lexicon becomes usable through the pluggable
+    segmenter hook — segment_corpus with a toy forward-longest-match
+    dictionary feeds the T3 tokens_col path, and scores match a hand
+    oracle. The fail-fast stays the default."""
+    from pyspark.sql import functions as F
+
+    from sentometrics_spark.lexicons import Lexicons
+    from sentometrics_spark.scoring.segment import (
+        longest_match_segmenter,
+        segment_corpus,
+    )
+    from sentometrics_spark.scoring.udf_engine import compute_sentiment_udf
+
+    zh_lex = {"zh": {"L": {"好": 1.0, "市场": 2.0}}}  # 好 +1, 市场 +2
+    # default: constructing a Han-script lexicon fails fast
+    with pytest.raises(ValueError, match="Han"):
+        Lexicons(lex=zh_lex)
+    lex = Lexicons(lex=dict(zh_lex, en={"L": {"good": 1.0}}),
+                   pretokenized_langs={"zh"})
+
+    # declared pretokenized but no tokens_col => hard error, never a
+    # silent mis-score
+    pages = spark.createDataFrame(
+        [
+            # 市场好 -> [市场, 好] -> score 2 + 1 = 3, word_count 2
+            ("u0", "2024-01-01 00:00:00", "市场好", "zh", 1.0),
+            # 好好x -> [好, 好, x] -> score 2, word_count 3
+            ("u1", "2024-01-01 00:00:00", "好好x", "zh", 1.0),
+            ("u2", "2024-01-01 00:00:00", "good market, good!", "en", 1.0),
+        ],
+        "url string, warc_ts string, text string, lang string, feat_all double",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    with pytest.raises(ValueError, match="tokens_col"):
+        compute_sentiment_udf(pages, lex, "counts")
+
+    seg = longest_match_segmenter(["好", "市场"])
+    assert seg("市场好") == ["市场", "好"]
+
+    docs = segment_corpus(pages, {"zh": seg})
+    out = compute_sentiment_udf(
+        docs, lex, "counts", mode="unigram", tokens_col="tokens"
+    ).toPandas().set_index("url")
+    assert out.loc["u0", "score"] == pytest.approx(3.0)
+    assert out.loc["u0", "word_count"] == 2
+    assert out.loc["u1", "score"] == pytest.approx(2.0)
+    assert out.loc["u1", "word_count"] == 3
+    # non-registered language fell back to the built-in UAX-29 tokenizer
+    assert out.loc["u2", "score"] == pytest.approx(2.0)
+    assert out.loc["u2", "word_count"] == 3
+
+
+def test_pretokenized_langs_guarded_in_other_engines(spark):
+    from pyspark.sql import functions as F
+
+    from sentometrics_spark.lexicons import Lexicons
+    from sentometrics_spark.scoring.algebraic import compute_sentiment_algebraic
+    from sentometrics_spark.scoring.sentences import compute_sentiment_sentences_udf
+
+    lex = Lexicons(lex={"zh": {"L": {"好": 1.0}}}, pretokenized_langs={"zh"})
+    pages = spark.createDataFrame(
+        [("u0", "2024-01-01 00:00:00", "好", "zh", 1.0)],
+        "url string, warc_ts string, text string, lang string, feat_all double",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    with pytest.raises(ValueError, match="algebraic"):
+        compute_sentiment_algebraic(pages, lex, "counts")
+    with pytest.raises(ValueError, match="sentence engine"):
+        compute_sentiment_sentences_udf(pages, lex, "counts")
+
+
 # ----------------------------------------------- compaction vs pending replay
 
 

@@ -150,13 +150,13 @@ def test_compact_partials_spares_pending_newest_batch(spark, tmp_path):
     post-restart replay re-writes its own partition and the folded copy
     would double-count it (ADVICE r3). Simulate exactly that sequence and
     assert the finalized tier is unchanged."""
-    import pandas as pd
+    from datetime import datetime
 
     from sentometrics_spark import streaming
 
     path = str(tmp_path / "partials")
     cols = "bucket_ts timestamp, lexicon string, feature string, value double, wsum double, wden double, n_docs_in long, n_docs long, batch_id long"
-    ts = pd.Timestamp("2024-01-01 10:00:00")
+    ts = datetime(2024, 1, 1, 10, 0, 0)
 
     def rows(batch_id, wsum):
         return [(ts, "LX", "f1", wsum / 2.0, wsum, 2.0, 2, 2, batch_id)]

@@ -2076,6 +2076,65 @@ def _sql_golden_usnews(key: str) -> str:
     )
 
 
+def _golden_multilang_query(how: str):
+    """C8 golden driver row: mixed en/fr/nl corpus (usnews text, langs
+    round-robin) scored with the package's own per-language lexicon
+    variants (FEEL_fr native French; *_tr the package's shipped
+    translations) + fr/nl valence shifters, through the Arrow-UDF engine.
+    Oracle = the ported sanity_sentiment independent scorer (tests/
+    oracle.py — no shared code with the engine) inlined as VALUES."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sentometrics_spark import golden as _g
+
+        pdf = _g.usnews_pages_multilang(90)[["url", "warc_ts", "lang", "text"]].copy()
+        pdf["feat_dummy"] = 1.0
+        pages = spark.createDataFrame(pdf)
+        lex = _g.build_multilang_lexicons(valence="y")
+        sent = compute_sentiment_udf(pages, lex, how)
+        return sent.select(
+            "url",
+            F.col("word_count").cast("int").alias("word_count"),
+            "lexicon",
+            _r6("score").alias("score"),
+        )
+
+    return q
+
+
+def _sql_golden_multilang(how: str) -> str:
+    import math
+    import os
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    from tests import oracle as orc
+
+    from sentometrics_spark import golden as _g
+    from sentometrics_spark.scoring.tokenize import tokenize_to_lists
+
+    pdf = _g.usnews_pages_multilang(90)
+    lex = _g.build_multilang_lexicons(valence="y")
+    toks = tokenize_to_lists(pdf["text"])
+    rows = []
+    for i in range(len(pdf)):
+        lang = pdf["lang"].iloc[i]
+        wc, want = orc.score_doc(
+            toks[i], lex.lex[lang], dict(lex.valence[lang]), how, "bigram"
+        )
+        for name in sorted(want):
+            v = math.floor(float(want[name]) * 1e6 + 0.5 + 1e-9) / 1e6
+            rows.append(f"('{pdf['url'].iloc[i]}', {wc}, '{name}', {v!r})")
+    return (
+        "SELECT url, CAST(word_count AS INT) AS word_count, lexicon, "
+        "CAST(score AS DOUBLE) AS score FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS g(url, word_count, lexicon, score)"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # corpus (S1-S7)
@@ -2186,6 +2245,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q["golden_usnews_bigram_counts"] = _golden_usnews_query("counts", "y")
         q["golden_usnews_proportional"] = _golden_usnews_query("proportional", "y")
         q["golden_usnews_cluster_counts"] = _golden_usnews_query("counts", "t")
+        # C8 multi-language: shipped fr/nl lexicons + valence shifters on a
+        # mixed-language corpus, oracle = independent sanity-style scorer
+        q["golden_multilang_bigram_counts"] = _golden_multilang_query("counts")
+        q["golden_multilang_proportional"] = _golden_multilang_query("proportional")
     return q
 
 
@@ -2333,6 +2396,8 @@ def oracle_sql() -> dict[str, str]:
             "golden_usnews_bigram_counts": _sql_golden_usnews("s1"),
             "golden_usnews_proportional": _sql_golden_usnews("s3"),
             "golden_usnews_cluster_counts": _sql_golden_usnews("s10"),
+            "golden_multilang_bigram_counts": _sql_golden_multilang("counts"),
+            "golden_multilang_proportional": _sql_golden_multilang("proportional"),
         }
         if _g.reference_data_available()
         else {}

@@ -137,6 +137,51 @@ def usnews_pages(n: int = 250, lang: str = "en") -> pd.DataFrame:
     )
 
 
+# C8 multi-language coverage: the package ships native-or-translated
+# variants of each lexicon for en/fr/nl (/root/reference/data/
+# list_lexicons.rda — FEEL_fr is native French, *_tr are machine
+# translations shipped by the package itself) plus valence shifters for
+# all three languages. The engine requires an identical lexicon-name set
+# across languages, so the variants are registered under shared names.
+MULTILANG_LEXICON_NAMES: dict[str, dict[str, str]] = {
+    "en": {"GI": "GI_en", "LM": "LM_en", "HENRY": "HENRY_en", "FEEL": "FEEL_en_tr"},
+    "fr": {"GI": "GI_fr_tr", "LM": "LM_fr_tr", "HENRY": "HENRY_fr_tr", "FEEL": "FEEL_fr"},
+    "nl": {"GI": "GI_nl_tr", "LM": "LM_nl_tr", "HENRY": "HENRY_nl_tr", "FEEL": "FEEL_nl_tr"},
+}
+
+
+def build_multilang_lexicons(valence: str | None = "y") -> Lexicons:
+    """en/fr/nl Lexicons from the package's own shipped tables, with the
+    per-language valence shifters; same sento_lexicons preprocessing as
+    the single-language builder."""
+    ll = load_list_lexicons()
+    lex = {
+        lang: {shared: sento_as_key(ll[src]) for shared, src in names.items()}
+        for lang, names in MULTILANG_LEXICON_NAMES.items()
+    }
+    val: dict = {}
+    use = "y"
+    if valence is not None:
+        use = valence
+        vs = load_valence_shifters()
+        val = {lang: _valence_map(vs[lang], valence) for lang in lex}
+    return Lexicons(lex=lex, valence=val, valence_use=use)
+
+
+def usnews_pages_multilang(n: int = 150) -> pd.DataFrame:
+    """First n usnews docs with langs assigned round-robin en/fr/nl —
+    exercises per-language lexicon dispatch (C8) on real text. The fr/nl
+    'documents' are English prose, but the shipped fr/nl lexicons share
+    enough surface forms with English (FEEL_fr matches ~7% of usnews
+    tokens) that scores are non-trivially nonzero; the point is that the
+    engine's per-language dispatch, valence shifting and denominators
+    agree with an independent oracle on every row."""
+    pdf = usnews_pages(n)
+    langs = ["en", "fr", "nl"]
+    pdf["lang"] = [langs[i % 3] for i in range(len(pdf))]
+    return pdf
+
+
 def read_rda_epu() -> pd.DataFrame:
     """The shipped monthly EPU index (data/epu.rda): date (days since
     1970-01-01), index (double), above / aboveMulti (factors) — plus a

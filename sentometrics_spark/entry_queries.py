@@ -777,6 +777,26 @@ def q_peakdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("url", _r6("m").alias("m"))
 
 
+def q_peakdocs_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 fractional-n branch: n < 1 selects exactly floor(n * ndocs)
+    documents (n <- floor(n * nMax),
+    /root/reference/R/sentiment_engines.R:500-501) — here the top 2% by
+    positive sentiment."""
+    from sentometrics_spark.measures import peakdocs
+
+    pages = build_pages(spark, sf_dir, with_html=False)
+    sent = compute_sentiment_algebraic(pages, _no_valence(), "counts")
+    top = peakdocs(sent, 0.02, type="pos")
+    return top.select("url", _r6("m").alias("m"))
+
+
+SQL_PEAKDOCS_FRAC_TMPL = """,
+scored AS (SELECT url, max(score) AS m FROM sent GROUP BY 1),
+top AS (SELECT * FROM scored ORDER BY m DESC, url
+        LIMIT (SELECT CAST(floor(0.02 * count(*)) AS BIGINT) FROM scored))
+SELECT url, floor(m * 1000000 + 0.5 + 1e-9) / 1000000.0 AS m FROM top"""
+
+
 def q_peakdates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sentometrics_spark.measures import peakdates
 
@@ -1658,6 +1678,153 @@ SELECT strftime(bucket_ts, '{TSFMT_DUCK}') AS bucket_ts, lexicon,
 FROM n"""
 
 
+def _attrib_panel(spark: SparkSession, sf_dir: str, fill: str, keep_source: bool = False):
+    """Shared setup for the attribution driver rows: day buckets,
+    equal-weight doc agg, almon lag-7 kernels, deterministic coefs."""
+    import pandas as pd
+
+    from sentometrics_spark.aggregate.doc_agg import aggregate_docs
+    from sentometrics_spark.model.attribution import coef_df
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pages = build_pages(spark, sf_dir, with_html=False)
+    sent = compute_sentiment_algebraic(pages, _no_valence(), "proportional")
+    m = aggregate_docs(sent, by="day", how="equal_weight", keep_partials=False)
+    filled = measures_fill(
+        m.select("bucket_ts", "lexicon", "feature", "value"),
+        by="day", fill=fill, keep_source=keep_source,
+    )
+    kernels = _kernels_for(_ALMON2, 7)
+    keys = sorted(
+        (r["lexicon"], r["feature"])
+        for r in filled.select("lexicon", "feature").distinct().collect()
+    )
+    coefs = pd.Series(
+        {
+            f"{lx}--{ft}--{tw}": _attrib_coef(lx, ft, tw)
+            for lx, ft in keys
+            for tw in kernels
+        }
+    )
+    return sent, filled, kernels, coef_df(spark, coefs)
+
+
+def q_attrib_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8 per-lag attribution (attributions_lags,
+    /root/reference/R/attribution.R:29-86) with per-date L2 normalization:
+    the contribution of the bucket lagged (lag-1-i) steps behind each
+    prediction date, summed over the (lexicon, feature, timeweight)
+    block."""
+    from sentometrics_spark.model.attribution import attributions_lags
+
+    _, filled, kernels, cdf = _attrib_panel(spark, sf_dir, "zero")
+    out = attributions_lags(filled, cdf, kernels, 7, do_normalize=True)
+    return _fmt_ts(out, "pred_ts").select(
+        "pred_ts", F.col("lag_index").cast("int").alias("lag_index"),
+        _r6("attrib").alias("attrib"),
+    )
+
+
+def _sql_attrib_lags() -> str:
+    base = measures_cte("day", 7, _kernels_for(_ALMON2, 7), "zero", "equal_weight")
+    r6 = lambda e: f"floor(({e}) * 1000000 + 0.5 + 1e-9) / 1000000.0"
+    return base + f""",
+co AS (
+  SELECT lexicon, feature, timeweight,
+         (CASE WHEN lexicon = 'LEXA' THEN 0.5 ELSE -0.25 END)
+         + 0.1 * len(timeweight)
+         + (CASE WHEN feature = 'feat_spark' THEN 0.05 ELSE 0.0 END) AS coef
+  FROM (SELECT DISTINCT lexicon, feature FROM filled)
+  CROSS JOIN (SELECT DISTINCT timeweight FROM ker)
+),
+a AS (
+  SELECT tgt.bucket_ts AS pred_ts, (6 - k.off) AS lag_index,
+         sum(co.coef * k.w * src.value) AS attrib
+  FROM idx tgt
+  CROSS JOIN ker k
+  JOIN idx src ON src.lexicon = tgt.lexicon AND src.feature = tgt.feature
+              AND src.rn = tgt.rn - k.off
+  JOIN co ON co.lexicon = src.lexicon AND co.feature = src.feature
+         AND co.timeweight = k.timeweight
+  WHERE tgt.rn >= 7
+  GROUP BY 1, 2
+),
+nrm AS (
+  SELECT pred_ts, lag_index,
+         CASE WHEN sqrt(sum(attrib * attrib) OVER (PARTITION BY pred_ts)) = 0
+              THEN 0.0
+              ELSE attrib / sqrt(sum(attrib * attrib) OVER (PARTITION BY pred_ts))
+         END AS attrib
+  FROM a
+)
+SELECT strftime(pred_ts, '{TSFMT_DUCK}') AS pred_ts,
+       CAST(lag_index AS INT) AS lag_index, {r6('attrib')} AS attrib
+FROM nrm"""
+
+
+def q_attrib_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8 per-document attribution under fill='latest': a LOCF-carried
+    slot routes back to the OBSERVED bucket whose documents produced its
+    value (src_ts reconstruction, /root/reference/R/attribution.R:49-68),
+    so each document feeds every prediction its bucket's value reaches —
+    directly or carried."""
+    from sentometrics_spark.aggregate.doc_agg import doc_weights
+    from sentometrics_spark.model.attribution import attributions_docs
+
+    sent, filled, kernels, cdf = _attrib_panel(
+        spark, sf_dir, "latest", keep_source=True
+    )
+    w = doc_weights(sent, by="day", how="equal_weight")
+    out = attributions_docs(sent, w, filled, cdf, kernels, 7, "day")
+    return (
+        _fmt_ts(out, "pred_ts")
+        .filter(F.col("attrib").isNotNull())
+        .select("pred_ts", "url", _r6("attrib").alias("attrib"))
+    )
+
+
+def _sql_attrib_docs() -> str:
+    base = measures_cte("day", 7, _kernels_for(_ALMON2, 7), "latest", "equal_weight")
+    r6 = lambda e: f"floor(({e}) * 1000000 + 0.5 + 1e-9) / 1000000.0"
+    return base + f""",
+co AS (
+  SELECT lexicon, feature, timeweight,
+         (CASE WHEN lexicon = 'LEXA' THEN 0.5 ELSE -0.25 END)
+         + 0.1 * len(timeweight)
+         + (CASE WHEN feature = 'feat_spark' THEN 0.05 ELSE 0.0 END) AS coef
+  FROM (SELECT DISTINCT lexicon, feature FROM filled)
+  CROSS JOIN (SELECT DISTINCT timeweight FROM ker)
+),
+idx2 AS (
+  SELECT g.bucket_ts, g.lexicon, g.feature,
+         last_value(CASE WHEN a.value IS NOT NULL THEN g.bucket_ts END IGNORE NULLS)
+           OVER (PARTITION BY g.lexicon, g.feature ORDER BY g.bucket_ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS src_ts,
+         row_number() OVER (PARTITION BY g.lexicon, g.feature ORDER BY g.bucket_ts) AS rn
+  FROM grid g
+  LEFT JOIN agg a ON g.bucket_ts = a.bucket_ts AND g.lexicon = a.lexicon AND g.feature = a.feature
+),
+docs AS (
+  SELECT url, bucket_ts, lexicon, feature, s AS score,
+         1.0 / count(s) OVER (PARTITION BY bucket_ts, lexicon, feature) AS weight
+  FROM sentb
+  WHERE s IS NOT NULL
+),
+parts AS (
+  SELECT t.bucket_ts AS pred_ts, d.url,
+         sum(co.coef * k.w * d.weight * d.score) AS attrib
+  FROM docs d
+  JOIN idx2 s2 ON s2.src_ts = d.bucket_ts AND s2.lexicon = d.lexicon AND s2.feature = d.feature
+  CROSS JOIN ker k
+  JOIN co ON co.lexicon = d.lexicon AND co.feature = d.feature AND co.timeweight = k.timeweight
+  JOIN idx2 t ON t.lexicon = d.lexicon AND t.feature = d.feature AND t.rn = s2.rn + k.off
+  WHERE t.rn >= 7
+  GROUP BY 1, 2
+)
+SELECT strftime(pred_ts, '{TSFMT_DUCK}') AS pred_ts, url, {r6('attrib')} AS attrib
+FROM parts"""
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full winnowing fingerprint set (k=4-gram hashes, window=5, rightmost
     min per window), md5-hash variant so the selected (pos, hash) pairs are
@@ -2177,6 +2344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "measures_dims_merge": q_measures_dims_merge,
         "measures_global": q_measures_global,
         "peakdocs_top10": q_peakdocs,
+        "peakdocs_frac2pct": q_peakdocs_frac,
         "peakdates_top5": q_peakdates,
         # split lexicons + sentence engine
         "sent_split_pos_neg": q_sent_split,
@@ -2224,6 +2392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "winnow_fingerprints": q_winnow_fingerprints,
         "attrib_lexicon": q_attrib_lexicon,
+        "attrib_lags": q_attrib_lags,
+        "attrib_docs_latest": q_attrib_docs,
         "url_canonical": q_url_canonical,
         "duplicated_spans": q_duplicated_spans,
         "redact_pii": q_redact_pii,
@@ -2413,6 +2583,7 @@ def oracle_sql() -> dict[str, str]:
         **_panel_oracles(),
         **_gate_oracles(),
         "peakdocs_top10": SQL_PEAKDOCS,
+        "peakdocs_frac2pct": sentiment_cte("counts") + SQL_PEAKDOCS_FRAC_TMPL,
         "sent_split_pos_neg": sql_sent_split(),
         # single-sentence fixture corpus: sentence path == doc-level counts
         "sentence_doc_rollup": sentiment_cte("counts") + _SENT_FINAL,
@@ -2462,6 +2633,8 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": _sql_gopher_quality(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),
         "attrib_lexicon": _sql_attrib_lexicon(),
+        "attrib_lags": _sql_attrib_lags(),
+        "attrib_docs_latest": _sql_attrib_docs(),
         "url_canonical": _sql_url_canonical(),
         "duplicated_spans": _sql_duplicated_spans(),
         "redact_pii": _sql_redact_pii(),

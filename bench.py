@@ -107,9 +107,12 @@ def run_benchmarks(cpus: int, sf_dir: str, q1_only: bool = False) -> dict:
 
     # interleaved min-of-N: the whole suite repeats BENCH_RUNS times in
     # order (so ambient load on this shared box hits every query equally);
-    # reported timing = min per query, plus the max-min spread so the JSON
-    # is self-consistent with BASELINE.md's interleaved-min methodology.
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # reported timing = min per query, plus per-query medians and the
+    # max-min spread so round-over-round deltas stay readable when one
+    # snapshot catches a load spike (VERDICT r3 next-9: r3's driver
+    # snapshot had a 19.4 s spread on a 3.5 s median). Default raised
+    # 3 -> 5 runs for the same reason.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     all_timings: dict[str, list[float]] = {}
     timings: dict[str, float] = {}
     extra: dict = {"n_docs": n_docs, "replicate": REPLICATE, "cpus": cpus}
@@ -203,6 +206,11 @@ def run_benchmarks(cpus: int, sf_dir: str, q1_only: bool = False) -> dict:
     extra["runs"] = n_runs
     extra["spread_sec"] = {
         k: round(max(v) - min(v), 3) for k, v in all_timings.items()
+    }
+    import statistics
+
+    extra["median_sec"] = {
+        k: round(statistics.median(v), 3) for k, v in all_timings.items()
     }
     if not q1_only:
         extra["docs_per_sec_q2"] = round(n_docs / timings["q2_score_udf_counts"], 1)

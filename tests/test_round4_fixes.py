@@ -235,3 +235,30 @@ def test_simhash_pairs_plan_no_self_join(spark):
     # the old formulation self-joined the banded table; the capped one is a
     # single groupBy expansion — no join operator at all
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+
+
+# ------------------------------------------------------- warm start in scale
+
+
+def test_multinomial_warm_start_is_a_fixed_point():
+    """ADVICE r3: warm= receives the solver's RETURN values (original-X
+    scale) and must be rescaled into standardized space internally.
+    Regression: warm-starting from the converged solution must stay AT
+    that solution (a wrongly-scaled warm start walks away from it)."""
+    rng = np.random.default_rng(7)
+    n, p, K = 120, 6, 3
+    X = rng.normal(size=(n, p)) * np.array([1.0, 5.0, 0.2, 1.0, 3.0, 0.05])
+    true_B = rng.normal(size=(p, K))
+    eta = X @ true_B
+    probs = np.exp(eta - eta.max(1, keepdims=True))
+    probs /= probs.sum(1, keepdims=True)
+    y = np.array([rng.choice(K, p=pr) for pr in probs])
+    Y = np.zeros((n, K))
+    Y[np.arange(n), y] = 1.0
+
+    from sentometrics_spark.model.elasticnet import multinomial_enet_cd
+
+    B1, b01 = multinomial_enet_cd(X, Y, alpha=0.5, lam=0.05)
+    B2, b02 = multinomial_enet_cd(X, Y, alpha=0.5, lam=0.05, warm=(B1, b01))
+    np.testing.assert_allclose(B2, B1, atol=1e-6)
+    np.testing.assert_allclose(b02, b01, atol=1e-6)

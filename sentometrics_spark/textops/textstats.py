@@ -5,6 +5,7 @@ fingerprinting. All pure Spark SQL (JVM-side, codegen) except where noted.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -436,6 +437,35 @@ def domain_stats(df: DataFrame, url_col: str = "url", text_col: str = "text") ->
     )
 
 
+def _lm_tokens_arrow(texts):
+    """Shared Arrow-side tokenization for the LM kernels: lowercase,
+    split on single spaces, empty tokens dropped (the same token stream
+    the expression path's filter(t != '') produces). Returns
+    (bucket-ready uint64 token hashes flat, doc offsets, doc lengths)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.Array.from_pandas(texts.astype(str))
+    toks = pc.split_pattern(pc.utf8_lower(arr), " ")
+    flat = pc.list_flatten(toks)
+    keep = pc.not_equal(flat, "")
+    # drop empty tokens while keeping per-doc lengths consistent: count
+    # empties per doc and subtract
+    lens_all = np.asarray(
+        pc.list_value_length(toks).to_numpy(zero_copy_only=False), dtype=np.int64
+    )
+    flat_np_keep = np.asarray(keep.to_numpy(zero_copy_only=False), dtype=bool)
+    doc_ids = np.repeat(np.arange(len(lens_all)), lens_all)
+    kept_per_doc = np.bincount(doc_ids[flat_np_keep], minlength=len(lens_all))
+    dic = flat.filter(keep).dictionary_encode()
+    idx = np.asarray(dic.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
+    vocab = np.asarray(dic.dictionary.to_pylist(), dtype=object)
+    th = pd.util.hash_array(vocab).astype(np.uint64)[idx]
+    offs = np.concatenate(([0], np.cumsum(kept_per_doc)[:-1]))
+    return th, offs, kept_per_doc
+
+
 def fit_unigram_lm(
     df: DataFrame,
     text_col: str = "text",
@@ -447,26 +477,57 @@ def fit_unigram_lm(
 
         log2 p(b) = log2( (c_b + 1) / (N + buckets) ).
 
-    One explode -> groupBy(bucket) with map-side partials; the shuffle is
-    bounded at ``buckets`` rows per partition and the collected table is
-    ``buckets`` doubles (512 KB at the 65536 default). Pin the returned
-    table per corpus snapshot (pass it back as ``lm=``) exactly like the
-    TFIDF df maps (udf_engine.tfidf_corpus_stats) so incremental batches
-    score against a frozen LM."""
+    hash_fn="xxhash64" (production) uses the Arrow/numpy kernel (tokens
+    dictionary-encoded C-side, pd.util.hash_array over the unique vocab —
+    the _simhash_arrow doctrine: a different hash family with identical
+    bucket statistics); "md5" keeps a pure-expression pipeline whose every
+    bucket DuckDB reproduces bit-exactly for the driver oracle. Either
+    way the shuffle is bounded at ``buckets`` rows per partition and the
+    collected table is ``buckets`` doubles (512 KB at the 65536 default).
+    Pin the returned table per corpus snapshot (pass it back as ``lm=``,
+    same hash_fn/buckets) exactly like the TFIDF df maps
+    (udf_engine.tfidf_corpus_stats) so incremental batches score against
+    a frozen LM."""
     import math
 
     from sentometrics_spark.textops.dedup import hash64
 
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), " "), lambda t: t != ""
-    )
-    rows = (
-        df.select(F.explode(toks).alias("token"))
-        .select(F.pmod(hash64(F.col("token"), hash_fn=hash_fn), F.lit(buckets)).alias("b"))
-        .groupBy("b")
-        .agg(F.count("*").alias("c"))
-        .collect()
-    )
+    if hash_fn == "xxhash64":
+
+        def cnt(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                texts = pdf[text_col][pdf[text_col].notna()]
+                if not len(texts):
+                    continue
+                th, _, _ = _lm_tokens_arrow(texts)
+                bc = np.bincount(
+                    (th % np.uint64(buckets)).astype(np.int64), minlength=buckets
+                )
+                nz = np.nonzero(bc)[0]
+                yield pd.DataFrame({"b": nz, "c": bc[nz]})
+
+        rows = (
+            df.select(text_col)
+            .mapInPandas(cnt, "b long, c long")
+            .groupBy("b")
+            .agg(F.sum("c").alias("c"))
+            .collect()
+        )
+    else:
+        toks = F.filter(
+            F.split(F.lower(F.col(text_col)), " "), lambda t: t != ""
+        )
+        rows = (
+            df.select(F.explode(toks).alias("token"))
+            .select(
+                F.pmod(hash64(F.col("token"), hash_fn=hash_fn), F.lit(buckets)).alias("b")
+            )
+            .groupBy("b")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        )
     c = [0] * buckets
     for r in rows:
         c[r["b"]] = r["c"]
@@ -503,17 +564,66 @@ def lm_cross_entropy(
     10^12 tokens. Here:
       1. FIT (eager, skippable via ``lm=``): bounded groupBy(bucket),
          collected to a ``buckets``-entry log-prob table;
-      2. SCORE (map-only): the table is attached as ONE array literal and
-         each document folds its token buckets over it in a per-row
-         aggregate — no explode, no doc- or token-keyed shuffle at all.
-    """
+      2. SCORE (map-only): the table travels with the task (numpy array
+         in the Arrow kernel's closure on the production path; one
+         array-literal expression on the md5 oracle path) and each
+         document folds its token buckets over it — no explode, no doc-
+         or token-keyed shuffle at all.
+
+    hash_fn="xxhash64" (production) dispatches to the Arrow/numpy kernel;
+    "md5" keeps the pure-expression path, every value of which DuckDB
+    reproduces bit-exactly for the driver oracle (same doctrine as
+    simhash/_simhash_arrow). An ``lm=`` pin must come from
+    fit_unigram_lm with the SAME hash_fn and buckets."""
     from sentometrics_spark.textops.dedup import hash64
 
     if lm is None:
         lm = fit_unigram_lm(df, text_col=text_col, buckets=buckets, hash_fn=hash_fn)
     elif len(lm) != buckets:
         raise ValueError(f"lm has {len(lm)} entries, expected buckets={buckets}")
-    lp = F.lit(lm)  # single ArrayType literal, not 65536 expression nodes
+
+    if hash_fn == "xxhash64":
+        import pandas as pd
+
+        id_type = dict(
+            zip(df.columns, (f.dataType.simpleString() for f in df.schema))
+        )[id_col]
+        out_schema = f"{id_col} {id_type}, cross_entropy_bits double, n_tokens long"
+        lmv = np.asarray(lm, dtype=np.float64)
+
+        def score(batches):
+            for pdf in batches:
+                pdf = pdf[pdf[text_col].notna()]
+                if not len(pdf):
+                    continue
+                ids = pdf[id_col].to_numpy()
+                th, offs, lens = _lm_tokens_arrow(pdf[text_col])
+                if len(th) == 0:
+                    continue  # every doc in the batch tokenized to nothing
+                lp_tok = lmv[(th % np.uint64(len(lmv))).astype(np.int64)]
+                # reduceat rejects an offset == len (trailing zero-token
+                # docs); clamp — those docs are masked out below anyway
+                sums = np.add.reduceat(lp_tok, np.minimum(offs, len(lp_tok) - 1))
+                # reduceat on an empty doc span returns the NEXT doc's
+                # first element; mask zero-token docs out entirely
+                nz = lens > 0
+                sums = np.where(nz, sums, 0.0)
+                out = pd.DataFrame(
+                    {
+                        id_col: ids[nz],
+                        "cross_entropy_bits": -sums[nz] / lens[nz],
+                        "n_tokens": lens[nz],
+                    }
+                )
+                if len(out):
+                    yield out
+
+        return df.select(id_col, text_col).mapInPandas(score, out_schema)
+
+    # md5 / expression path: the literal array is built with ONE parsed
+    # expression (F.lit over a Python list issues a py4j call per element
+    # — 65536 of them cost more than the query itself)
+    lp = F.expr("array(" + ",".join(f"{v!r}D" for v in lm) + ")")
     toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
     n_tok = F.size(toks)
     ssum = F.aggregate(

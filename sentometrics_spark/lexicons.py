@@ -132,7 +132,12 @@ class Lexicons:
                 neg = {w: y for w, y in words.items() if y < 0}
                 out[lang][f"{name}_POS"] = pos
                 out[lang][f"{name}_NEG"] = neg
-        return Lexicons(lex=out, valence=self.valence, valence_use=self.valence_use)
+        return Lexicons(
+            lex=out,
+            valence=self.valence,
+            valence_use=self.valence_use,
+            pretokenized_langs=self.pretokenized_langs,
+        )
 
     # ---- packing for the scoring kernels -------------------------------
 

@@ -262,3 +262,14 @@ def test_multinomial_warm_start_is_a_fixed_point():
     B2, b02 = multinomial_enet_cd(X, Y, alpha=0.5, lam=0.05, warm=(B1, b01))
     np.testing.assert_allclose(B2, B1, atol=1e-6)
     np.testing.assert_allclose(b02, b01, atol=1e-6)
+
+
+def test_split_pos_neg_preserves_pretokenized_langs():
+    from sentometrics_spark.lexicons import Lexicons
+
+    lex = Lexicons(
+        lex={"zh": {"L": {"好": 1.0, "坏": -1.0}}}, pretokenized_langs={"zh"}
+    )
+    sp = lex.split_pos_neg()  # would raise the Han fail-fast if dropped
+    assert sp.pretokenized_langs == frozenset({"zh"})
+    assert sp.lex["zh"]["L_POS"] == {"好": 1.0}

@@ -92,6 +92,7 @@ def run_benchmarks(cpus: int, sf_dir: str, q1_only: bool = False) -> dict:
     from sentometrics_spark.textops.dedup import decontaminate as _decontaminate
     from sentometrics_spark.textops.dedup import minhash_lsh_buckets as _minhash_buckets
     from sentometrics_spark.textops.textstats import gopher_quality as _gopher
+    from sentometrics_spark.textops.dedup import simhash_near_pairs as _simhash_pairs
     from sentometrics_spark.textops.textstats import lm_cross_entropy as _lm_ce
 
     spark = get_spark(cpus)
@@ -190,6 +191,15 @@ def run_benchmarks(cpus: int, sf_dir: str, q1_only: bool = False) -> dict:
                     pages.select(F.col("url").alias("doc_id"), "text"),
                     pages.select(F.col("url").alias("doc_id"), "text")
                     .filter(F.crc32("url") % 100 == 0),
+                ))),
+            # q13 (new in round 4): SimHash near-pairs on the replicated
+            # (hence massively duplicated) corpus — every distinct text's
+            # REPLICATE copies share all band chunks, so this exercises
+            # exactly the degenerate-bucket star-pair cap
+            ("q13_simhash_pairs", lambda: force(
+                _simhash_pairs(
+                    pages.select(F.col("url").alias("doc_id"), "text"),
+                    max_bucket_size=32,
                 ))),
         ]
 

@@ -436,29 +436,33 @@ def minhash_dedup_candidates(
     connected component for the downstream keep-one resolution. Without the
     cap a single hot bucket materializes m² rows and dominates the job."""
     buckets = minhash_lsh_buckets(df, id_col, n, k, bands, hash_fn=hash_fn)
-    small = buckets.filter(F.col("bucket_size") <= max_bucket_size)
-    big = buckets.filter(F.col("bucket_size") > max_bucket_size)
-    all_pairs = small.select(
-        F.explode(
-            F.filter(
-                F.flatten(
-                    F.transform(
-                        "members",
-                        lambda x: F.transform(
-                            "members", lambda y: F.struct(x.alias("id_a"), y.alias("id_b"))
-                        ),
-                    )
+    all_pairs = F.filter(
+        F.flatten(
+            F.transform(
+                "members",
+                lambda x: F.transform(
+                    "members", lambda y: F.struct(x.alias("id_a"), y.alias("id_b"))
                 ),
-                lambda p: p["id_a"] < p["id_b"],
             )
-        ).alias("p")
-    ).select("p.id_a", "p.id_b")
-    # keep_id == min(members), so (keep_id, member) is already ordered
-    star_pairs = (
-        big.select(F.col("keep_id").alias("id_a"), F.explode("members").alias("id_b"))
-        .filter(F.col("id_a") != F.col("id_b"))
+        ),
+        lambda p: p["id_a"] < p["id_b"],
     )
-    return all_pairs.unionByName(star_pairs).distinct()
+    # keep_id == min(members), so (keep_id, member) is already ordered.
+    # ONE conditional expression over each bucket row (a filter+union of
+    # small/big branches would re-compute the whole signature+bucket
+    # subtree per branch — two scans, two Exchanges)
+    star_pairs = F.transform(
+        F.filter("members", lambda m: m != F.col("keep_id")),
+        lambda m: F.struct(F.col("keep_id").alias("id_a"), m.alias("id_b")),
+    )
+    pairs = F.when(F.col("bucket_size") <= max_bucket_size, all_pairs).otherwise(
+        star_pairs
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
 
 
 def decontaminate(
@@ -707,45 +711,46 @@ def simhash_near_pairs(
         )
         .filter(F.col("bucket_size") > 1)
     )
-    small = buckets.filter(F.col("bucket_size") <= max_bucket_size)
-    big = buckets.filter(F.col("bucket_size") > max_bucket_size)
-    all_pairs = small.select(
-        F.explode(
-            F.filter(
-                F.flatten(
-                    F.transform(
-                        "members",
-                        lambda x: F.transform(
-                            "members",
-                            lambda y: F.struct(
-                                x["id"].alias("id_a"),
-                                y["id"].alias("id_b"),
-                                x["h"].alias("h_a"),
-                                y["h"].alias("h_b"),
-                            ),
-                        ),
-                    )
+    all_pairs = F.filter(
+        F.flatten(
+            F.transform(
+                "members",
+                lambda x: F.transform(
+                    "members",
+                    lambda y: F.struct(
+                        x["id"].alias("id_a"),
+                        y["id"].alias("id_b"),
+                        x["h"].alias("h_a"),
+                        y["h"].alias("h_b"),
+                    ),
                 ),
-                lambda p: p["id_a"] < p["id_b"],
             )
-        ).alias("p")
-    ).select("p.id_a", "p.id_b", "p.h_a", "p.h_b")
-    # members is sorted by id, so element_at(1) is the keeper (min id) and
-    # every star pair is already ordered id_a < id_b
-    star_pairs = (
-        big.select(
-            F.element_at("members", 1).alias("keep"),
-            F.explode("members").alias("m"),
-        )
-        .filter(F.col("keep.id") != F.col("m.id"))
-        .select(
-            F.col("keep.id").alias("id_a"),
-            F.col("m.id").alias("id_b"),
-            F.col("keep.h").alias("h_a"),
-            F.col("m.h").alias("h_b"),
-        )
+        ),
+        lambda p: p["id_a"] < p["id_b"],
     )
-    cand = all_pairs.unionByName(star_pairs).distinct()
+    # members is sorted by id, so element_at(1) is the keeper (min id) and
+    # every star pair is already ordered id_a < id_b. ONE conditional
+    # expression per bucket row — a filter+union of small/big branches
+    # would re-compute the signature+banding subtree per branch (two
+    # scans, two Exchanges).
+    keep = F.element_at("members", 1)
+    star_pairs = F.transform(
+        F.filter("members", lambda m: m["id"] != keep["id"]),
+        lambda m: F.struct(
+            keep["id"].alias("id_a"),
+            m["id"].alias("id_b"),
+            keep["h"].alias("h_a"),
+            m["h"].alias("h_b"),
+        ),
+    )
+    pairs = F.when(F.col("bucket_size") <= max_bucket_size, all_pairs).otherwise(
+        star_pairs
+    )
+    cand = (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.h_a", "p.h_b")
+        .distinct()
+    )
     return cand.withColumn(
         "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     ).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")

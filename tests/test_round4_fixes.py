@@ -230,11 +230,20 @@ def test_simhash_pairs_plan_no_self_join(spark):
         [(i, "spark fast query engine row " + "x" * (i % 5)) for i in range(30)],
         "doc_id long, text string",
     )
-    p = _plan_of(dedup.simhash_near_pairs(docs, id_col="doc_id"))
-    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
-    # the old formulation self-joined the banded table; the capped one is a
-    # single groupBy expansion — no join operator at all
-    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+    for df in (
+        dedup.simhash_near_pairs(docs, id_col="doc_id"),
+        dedup.minhash_dedup_candidates(docs, k=8, bands=4),
+    ):
+        p = _plan_of(df)
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+        # the old simhash formulation self-joined the banded table; the
+        # capped one is a single groupBy expansion — no join operator at all
+        assert "Join" not in p, p
+        # the cap is ONE conditional pair expression, not a small/big
+        # filter+union (which re-computed the signature kernel per branch:
+        # two scans, two extra Exchanges)
+        assert len(re.findall(r"^\(\d+\) MapInPandas", p, flags=re.M)) <= 1, p
+        assert len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M)) == 2, p
 
 
 # ------------------------------------------------------- warm start in scale

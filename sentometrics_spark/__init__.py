@@ -29,6 +29,7 @@ from sentometrics_spark.corpus import (
     validate_corpus,
 )
 from sentometrics_spark.pipeline import compute_sentiment, measures_update, sento_measures
+from sentometrics_spark.scoring.segment import longest_match_segmenter, segment_corpus
 from sentometrics_spark.aggregate.time_agg import measures_fill
 from sentometrics_spark.measures import (
     as_sentiment,
@@ -70,4 +71,6 @@ __all__ = [
     "attributions_dims",
     "attributions_docs",
     "attributions_lags",
+    "segment_corpus",
+    "longest_match_segmenter",
 ]

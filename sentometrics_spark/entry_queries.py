@@ -1185,6 +1185,44 @@ def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one resolution over the MinHash candidate pairs: connected
+    components (alternating large-star/small-star) collapse every near-dup
+    cluster to its minimum doc_id; keep marks the component
+    representative. Oracle = a recursive transitive-closure min-label in
+    DuckDB over the SAME md5 pair query."""
+    from sentometrics_spark.textops.dedup import dedup_resolve, minhash_dedup_candidates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_dedup_candidates(docs, k=32, bands=8, hash_fn="md5")
+    return (
+        dedup_resolve(pairs)
+        .select(
+            F.col("node").cast("long"),
+            F.col("component").cast("long"),
+            F.col("keep"),
+        )
+        .orderBy("node")
+    )
+
+
+def _sql_dedup_components() -> str:
+    return f"""WITH RECURSIVE pairs AS ({_sql_minhash_candidates()}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT re.node, e.dst FROM reach re JOIN edges e ON e.src = re.r
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(min(r) AS BIGINT) AS component,
+       node = min(r) AS keep
+FROM reach GROUP BY node"""
+
+
 def q_gorilla_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gorilla compression of the measures panel: one blob per series;
     returns (series, n_points, blob_bytes) — round-trip exactness is pinned
@@ -2406,6 +2444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash-based dedup/fingerprint ops, md5-variant so DuckDB matches
         # bit-exactly (production default is xxhash64 with the same plan)
         "minhash_lsh_candidates": q_minhash_candidates,
+        "dedup_components": q_dedup_components,
         "simhash_near_pairs": q_simhash_pairs,
         "doc_fingerprint": q_doc_fingerprint,
         # LSH ANN: deterministic seeded planes inlined as oracle literals
@@ -2647,6 +2686,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_tokens": SQL_LANG_ID_TOKENS,
         "domain_stats": SQL_DOMAIN_STATS,
         "minhash_lsh_candidates": _sql_minhash_candidates(),
+        "dedup_components": _sql_dedup_components(),
         "simhash_near_pairs": _sql_simhash_pairs(),
         "doc_fingerprint": _sql_doc_fingerprint(),
         "lsh_ann_topk": _sql_lsh_ann_topk(),

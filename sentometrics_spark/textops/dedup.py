@@ -754,3 +754,103 @@ def simhash_near_pairs(
     return cand.withColumn(
         "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     ).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a candidate-pair edge list — the keep-one
+    resolution stage downstream of every candidate generator here
+    (minhash_dedup_candidates / simhash_near_pairs /
+    embedding near-dup): each near-dup cluster collapses to its minimum
+    member id, and "drop all but the keeper" is then a trivial filter.
+
+    Alternating large-star / small-star contraction (Kiveris, Lattanzi,
+    Mirrokni, Rastogi, Vassilvitskii 2014, "Connected Components in
+    MapReduce and Beyond" — public algorithm): converges in O(log n)
+    rounds on arbitrary graphs; the star-capped pair lists produced
+    upstream have diameter <= ~4, so 2-4 rounds in practice. Each round
+    is two bounded node-keyed groupBy+join shuffles — no collect of the
+    graph, no per-node Python. The driver loop only reads a two-number
+    fingerprint per round for the convergence test (the same pattern
+    GraphFrames' CC uses).
+
+    Returns (node, component) for every distinct node in ``pairs``,
+    component = min node id of its component."""
+    spark = pairs.sparkSession
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+
+    def _star(e: DataFrame, large: bool) -> DataFrame:
+        """large: emit (v, m) for v in nbrs(u), v > u.
+        small: over v <= u, emit (v, m) for v in (nbrs<=u ∪ {u}) \\ {m}."""
+        sym = _sym(e)
+        if not large:
+            sym = sym.filter(F.col("dst") <= F.col("src"))
+        mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+        mins = mins.withColumn("m", F.least("mn", F.col("src"))).drop("mn")
+        j = sym.join(mins, "src")
+        if large:
+            out = j.filter(F.col("dst") > F.col("src")).select(
+                F.col("dst").alias("src"), F.col("m").alias("dst")
+            )
+        else:
+            out = (
+                j.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+                .unionByName(mins.select("src", F.col("m").alias("dst")))
+            )
+        return out.filter(F.col("src") != F.col("dst")).distinct()
+
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        pairs.select(F.col(id_a).alias("node"))
+        .unionByName(pairs.select(F.col(id_b).alias("node")))
+        .distinct()
+        .persist()
+    )
+    prev_fp = None
+    for _ in range(max_iter):
+        # localCheckpoint: an iterative DataFrame loop otherwise DOUBLES
+        # the logical plan per round (sym/union reference the previous
+        # round twice) — by round ~10 plan cloning alone OOMs the driver.
+        # Truncating lineage each round keeps plans O(1); on a cluster
+        # with an unreliable executor set, use checkpoint(dir) instead.
+        edges = _star(_star(edges, large=True), large=False).localCheckpoint()
+        fp = edges.agg(
+            F.count("*").alias("c"),
+            # bit_xor: order-independent and overflow-free under ANSI mode
+            F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
+        ).collect()[0]
+        fp = (fp["c"], fp["h"])
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    # post-convergence every edge points node -> component min; isolated
+    # nodes (possible if callers pass self-pairs) are their own component
+    comp = edges.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    return (
+        nodes.join(comp, "node", "left")
+        .select("node", F.coalesce("component", F.col("node")).alias("component"))
+    )
+
+
+def dedup_resolve(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Keep-one resolution: (node, component, keep) — keep=True exactly
+    for each component's minimum id. Downstream: left_anti join the
+    corpus against the keep=False rows."""
+    cc = connected_components(pairs, id_a, id_b)
+    return cc.withColumn("keep", F.col("node") == F.col("component"))

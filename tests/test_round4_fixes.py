@@ -282,3 +282,62 @@ def test_split_pos_neg_preserves_pretokenized_langs():
     sp = lex.split_pos_neg()  # would raise the Han fail-fast if dropped
     assert sp.pretokenized_langs == frozenset({"zh"})
     assert sp.lex["zh"]["L_POS"] == {"好": 1.0}
+
+
+# ----------------------------------------------------- connected components
+
+
+def test_connected_components_vs_union_find(spark):
+    """Large-star/small-star CC vs a plain union-find oracle on a graph
+    with a long chain (worst case for naive label propagation), a star, a
+    clique, and singleton-free isolates via self-less pairs."""
+    import random
+
+    rng = random.Random(3)
+    edges = [(i, i + 1) for i in range(100, 140)]          # 41-node chain
+    edges += [(0, v) for v in range(1, 20)]                # star at 0
+    edges += [(a, b) for a in range(200, 210) for b in range(a + 1, 210)]  # clique
+    extra = [(rng.randrange(300, 340), rng.randrange(300, 340)) for _ in range(60)]
+    edges += [(a, b) for a, b in extra if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    from sentometrics_spark.textops.dedup import connected_components, dedup_resolve
+
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+
+    # union-find oracle
+    parent: dict = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+    # path-compress fully
+    want = {x: find(x) for x in parent}
+    assert got == want
+
+    res = dedup_resolve(pairs).toPandas()
+    keepers = set(res[res.keep]["node"])
+    assert keepers == set(want.values())
+    assert len(res) == len(want)
+
+
+def test_connected_components_two_rounds_on_star_capped_pairs(spark):
+    """The star-capped candidate shape (keeper, member) converges and the
+    keeper is the component id."""
+    pairs = spark.createDataFrame(
+        [(0, v) for v in range(1, 50)] + [(50, 0)], "id_a long, id_b long"
+    )
+    from sentometrics_spark.textops.dedup import connected_components
+
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 51

@@ -1223,6 +1223,42 @@ SELECT CAST(node AS BIGINT) AS node, CAST(min(r) AS BIGINT) AS component,
 FROM reach GROUP BY node"""
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-document line dedup: lines (trim+lower) occurring
+    more than once in the corpus are dropped from every document."""
+    from sentometrics_spark.textops.textstats import line_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = line_dedup(docs, max_df=1, hash_fn="md5")
+    return out.select(
+        F.col("doc_id").cast("long"),
+        "clean_text",
+        F.col("n_lines").cast("long"),
+        F.col("n_dropped").cast("long"),
+    ).orderBy("doc_id")
+
+
+_SQL_LINE_DEDUP = """WITH t AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents WHERE text IS NOT NULL
+),
+l AS (
+  SELECT doc_id, u.i AS pos, ls[u.i] AS line, trim(lower(ls[u.i])) AS nrm
+  FROM t, UNNEST(generate_series(1, len(ls))) AS u(i)
+),
+counts AS (SELECT nrm, count(*) AS c FROM l WHERE nrm <> '' GROUP BY 1),
+marked AS (
+  SELECT l.doc_id, l.pos, l.line,
+         coalesce(l.nrm <> '' AND c.c > 1, FALSE) AS dropped
+  FROM l LEFT JOIN counts c ON l.nrm = c.nrm
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       coalesce(string_agg(CASE WHEN NOT dropped THEN line END, chr(10) ORDER BY pos), '')
+         AS clean_text,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM marked GROUP BY doc_id"""
+
+
 def q_gorilla_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gorilla compression of the measures panel: one blob per series;
     returns (series, n_points, blob_bytes) — round-trip exactness is pinned
@@ -2445,6 +2481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bit-exactly (production default is xxhash64 with the same plan)
         "minhash_lsh_candidates": q_minhash_candidates,
         "dedup_components": q_dedup_components,
+        "line_dedup": q_line_dedup,
         "simhash_near_pairs": q_simhash_pairs,
         "doc_fingerprint": q_doc_fingerprint,
         # LSH ANN: deterministic seeded planes inlined as oracle literals
@@ -2687,6 +2724,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": SQL_DOMAIN_STATS,
         "minhash_lsh_candidates": _sql_minhash_candidates(),
         "dedup_components": _sql_dedup_components(),
+        "line_dedup": _SQL_LINE_DEDUP,
         "simhash_near_pairs": _sql_simhash_pairs(),
         "doc_fingerprint": _sql_doc_fingerprint(),
         "lsh_ann_topk": _sql_lsh_ann_topk(),

@@ -725,3 +725,62 @@ def dsir_importance(
         log_weight.alias("log_weight"),
         n_feats.cast("long").alias("n_feats"),
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int = 1,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """CCNet-style cross-document line deduplication (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data" — public procedure): lines whose normalized form (trimmed,
+    lowercased) occurs more than ``max_df`` times across the corpus are
+    dropped from every document — the standard boilerplate killer
+    (headers, nav bars, cookie banners) applied before doc-level dedup.
+    Blank lines are structural and never counted or dropped.
+
+    Returns (id, clean_text, n_lines, n_dropped).
+
+    Scale shape: explode to (doc, pos, line-hash) -> ONE groupBy(hash)
+    with map-side partials for the global occurrence counts -> left join
+    of the bounded dup-hash set back on the hash key (zipfian for
+    mega-boilerplate lines; the build side is one row per hash, so AQE
+    skew-split papers the probe side) -> one uniform doc-keyed groupBy to
+    reassemble the text. No self-join, nothing quadratic."""
+    from sentometrics_spark.textops.dedup import hash64
+
+    lines = df.filter(F.col(text_col).isNotNull()).select(
+        id_col, F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
+    )
+    norm = F.trim(F.lower(F.col("line")))
+    lines = lines.withColumn(
+        "h", F.when(norm != "", hash64(norm, hash_fn=hash_fn))
+    )
+    dup = (
+        lines.filter(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > max_df)
+        .select("h", F.lit(True).alias("is_dup"))
+    )
+    marked = lines.join(dup, "h", "left").withColumn(
+        "drop", F.coalesce(F.col("is_dup"), F.lit(False))
+    )
+    kept = F.array_sort(
+        F.collect_list(
+            F.when(
+                ~F.col("drop"), F.struct(F.col("pos").alias("p"), F.col("line").alias("l"))
+            )
+        )
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.concat_ws("\n", F.transform(kept, lambda s: s["l"])).alias("clean_text"),
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("drop").cast("long")).alias("n_dropped"),
+        )
+    )

@@ -341,3 +341,34 @@ def test_connected_components_two_rounds_on_star_capped_pairs(spark):
     got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
     assert set(got.values()) == {0}
     assert len(got) == 51
+
+
+# ------------------------------------------------------------ line dedup
+
+
+def test_line_dedup_drops_boilerplate_lines(spark):
+    """CCNet-style line dedup: a nav/cookie line repeated across docs is
+    dropped everywhere; unique lines and blank structure survive."""
+    from sentometrics_spark.textops.textstats import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Accept cookies\nUnique story one\n\nBody A"),
+            (2, "accept cookies  \nUnique story two\nBody B"),
+            (3, "Totally original\nBody C"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, max_df=1).collect()}
+    # the cookie line matches doc 1 and 2 after trim+lower => dropped in both
+    assert out[1]["clean_text"] == "Unique story one\n\nBody A"
+    assert out[2]["clean_text"] == "Unique story two\nBody B"
+    assert out[3]["clean_text"] == "Totally original\nBody C"
+    assert out[1]["n_lines"] == 4 and out[1]["n_dropped"] == 1
+    assert out[3]["n_dropped"] == 0
+    # blank lines are structural: never counted as duplicates across docs
+    docs2 = spark.createDataFrame(
+        [(1, "a\n\nx"), (2, "b\n\ny")], "doc_id long, text string"
+    )
+    out2 = {r["doc_id"]: r["clean_text"] for r in line_dedup(docs2, max_df=1).collect()}
+    assert out2[1] == "a\n\nx" and out2[2] == "b\n\ny"

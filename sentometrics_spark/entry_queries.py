@@ -1259,6 +1259,51 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM marked GROUP BY doc_id"""
 
 
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail split by hashed-LM cross-entropy (exact
+    ntile mode, deterministic (score, id) ordering; md5/4096-bucket LM so
+    DuckDB replays the scores)."""
+    from sentometrics_spark.textops.textstats import perplexity_buckets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = perplexity_buckets(
+        docs, mode="ntile", n_buckets=3, buckets=4096, hash_fn="md5"
+    )
+    return out.select(
+        F.col("doc_id").cast("long"),
+        _r6("cross_entropy_bits").alias("cross_entropy_bits"),
+        F.col("bucket").cast("int").alias("bucket"),
+        "bucket_label",
+    ).orderBy("doc_id")
+
+
+def _sql_perplexity_buckets() -> str:
+    # mirror of textstats.perplexity_buckets(mode="ntile", n_buckets=3,
+    # buckets=4096, hash_fn="md5")
+    return f"""WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents
+),
+tok2 AS (SELECT * FROM tok WHERE token <> ''),
+tb AS (SELECT doc_id, ({_hx("token")}) % 4096 AS b FROM tok2),
+counts AS (SELECT b, CAST(count(*) AS DOUBLE) AS c FROM tb GROUP BY 1),
+tot AS (SELECT SUM(c) AS n_corpus FROM counts),
+ce AS (
+  SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+         -AVG(log2((c.c + 1.0) / (tot.n_corpus + 4096.0))) AS ceb
+  FROM tb t JOIN counts c USING (b) CROSS JOIN tot
+  GROUP BY t.doc_id
+),
+nt AS (
+  SELECT doc_id, ceb, ntile(3) OVER (ORDER BY ceb, doc_id) AS bucket FROM ce
+)
+SELECT doc_id,
+       floor(ceb * 1000000 + 0.5 + 1e-9) / 1000000.0 AS cross_entropy_bits,
+       CAST(bucket AS INT) AS bucket,
+       CASE bucket WHEN 1 THEN 'head' WHEN 3 THEN 'tail' ELSE 'middle' END AS bucket_label
+FROM nt"""
+
+
 def q_gorilla_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gorilla compression of the measures panel: one blob per series;
     returns (series, n_points, blob_bytes) — round-trip exactness is pinned
@@ -2482,6 +2527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_candidates": q_minhash_candidates,
         "dedup_components": q_dedup_components,
         "line_dedup": q_line_dedup,
+        "perplexity_buckets": q_perplexity_buckets,
         "simhash_near_pairs": q_simhash_pairs,
         "doc_fingerprint": q_doc_fingerprint,
         # LSH ANN: deterministic seeded planes inlined as oracle literals
@@ -2725,6 +2771,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_candidates": _sql_minhash_candidates(),
         "dedup_components": _sql_dedup_components(),
         "line_dedup": _SQL_LINE_DEDUP,
+        "perplexity_buckets": _sql_perplexity_buckets(),
         "simhash_near_pairs": _sql_simhash_pairs(),
         "doc_fingerprint": _sql_doc_fingerprint(),
         "lsh_ann_topk": _sql_lsh_ann_topk(),

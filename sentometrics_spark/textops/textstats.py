@@ -784,3 +784,72 @@ def line_dedup(
             F.sum(F.col("drop").cast("long")).alias("n_dropped"),
         )
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str | None = None,
+    n_buckets: int = 3,
+    mode: str = "quantile",
+    buckets: int = 65536,
+    hash_fn: str = "xxhash64",
+    lm: list | None = None,
+) -> DataFrame:
+    """CCNet head/middle/tail split (Wenzek et al. 2020 §4.4, public
+    procedure): rank documents by LM cross-entropy (lm_cross_entropy) and
+    cut the corpus into ``n_buckets`` equal-count buckets per language —
+    bucket 1 ("head") = most fluent, highest = "tail". Returns
+    (id, [lang], cross_entropy_bits, n_tokens, bucket, bucket_label).
+
+    mode="quantile" (production): per-language cut points via ONE
+    approx-percentile aggregate (bounded rows collected), then a map-only
+    bucket assignment — no global sort, scale-safe at 10^12 docs.
+    mode="ntile" (exact): a per-language window sort with deterministic
+    (score, id) ordering — exact equal counts, reproducible bit-for-bit by
+    a SQL oracle, but pays a full sort per language; use for bounded
+    corpora and cross-checks."""
+    from pyspark.sql.window import Window
+
+    ce = lm_cross_entropy(
+        df, id_col=id_col, text_col=text_col, buckets=buckets,
+        hash_fn=hash_fn, lm=lm,
+    )
+    if lang_col is not None:
+        ce = ce.join(df.select(id_col, lang_col), id_col)
+        part_cols = [lang_col]
+    else:
+        part_cols = []
+
+    if mode == "ntile":
+        w = Window.partitionBy(*part_cols).orderBy("cross_entropy_bits", id_col)
+        out = ce.withColumn("bucket", F.ntile(n_buckets).over(w))
+    elif mode == "quantile":
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        cuts = ce.groupBy(*part_cols).agg(
+            F.percentile_approx("cross_entropy_bits", probs, 10000).alias("cuts")
+        )
+        joined = ce.join(F.broadcast(cuts), part_cols) if part_cols else ce.crossJoin(
+            F.broadcast(cuts)
+        )
+        out = joined.withColumn(
+            "bucket",
+            F.aggregate(
+                "cuts",
+                F.lit(1),
+                lambda acc, c: acc
+                + F.when(F.col("cross_entropy_bits") > c, 1).otherwise(0),
+            ),
+        ).drop("cuts")
+    else:
+        raise ValueError(f"mode must be ntile|quantile, got {mode}")
+
+    label = (
+        F.when(F.col("bucket") == 1, "head")
+        .when(F.col("bucket") == n_buckets, "tail")
+        .otherwise("middle")
+        if n_buckets == 3
+        else F.concat(F.lit("b"), F.col("bucket").cast("string"))
+    )
+    return out.withColumn("bucket_label", label)

@@ -372,3 +372,24 @@ def test_line_dedup_drops_boilerplate_lines(spark):
     )
     out2 = {r["doc_id"]: r["clean_text"] for r in line_dedup(docs2, max_df=1).collect()}
     assert out2[1] == "a\n\nx" and out2[2] == "b\n\ny"
+
+
+def test_perplexity_buckets_head_middle_tail(spark):
+    """CCNet split: fluent docs land in head, gibberish in tail; the
+    scale path (quantile) agrees with exact ntile on bucket membership for
+    a well-separated corpus."""
+    from sentometrics_spark.textops.textstats import perplexity_buckets
+
+    rows = [(i, "common words appear here often and again often", "en") for i in range(6)]
+    rows += [(100 + i, "common words appear here plus rarer filler", "en") for i in range(6)]
+    rows += [(200 + i, f"zzq{i} qqz{i} xplk{i} vrbl{i}", "en") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    for mode in ("ntile", "quantile"):
+        out = perplexity_buckets(
+            docs, lang_col="lang", mode=mode, n_buckets=3
+        ).toPandas().set_index("doc_id")
+        assert set(out.loc[[0, 1, 2], "bucket_label"]) == {"head"}
+        assert set(out.loc[[200, 201], "bucket_label"]) == {"tail"}
+        assert out["bucket"].between(1, 3).all()
+        assert len(out) == 18

@@ -2251,6 +2251,57 @@ FROM (SELECT DISTINCT doc_id FROM documents WHERE source NOT IN ('src0', 'src1')
 LEFT JOIN hits h ON d.doc_id = h.doc_id"""
 
 
+def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma-style Bloom cross-snapshot dedup: fold the first five
+    sources' content hashes ONCE into a 2^16-bit bitmap, then test every
+    remaining document map-only against the broadcast bitmap. md5 variant
+    so DuckDB reproduces the k bit positions bit-exactly; maybe_seen ==
+    'all k positions set' == membership in the history's distinct
+    position set (which is what the oracle tests directly)."""
+    from sentometrics_spark.textops.dedup import bloom_build, bloom_dedup, hash64
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hist = docs.filter(F.col("source").isin(*_SNAPSHOT_SOURCES))
+    seen = hist.select(hash64(F.col("text"), hash_fn="md5").alias("content_hash"))
+    bloom = bloom_build(seen, m_bits=1 << 16, k_hashes=3, hash_fn="md5")
+    batch = docs.filter(~F.col("source").isin(*_SNAPSHOT_SOURCES))
+    out = bloom_dedup(batch, bloom)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("content_hash").cast("long").alias("content_hash"),
+        "maybe_seen",
+    )
+
+
+def _sql_dedup_bloom() -> str:
+    # Bit p is set iff p is one of the history's k*n positions, so the
+    # membership test IS the bit test — no bitmap needed oracle-side.
+    m = 1 << 16
+    k = 3
+    hx = _hx("text")
+    srcs = ", ".join(f"'{s}'" for s in _SNAPSHOT_SOURCES)
+    pos = lambda i: "((" + _hx(f"'{i}:' || CAST(ch AS VARCHAR)") + f") % {m})"
+    hist_pos = "\n  UNION ".join(
+        f"SELECT DISTINCT {pos(i)} AS pos FROM hist" for i in range(k)
+    )
+    tests = "\n   AND ".join(
+        f"{pos(i)} IN (SELECT pos FROM hist_pos)" for i in range(k)
+    )
+    return f"""WITH hist AS (
+  SELECT DISTINCT {hx} AS ch FROM documents WHERE source IN ({srcs})
+),
+hist_pos AS (
+  {hist_pos}
+),
+batch AS (
+  SELECT doc_id, {hx} AS ch FROM documents WHERE source NOT IN ({srcs})
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(ch AS BIGINT) AS content_hash,
+       {tests} AS maybe_seen
+FROM batch"""
+
+
 def q_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed unigram-LM cross-entropy quality proxy over the documents
     table. md5 bucket hashing (4096 buckets) so DuckDB replays the bucket
@@ -2556,6 +2607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         # incremental curation (round 3)
         "dedup_incremental_status": q_dedup_incremental,
+        "dedup_bloom_maybe_seen": q_dedup_bloom,
         "lm_cross_entropy": q_lm_cross_entropy,
         "dsir_importance": q_dsir_importance,
         "decontaminate_benchmark": q_decontaminate,
@@ -2716,6 +2768,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         **golden_oracles,
         "dedup_incremental_status": _sql_dedup_incremental(),
+        "dedup_bloom_maybe_seen": _sql_dedup_bloom(),
         "lm_cross_entropy": _SQL_LM_CROSS_ENTROPY,
         "dsir_importance": _sql_dsir_importance(),
         "decontaminate_benchmark": _sql_decontaminate(),

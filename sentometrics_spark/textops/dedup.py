@@ -854,3 +854,112 @@ def dedup_resolve(
     corpus against the keep=False rows."""
     cc = connected_components(pairs, id_a, id_b)
     return cc.withColumn("keep", F.col("node") == F.col("component"))
+
+
+def bloom_build(
+    seen: DataFrame,
+    hash_col: str = "content_hash",
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+    hash_fn: str = "xxhash64",
+) -> dict:
+    """Build a Bloom filter over a historical fingerprint store — the
+    Dolma-style alternative to the hash-join form of cross-snapshot dedup
+    (dedup_incremental): instead of joining every batch against the
+    history on its hash key, fold the history ONCE into an m_bits bitmap
+    and test each incoming document map-only against the broadcast bitmap.
+
+    Each item sets k_hashes bit positions
+
+        pos_i = hash64(str(i) + ':' + str(item_hash)) mod m_bits ,
+
+    derived from the item's content hash so that both engines (and the
+    DuckDB oracle, via hash_fn='md5') compute identical positions.
+
+    Scale shape: one explode(k positions) -> distinct shuffle whose OUTPUT
+    is bounded at m_bits rows regardless of history size, collected and
+    bit-packed driver-side into m_bits/64 longs (m_bits=2^20 -> 128 KiB —
+    broadcast-trivial). The history is scanned once at build time and
+    never again; contains/dedup passes are pure map. Size m_bits for the
+    target false-positive rate (1 - e^{-kn/m})^k; at 10^12 documents a
+    single in-plan bitmap no longer fits a task closure, and the same
+    positions feed a partitioned bitmap or the table format's native
+    key-bloom metadata instead — the operator contract (positions, k,
+    packing) is unchanged.
+
+    Returns {"m_bits", "k_hashes", "hash_fn", "words", "n_items"} —
+    pass to bloom_contains / bloom_dedup built with the SAME parameters.
+    """
+    if m_bits % 64 != 0:
+        raise ValueError("m_bits must be a multiple of 64")
+    hs = F.col(hash_col).cast("string")
+    pos = F.array(
+        *[
+            F.pmod(hash64(hs, seed=i, hash_fn=hash_fn), F.lit(m_bits))
+            for i in range(k_hashes)
+        ]
+    )
+    n_items = seen.count()
+    rows = seen.select(F.explode(pos).alias("pos")).distinct().collect()
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    for r in rows:
+        p = r["pos"]
+        words[p >> 6] |= np.uint64(1) << np.uint64(p & 63)
+    return {
+        "m_bits": m_bits,
+        "k_hashes": k_hashes,
+        "hash_fn": hash_fn,
+        "words": [int(np.int64(w)) for w in words],  # signed, Spark long
+        "n_items": n_items,
+    }
+
+
+def bloom_contains(
+    df: DataFrame, bloom: dict, hash_col: str = "content_hash"
+) -> DataFrame:
+    """Map-only Bloom membership: adds boolean ``maybe_seen`` — True iff
+    every one of the filter's k bit positions for this row's hash is set.
+    False is certain-new; True is probably-seen (false-positive rate set
+    by the build's m/k/n). The bitmap is inlined as ONE parsed
+    array-literal (the lm_cross_entropy doctrine — per-element F.lit would
+    issue a py4j call per word); the bit test is pure JVM integer math, no
+    shuffle, no Python."""
+    words = F.expr(
+        "array(" + ",".join(f"{w}L" for w in bloom["words"]) + ")"
+    )
+    pow2 = F.expr(
+        "array(" + ",".join(f"{(1 << b) - (1 << 64 if b == 63 else 0)}L" for b in range(64)) + ")"
+    )
+    hs = F.col(hash_col).cast("string")
+    m = bloom["m_bits"]
+    tests = []
+    for i in range(bloom["k_hashes"]):
+        pos = F.pmod(hash64(hs, seed=i, hash_fn=bloom["hash_fn"]), F.lit(m))
+        word = F.get(words, F.shiftright(pos, 6).cast("int"))
+        bit = F.get(pow2, F.pmod(pos, F.lit(64)).cast("int"))
+        tests.append(word.bitwiseAND(bit) != F.lit(0))
+    maybe = tests[0]
+    for t in tests[1:]:
+        maybe = maybe & t
+    return df.withColumn("maybe_seen", maybe)
+
+
+def bloom_dedup(
+    batch: DataFrame,
+    bloom: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-snapshot dedup against a Bloom'd history — the map-only
+    counterpart of dedup_incremental's history join: (id, content_hash,
+    maybe_seen). maybe_seen=False rows are certainly new (append their
+    hashes to the store and set their bits); True rows are duplicates up
+    to the filter's false-positive rate — route them to the exact
+    hash-join path if exactness is required (the standard two-tier
+    Bloom-then-join plan: the join now touches only the tiny maybe set).
+    """
+    hashed = batch.select(
+        F.col(id_col),
+        hash64(F.col(text_col), hash_fn=bloom["hash_fn"]).alias("content_hash"),
+    )
+    return bloom_contains(hashed, bloom)

@@ -627,3 +627,58 @@ def test_minhash_arrow_kernel_null_text_dropped(spark):
     a = out[out.doc_id == 1].sort_values("band")["sig"].to_numpy()
     b = out[out.doc_id == 2].sort_values("band")["sig"].to_numpy()
     assert (a == b).all() and len(a) == 8
+
+
+def test_bloom_dedup_no_false_negatives_and_bounded_fp(spark):
+    """Bloom cross-snapshot dedup: every history document MUST test
+    maybe_seen=True (no false negatives — the filter's hard guarantee),
+    and at the sized m/k/n the fresh-batch false-positive rate stays near
+    the analytic (1 - e^{-kn/m})^k."""
+    n_hist = 500
+    history = spark.range(n_hist).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("historic page "), F.col("id")).alias("text"),
+    )
+    seen = history.select(dedup.hash64(F.col("text")).alias("content_hash"))
+    bloom = dedup.bloom_build(seen, m_bits=1 << 14, k_hashes=4)
+    assert bloom["n_items"] == n_hist
+
+    # replaying the history itself: all True, zero false negatives
+    replay = dedup.bloom_dedup(history, bloom)
+    assert replay.filter(~F.col("maybe_seen")).count() == 0
+
+    # a disjoint fresh batch: expected fp ~ (1-e^{-kn/m})^k ~ 0.00012
+    fresh = spark.range(2000).select(
+        (F.col("id") + 100_000).alias("doc_id"),
+        F.concat(F.lit("genuinely new page "), F.col("id")).alias("text"),
+    )
+    fp = dedup.bloom_dedup(fresh, bloom).filter(F.col("maybe_seen")).count()
+    assert fp <= 10  # 0.5% — 40x the analytic rate, deterministic hashes
+
+    # two-tier plan: maybe set -> exact join resolves fp to certainty
+    maybe = dedup.bloom_dedup(fresh, bloom).filter(F.col("maybe_seen"))
+    exact = maybe.join(seen, "content_hash", "left_semi")
+    assert exact.count() == 0
+
+
+def test_bloom_contains_is_map_only(spark):
+    """The membership test must be a pure map over the batch — no
+    Exchange, no Python UDF (the history was folded at build time)."""
+    history = spark.range(100).select(
+        F.concat(F.lit("h"), F.col("id")).alias("text")
+    )
+    seen = history.select(dedup.hash64(F.col("text")).alias("content_hash"))
+    bloom = dedup.bloom_build(seen, m_bits=1 << 10, k_hashes=3)
+    batch = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("b"), F.col("id")).alias("text"),
+    )
+    plan = dedup.bloom_dedup(batch, bloom)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "BatchEval" not in plan
+
+
+def test_bloom_build_rejects_bad_m(spark):
+    seen = spark.range(1).select(F.col("id").alias("content_hash"))
+    with pytest.raises(ValueError):
+        dedup.bloom_build(seen, m_bits=100)

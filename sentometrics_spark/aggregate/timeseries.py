@@ -1,0 +1,236 @@
+"""Irregular-timeseries operators the reference's fixed-bucket pipeline
+lacks but any timeseries engine at this tier needs: as-of join,
+time-weighted average, and OHLC rollups over irregular event streams.
+
+The reference (sentometrics) only ever aggregates on calendar buckets
+(/root/reference/R/sentomeasures_main.R:406-453); joining a measure
+series onto an irregular event stream "as of" each event, or averaging a
+signal whose observations arrive irregularly, has no analogue there —
+these fill that gap Spark-first.
+
+Scale shapes
+------------
+- ``asof_join`` is NOT a join: both sides are unioned and resolved by ONE
+  window pass (single hash Exchange on the ``by`` keys + sort). The
+  classic broadcast/range-bucket as-of formulations either need a small
+  side or quadratic bucket overlap; the union-window form is one shuffle
+  of |left| + |right| rows regardless of time distribution, and the
+  window state is O(1) per row (a running "last right payload"). Skewed
+  ``by`` keys concentrate a window partition — as-of semantics need the
+  full per-key history in order, so pre-split hot keys upstream (e.g.
+  sessionize) rather than salting here.
+- ``time_weighted_avg`` / ``ohlc`` are one window / one groupBy on
+  (series, bucket) — bounded-key shuffles, map-side partials for ohlc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["asof_join", "time_weighted_avg", "ohlc"]
+
+
+def _us(c: Column) -> Column:
+    """Microseconds since epoch; tolerates TIMESTAMP_NTZ inputs (session
+    timezone is pinned to UTC throughout this engine)."""
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: list[str] | None = None,
+    payload: list[str] | None = None,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+    allow_exact: bool = True,
+    matched_ts_col: str = "asof_ts",
+) -> DataFrame:
+    """As-of join: attach to each left row the right row with the nearest
+    timestamp at-or-before it (``backward``), at-or-after (``forward``),
+    or closest either way, ties to backward (``nearest``), matching on the
+    equi-keys ``by``. Pandas ``merge_asof`` / DuckDB ``ASOF JOIN``
+    semantics, including ``allow_exact`` (backward default: a right row AT
+    the left timestamp matches).
+
+    Implementation: union both sides with a tag, one window partitioned by
+    ``by`` ordered by (ts, tag): ``last(payload_struct, ignorenulls=True)``
+    over the unbounded-preceding frame is exactly "most recent right row
+    so far". The payload rides in ONE struct so a legitimately-NULL right
+    value column is not skipped by ignorenulls (the struct itself is the
+    non-null marker). ``forward`` is the same pass ordered descending;
+    ``nearest`` evaluates both frames in the same partitioning (Catalyst
+    reuses the Exchange; two sorts) and picks the closer side.
+
+    ``tolerance_seconds`` drops matches farther than the given horizon
+    (fractional seconds honoured at microsecond precision). Unmatched left
+    rows keep NULL payload — the join is left-outer by construction.
+
+    If several right rows share (by, ts), the winner is the last within
+    the window sort (nondeterministic among exact ties, as in DuckDB);
+    pre-aggregate the right side to one row per (by, ts) when exact
+    determinism is required.
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be backward|forward|nearest")
+    by = list(by or [])
+    if not by:
+        raise ValueError(
+            "asof_join requires at least one 'by' key: a keyless as-of is a "
+            "single global window partition (one task holds every row) — "
+            "range-bucket the timestamp into a key first if you need it"
+        )
+    payload = list(
+        payload
+        if payload is not None
+        else [c for c in right.columns if c not in by + [on]]
+    )
+    clash = [c for c in payload if c in left.columns] + (
+        [matched_ts_col] if matched_ts_col in left.columns else []
+    )
+    if clash:
+        raise ValueError(f"payload/matched columns collide with left: {clash}")
+
+    lcols = left.columns
+    pstruct = F.struct(
+        F.col(on).alias("__ts"), *[F.col(c) for c in payload]
+    )
+    r_side = right.select(
+        *[F.col(k) for k in by],
+        F.col(on).alias(on),
+        F.lit(0).alias("__tag"),
+        pstruct.alias("__p"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+            if c not in by and c != on
+        ],
+    )
+    l_side = left.select(
+        *lcols,
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast(r_side.schema["__p"].dataType).alias("__p"),
+    )
+    u = l_side.unionByName(r_side)
+
+    # at equal ts: right (tag 0) sorts before left iff exact matches count
+    tag_ord = F.col("__tag").asc() if allow_exact else F.col("__tag").desc()
+
+    def _resolved(asc: bool) -> Column:
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(on).asc() if asc else F.col(on).desc(), tag_ord)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return F.last("__p", ignorenulls=True).over(w)
+
+    def _within(p: Column, back: bool) -> Column:
+        if tolerance_seconds is None:
+            return p
+        us = int(round(tolerance_seconds * 1_000_000))
+        gap = (
+            _us(F.col(on)) - _us(p["__ts"])
+            if back
+            else _us(p["__ts"]) - _us(F.col(on))
+        )
+        return F.when(gap <= F.lit(us), p)
+
+    if direction == "backward":
+        u = u.withColumn("__m", _within(_resolved(asc=True), back=True))
+    elif direction == "forward":
+        u = u.withColumn("__m", _within(_resolved(asc=False), back=False))
+    else:  # nearest: closer of the two, ties to backward
+        pb = _within(_resolved(asc=True), back=True)
+        pf = _within(_resolved(asc=False), back=False)
+        gb = _us(F.col(on)) - _us(pb["__ts"])
+        gf = _us(pf["__ts"]) - _us(F.col(on))
+        u = u.withColumn(
+            "__m",
+            F.when(pb.isNull(), pf)
+            .when(pf.isNull(), pb)
+            .when(gb <= gf, pb)
+            .otherwise(pf),
+        )
+
+    out = u.filter(F.col("__tag") == 1).select(
+        *lcols,
+        F.col("__m")["__ts"].alias(matched_ts_col),
+        *[F.col("__m")[c].alias(c) for c in payload],
+    )
+    return out
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    on: str = "ts",
+    value: str = "value",
+    series_keys: list[str] | None = None,
+    by: str = "hour",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Time-weighted average per (series, calendar bucket) over an
+    irregular observation stream — the TimescaleDB ``time_weight('locf')``
+    shape: each observation holds its value from its own timestamp until
+    the next observation in the same bucket (or the bucket's end), and the
+    bucket average weights values by those holding durations.
+
+    twa = Σ v_i · w_i / Σ w_i with w_i in microseconds (integer-derived,
+    so the weights are exact; only the final ratio is floating). A plain
+    AVG over-counts burst periods; the time weighting is invariant to
+    sampling density — the property that matters when hot domains emit
+    1000× the events of cold ones.
+
+    One window (lead within bucket) + one groupBy, both keyed on the
+    bounded (series, bucket) key set.
+    """
+    keys = list(series_keys or [])
+    b = F.date_trunc(by, F.col(on)).alias("bucket_ts")
+    order = [F.col(on)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(*keys, F.date_trunc(by, F.col(on))).orderBy(*order)
+    bucket_end_us = _us(
+        F.date_trunc(by, F.col(on)) + F.expr(f"interval 1 {by}")
+    )
+    next_us = F.coalesce(F.lead(_us(F.col(on))).over(w), bucket_end_us)
+    wt = (next_us - _us(F.col(on))).cast("double")
+    seg = df.select(
+        *keys,
+        b,
+        (F.col(value) * wt).alias("__vw"),
+        wt.alias("__w"),
+    )
+    return seg.groupBy(*keys, "bucket_ts").agg(
+        (F.sum("__vw") / F.sum("__w")).alias("twa"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+
+
+def ohlc(
+    df: DataFrame,
+    on: str = "ts",
+    value: str = "value",
+    series_keys: list[str] | None = None,
+    by: str = "hour",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Open/high/low/close rollup per (series, calendar bucket): the
+    canonical downsample for irregular numeric streams (candlesticks).
+    Pure groupBy with min_by/max_by on the (ts [, tiebreak]) ordering key —
+    map-side partials, one bounded-key shuffle, whole-stage codegen.
+    ``tiebreak`` makes open/close deterministic when timestamps collide
+    within a bucket."""
+    keys = list(series_keys or [])
+    ord_key = (
+        F.struct(F.col(on), F.col(tiebreak)) if tiebreak else F.col(on)
+    )
+    return df.groupBy(
+        *keys, F.date_trunc(by, F.col(on)).alias("bucket_ts")
+    ).agg(
+        F.min_by(F.col(value), ord_key).alias("open"),
+        F.max(F.col(value)).alias("high"),
+        F.min(F.col(value)).alias("low"),
+        F.max_by(F.col(value), ord_key).alias("close"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )

@@ -2491,6 +2491,181 @@ def _sql_golden_multilang(how: str) -> str:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# irregular-timeseries operators (round 4): as-of join, TWA, OHLC
+# ---------------------------------------------------------------------------
+
+
+def q_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward, 1h tolerance): each click event picks up the
+    most recent at-or-before view-event value for the same user. The right
+    side is pre-aggregated to one row per (user_id, ts) so the match is
+    deterministic; oracle is DuckDB's native ASOF LEFT JOIN."""
+    from sentometrics_spark.aggregate.timeseries import asof_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.filter(F.col("event_type") == "click").select("event_id", "ts", "user_id")
+    right = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    out = asof_join(
+        left, right, on="ts", by=["user_id"], payload=["view_value"],
+        direction="backward", tolerance_seconds=3600.0,
+    )
+    out = _fmt_ts(out, "ts")
+    out = out.withColumn("asof_ts", F.date_format("asof_ts", TSFMT_SPARK))
+    return out.select("event_id", "user_id", "ts", "asof_ts", "view_value")
+
+
+_SQL_ASOF_BACKWARD = f"""WITH l AS (
+  SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT user_id, ts, MAX(value) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+),
+j AS (
+  SELECT l.event_id, l.user_id, l.ts, r.ts AS rts, r.view_value AS rv
+  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+)
+SELECT event_id, user_id, strftime(ts, '{TSFMT_DUCK}') AS ts,
+       CASE WHEN rts IS NOT NULL AND epoch_us(ts) - epoch_us(rts) <= 3600000000
+            THEN strftime(rts, '{TSFMT_DUCK}') END AS asof_ts,
+       CASE WHEN rts IS NOT NULL AND epoch_us(ts) - epoch_us(rts) <= 3600000000
+            THEN rv END AS view_value
+FROM j"""
+
+
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, direction=nearest (closest view either side, ties to
+    backward), no tolerance. Oracle: DuckDB backward + forward ASOF joins
+    with the nearer side selected."""
+    from sentometrics_spark.aggregate.timeseries import asof_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.filter(F.col("event_type") == "click").select("event_id", "ts", "user_id")
+    right = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    out = asof_join(
+        left, right, on="ts", by=["user_id"], payload=["view_value"],
+        direction="nearest",
+    )
+    out = _fmt_ts(out, "ts")
+    out = out.withColumn("asof_ts", F.date_format("asof_ts", TSFMT_SPARK))
+    return out.select("event_id", "user_id", "ts", "asof_ts", "view_value")
+
+
+_SQL_ASOF_NEAREST = f"""WITH l AS (
+  SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT user_id, ts, MAX(value) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+),
+b AS (
+  SELECT l.event_id, r.ts AS rts, r.view_value AS rv
+  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+),
+f AS (
+  SELECT l.event_id, r.ts AS rts, r.view_value AS rv
+  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+),
+pick AS (
+  SELECT l.event_id, l.user_id, l.ts,
+         CASE WHEN b.rts IS NULL THEN f.rts
+              WHEN f.rts IS NULL THEN b.rts
+              WHEN epoch_us(l.ts) - epoch_us(b.rts)
+                   <= epoch_us(f.rts) - epoch_us(l.ts) THEN b.rts
+              ELSE f.rts END AS rts,
+         CASE WHEN b.rts IS NULL THEN f.rv
+              WHEN f.rts IS NULL THEN b.rv
+              WHEN epoch_us(l.ts) - epoch_us(b.rts)
+                   <= epoch_us(f.rts) - epoch_us(l.ts) THEN b.rv
+              ELSE f.rv END AS rv
+  FROM l LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id)
+)
+SELECT event_id, user_id, strftime(ts, '{TSFMT_DUCK}') AS ts,
+       strftime(rts, '{TSFMT_DUCK}') AS asof_ts, rv AS view_value
+FROM pick"""
+
+
+def q_twa_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted (LOCF-within-bucket) hourly average of event values
+    per type — sampling-density-invariant, unlike plain AVG. Weights are
+    exact integer microsecond durations; only the final ratio floats
+    (tie-stable r6 rounding, the engine-wide float doctrine)."""
+    from sentometrics_spark.aggregate.timeseries import time_weighted_avg
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = time_weighted_avg(
+        ev, on="ts", value="value", series_keys=["event_type"],
+        by="hour", tiebreak="event_id",
+    )
+    return _fmt_ts(out, "bucket_ts").select(
+        "event_type", "bucket_ts", _r6("twa").alias("twa"), "n_obs"
+    )
+
+
+_SQL_TWA_HOURLY = f"""WITH seg AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts, value,
+         CAST(coalesce(
+                lead(epoch_us(ts)) OVER (
+                  PARTITION BY event_type, date_trunc('hour', ts)
+                  ORDER BY ts, event_id),
+                epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR))
+              - epoch_us(ts) AS DOUBLE) AS w
+  FROM events
+)
+SELECT event_type, strftime(bucket_ts, '{TSFMT_DUCK}') AS bucket_ts,
+       floor((SUM(value * w) / SUM(w)) * 1000000 + 0.5 + 1e-9) / 1000000.0 AS twa,
+       COUNT(*) AS n_obs
+FROM seg GROUP BY 1, 2"""
+
+
+def q_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick rollup of event values per (type, hour) —
+    min_by/max_by on the (ts, event_id) ordering key, map-side partials,
+    one bounded-key shuffle. Values pass through unchanged, so the oracle
+    compare is bit-exact with no rounding."""
+    from sentometrics_spark.aggregate.timeseries import ohlc
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = ohlc(
+        ev, on="ts", value="value", series_keys=["event_type"],
+        by="hour", tiebreak="event_id",
+    )
+    return _fmt_ts(out, "bucket_ts").select(
+        "event_type", "bucket_ts", "open", "high", "low", "close", "n_obs"
+    )
+
+
+_SQL_OHLC_HOURLY = f"""WITH o AS (
+  SELECT event_type, date_trunc('hour', ts) AS b, value,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type, strftime(b, '{TSFMT_DUCK}') AS bucket_ts,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       COUNT(*) AS n_obs
+FROM o GROUP BY 1, 2"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # golden cross-validation rows FIRST: a driver gate that truncates the
     # contract still grades the literal "engine == reference package
@@ -2554,6 +2729,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_doc_rollup": q_sentence_rollup,
         # generic time-series fill on events
         "events_locf": q_events_locf,
+        "asof_backward_tol": q_asof_backward,
+        "asof_nearest": q_asof_nearest,
+        "twa_hourly": q_twa_hourly,
+        "ohlc_hourly": q_ohlc_hourly,
         "events_sessionize": q_events_sessionize,
         # driver-gate closers (S3/S5/S6, T3, O1, O3, M1/M2, M8, M9, M10/M11,
         # K7, A3-inverseExponential, exponential tier composability)
@@ -2782,6 +2961,10 @@ def oracle_sql() -> dict[str, str]:
         # single-sentence fixture corpus: sentence path == doc-level counts
         "sentence_doc_rollup": sentiment_cte("counts") + _SENT_FINAL,
         "events_locf": SQL_EVENTS_LOCF,
+        "asof_backward_tol": _SQL_ASOF_BACKWARD,
+        "asof_nearest": _SQL_ASOF_NEAREST,
+        "twa_hourly": _SQL_TWA_HOURLY,
+        "ohlc_hourly": _SQL_OHLC_HOURLY,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "corpus_pages": SQL_CORPUS_PAGES,
         "corpus_summarize_day": SQL_CORPUS_SUMMARIZE,

@@ -1,0 +1,166 @@
+"""Irregular-timeseries operators: as-of join (union-window), time-weighted
+average, OHLC rollup. Oracles: pandas merge_asof + hand integrals."""
+
+from datetime import datetime, timedelta
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sentometrics_spark.aggregate.timeseries import asof_join, ohlc, time_weighted_avg
+
+T0 = datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _t(minutes, seconds=0.0):
+    return T0 + timedelta(minutes=minutes, seconds=seconds)
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    # two keys; key 1 has an exact-tie quote at t=10
+    rows = [
+        (1, _t(0), 100.0),
+        (1, _t(10), 101.0),
+        (1, _t(30), 102.0),
+        (2, _t(5), 200.0),
+        (2, _t(50), 201.0),
+    ]
+    return spark.createDataFrame(rows, "k int, ts timestamp, px double")
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    rows = [
+        (1, _t(10), "a"),   # exact tie with quote @10
+        (1, _t(12), "b"),
+        (1, _t(29), "c"),
+        (2, _t(4), "d"),    # before any quote for key 2
+        (2, _t(60), "e"),
+        (3, _t(7), "f"),    # key with no quotes at all
+    ]
+    return spark.createDataFrame(rows, "k int, ts timestamp, tag string")
+
+
+def _pandas_asof(trades, quotes, direction, tolerance=None, allow_exact=True):
+    lp = trades.toPandas().sort_values("ts")
+    rp = quotes.toPandas().sort_values("ts").rename(columns={"ts": "asof_ts"})
+    return pd.merge_asof(
+        lp, rp, left_on="ts", right_on="asof_ts", by="k",
+        direction=direction, tolerance=tolerance, allow_exact_matches=allow_exact,
+    )
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+@pytest.mark.parametrize("tol", [None, 600.0])
+def test_asof_matches_pandas(spark, quotes, trades, direction, tol):
+    got = (
+        asof_join(trades, quotes, on="ts", by=["k"], payload=["px"],
+                  direction=direction, tolerance_seconds=tol)
+        .toPandas().sort_values(["k", "ts"]).reset_index(drop=True)
+    )
+    exp = _pandas_asof(
+        trades, quotes, direction,
+        tolerance=pd.Timedelta(seconds=tol) if tol else None,
+    ).sort_values(["k", "ts"]).reset_index(drop=True)
+    assert (got["px"].fillna(-1).to_numpy() == exp["px"].fillna(-1).to_numpy()).all()
+    assert (got["asof_ts"].astype(str) == exp["asof_ts"].astype(str)).all()
+    # left-outer: every trade survives, key 3 unmatched
+    assert len(got) == 6
+    assert got[got.k == 3]["px"].isna().all()
+
+
+def test_asof_exact_tie_semantics(spark, quotes, trades):
+    """allow_exact toggles whether the quote AT the trade's timestamp
+    matches (pandas allow_exact_matches semantics)."""
+    inc = asof_join(trades, quotes, on="ts", by=["k"], payload=["px"]).toPandas()
+    exc = asof_join(
+        trades, quotes, on="ts", by=["k"], payload=["px"], allow_exact=False
+    ).toPandas()
+    row_inc = inc[(inc.k == 1) & (inc.tag == "a")].iloc[0]
+    row_exc = exc[(exc.k == 1) & (exc.tag == "a")].iloc[0]
+    assert row_inc["px"] == 101.0  # the t=10 quote itself
+    assert row_exc["px"] == 100.0  # strictly-before only
+    exp = _pandas_asof(trades, quotes, "backward", allow_exact=False)
+    g = exc.sort_values(["k", "ts"]).reset_index(drop=True)
+    e = exp.sort_values(["k", "ts"]).reset_index(drop=True)
+    assert (g["px"].fillna(-1).to_numpy() == e["px"].fillna(-1).to_numpy()).all()
+
+
+def test_asof_guards(spark, quotes, trades):
+    with pytest.raises(ValueError, match="by"):
+        asof_join(trades, quotes, on="ts", by=[])
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(trades, quotes.withColumnRenamed("px", "tag"), on="ts", by=["k"])
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(trades, quotes, on="ts", by=["k"], direction="sideways")
+
+
+def test_asof_single_exchange(spark, quotes, trades):
+    """The operator is a union + ONE window — exactly one Exchange beyond
+    the (local) inputs, no SortMergeJoin/BroadcastHashJoin anywhere."""
+    plan = (
+        asof_join(trades, quotes, on="ts", by=["k"], payload=["px"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_twa_hand_integral(spark):
+    """Bucket [00:00, 01:00), obs at :00 (v=10), :15 (v=20), :45 (v=40):
+    LOCF weights 15, 30, 15 min -> twa = (10*15 + 20*30 + 40*15)/60 = 22.5.
+    Second bucket has a single obs at :30 holding to the end -> twa = v."""
+    df = spark.createDataFrame(
+        [
+            ("s", _t(0), 10.0, 1),
+            ("s", _t(15), 20.0, 2),
+            ("s", _t(45), 40.0, 3),
+            ("s", _t(90), 7.0, 4),
+        ],
+        "k string, ts timestamp, value double, event_id int",
+    )
+    out = {
+        str(r["bucket_ts"]): (r["twa"], r["n_obs"])
+        for r in time_weighted_avg(
+            df, series_keys=["k"], by="hour", tiebreak="event_id"
+        ).collect()
+    }
+    assert out["2024-01-01 00:00:00"] == (22.5, 3)
+    assert out["2024-01-01 01:00:00"] == (7.0, 1)
+
+
+def test_twa_density_invariance(spark):
+    """Densely resampling a constant-value stretch must NOT move the
+    time-weighted average (it would wreck a plain AVG)."""
+    sparse = [("s", _t(0), 10.0, 0), ("s", _t(30), 20.0, 1)]
+    dense = sparse + [("s", _t(0, 1 + i), 10.0, 100 + i) for i in range(50)]
+    r_sparse = time_weighted_avg(
+        spark.createDataFrame(sparse, "k string, ts timestamp, value double, event_id int"),
+        series_keys=["k"], by="hour", tiebreak="event_id",
+    ).collect()[0]["twa"]
+    r_dense = time_weighted_avg(
+        spark.createDataFrame(dense, "k string, ts timestamp, value double, event_id int"),
+        series_keys=["k"], by="hour", tiebreak="event_id",
+    ).collect()[0]["twa"]
+    assert abs(r_sparse - 15.0) < 1e-9
+    assert abs(r_dense - r_sparse) < 1e-6
+
+
+def test_ohlc_with_planted_tie(spark):
+    """Two observations at the SAME timestamp: the tiebreak column decides
+    open/close deterministically."""
+    df = spark.createDataFrame(
+        [
+            ("s", _t(1), 5.0, 2),
+            ("s", _t(1), 3.0, 1),   # same ts, lower event_id -> open
+            ("s", _t(20), 9.0, 3),
+            ("s", _t(40), 1.0, 4),
+        ],
+        "k string, ts timestamp, value double, event_id int",
+    )
+    r = ohlc(df, series_keys=["k"], by="hour", tiebreak="event_id").collect()[0]
+    assert (r["open"], r["high"], r["low"], r["close"], r["n_obs"]) == (
+        3.0, 9.0, 1.0, 1.0, 4,
+    )

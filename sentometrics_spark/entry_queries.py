@@ -2666,6 +2666,77 @@ SELECT event_type, strftime(b, '{TSFMT_DUCK}') AS bucket_ts,
 FROM o GROUP BY 1, 2"""
 
 
+
+# ---------------------------------------------------------------------------
+# training-data composition (round 4): temperature mixing, sequence packing
+# ---------------------------------------------------------------------------
+
+
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-0.5 domain mixing at half the corpus: deterministic
+    hash-threshold selection toward tempered per-source quotas (md5
+    variant so DuckDB replays every per-document decision)."""
+    from sentometrics_spark.textops.sampling import sample_by_source_temperature
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = sample_by_source_temperature(
+        docs, tau=0.5, target_frac=0.5, seed=7, hash_fn="md5"
+    )
+    return out.select("doc_id", "source", "selected")
+
+
+def _sql_sample_temperature() -> str:
+    # thresholds mirror temperature_rates(tau=0.5, target_frac=0.5):
+    # sqrt is IEEE-correctly-rounded on both engines and the tie-stable
+    # nudge absorbs sum-order ulps, so the integer thresholds agree.
+    hx = _hx("'7:' || d.source || ':' || CAST(d.doc_id AS VARCHAR)")
+    return f"""WITH counts AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT SUM(n) AS nt, SUM(sqrt(CAST(n AS DOUBLE))) AS sw FROM counts
+),
+thr AS (
+  SELECT source,
+         CAST(floor(
+           LEAST(1.0, (0.5 * nt * (sqrt(CAST(n AS DOUBLE)) / sw)) / n)
+           * 1048576 + 0.5 + 1e-9) AS BIGINT) AS t
+  FROM counts CROSS JOIN tot
+)
+SELECT d.doc_id, d.source AS source, ({hx}) % 1048576 < thr.t AS selected
+FROM documents d JOIN thr ON d.source = thr.source"""
+
+
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing into 2048-token contexts, four
+    deterministic shards per source (the skew valve for giant domains) —
+    every output is an integer from one cumulative-sum window, so the
+    layout is exactly reproducible and exactly oracled."""
+    from sentometrics_spark.textops.sampling import pack_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_documents(docs, budget=2048, shards=4)
+
+
+_SQL_PACK_DOCUMENTS = r"""WITH t AS (
+  SELECT doc_id, source, CAST(doc_id % 4 AS INT) AS shard,
+         CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT *, CAST(SUM(n_tokens) OVER (
+              PARTITION BY source, shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM t
+)
+SELECT doc_id, source, shard, n_tokens,
+       cum - n_tokens AS start_offset,
+       (cum - n_tokens) // 2048 AS pack_first,
+       (cum - 1) // 2048 AS pack_last,
+       (cum - 1) // 2048 - (cum - n_tokens) // 2048 + 1 AS n_packs
+FROM c"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # golden cross-validation rows FIRST: a driver gate that truncates the
     # contract still grades the literal "engine == reference package
@@ -2787,6 +2858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # incremental curation (round 3)
         "dedup_incremental_status": q_dedup_incremental,
         "dedup_bloom_maybe_seen": q_dedup_bloom,
+        "sample_temperature": q_sample_temperature,
+        "pack_documents": q_pack_documents,
         "lm_cross_entropy": q_lm_cross_entropy,
         "dsir_importance": q_dsir_importance,
         "decontaminate_benchmark": q_decontaminate,
@@ -2948,6 +3021,8 @@ def oracle_sql() -> dict[str, str]:
         **golden_oracles,
         "dedup_incremental_status": _sql_dedup_incremental(),
         "dedup_bloom_maybe_seen": _sql_dedup_bloom(),
+        "sample_temperature": _sql_sample_temperature(),
+        "pack_documents": _SQL_PACK_DOCUMENTS,
         "lm_cross_entropy": _SQL_LM_CROSS_ENTROPY,
         "dsir_importance": _sql_dsir_importance(),
         "decontaminate_benchmark": _sql_decontaminate(),

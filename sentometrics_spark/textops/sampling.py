@@ -1,0 +1,151 @@
+"""Training-data composition operators: temperature-based domain mixing
+(deterministic hash sampling toward per-source quotas) and sequence
+packing (document streams chunked into fixed token-budget contexts).
+
+Both are the "last mile" of a curation pipeline: after dedup and quality
+gates, a pretraining run needs (a) a mixture over sources that tempers
+the natural (zipfian) domain distribution — the multinomial
+``p_s ∝ n_s^τ`` reweighting of Lample & Conneau (XLM, 2019) §3.1, also
+used by mT5/CC100 — and (b) documents laid out into fixed-length training
+contexts (the standard concat-then-chunk packing of GPT-style pipelines).
+
+Scale shapes
+------------
+- ``sample_by_source_temperature``: per-source counts are a bounded
+  groupBy (|sources| rows) collected once; the selection pass is pure
+  map — a hash-threshold test against an inlined per-source CASE, no
+  shuffle of the corpus, no Python. Deterministic in (seed, counts):
+  re-running selects the identical subset, so the op is safe to re-execute
+  in a retried stage (idempotent sampling — rand() would not be).
+- ``pack_documents``: one window pass per (source, shard) stream —
+  cumulative token offsets, then pure arithmetic for pack ids. ``shards``
+  splits a giant source into independent packing streams so no single
+  window partition holds a whole domain at 10^12 docs; each stream's
+  layout stays deterministic.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sentometrics_spark.textops.dedup import hash64
+from sentometrics_spark.textops.textstats import token_count
+
+__all__ = ["temperature_rates", "sample_by_source_temperature", "pack_documents"]
+
+_HASH_MOD = 1 << 20
+
+
+def temperature_rates(
+    counts: dict[str, int], tau: float, target_frac: float
+) -> dict[str, int]:
+    """Per-source integer hash thresholds (out of 2^20) implementing
+    temperature sampling: source weight w_s = n_s^τ / Σ n_s^τ, desired
+    draw k_s = target_frac·N·w_s, per-document keep rate min(1, k_s/n_s).
+
+    τ=1 keeps the natural distribution, τ→0 flattens toward uniform over
+    sources; τ<1 upsamples (relatively) the tail domains exactly as in
+    XLM §3.1. The Σ is a left fold over lexicographically sorted sources
+    and the rate→threshold map uses the engine's tie-stable rounding, so
+    an independent SQL oracle reproduces the thresholds bit-for-bit
+    (sums of a handful of doubles can differ by an ulp across engines;
+    the 1e-9 nudge moves the cliff off those ties)."""
+    if not 0.0 < target_frac <= 1.0:
+        raise ValueError("target_frac must be in (0, 1]")
+    srcs = sorted(counts)
+    pw = {s: math.pow(float(counts[s]), tau) for s in srcs}
+    tot_w = 0.0
+    for s in srcs:  # fixed fold order — see docstring
+        tot_w += pw[s]
+    n_total = sum(counts.values())
+    out = {}
+    for s in srcs:
+        k = target_frac * n_total * (pw[s] / tot_w)
+        rate = min(1.0, k / counts[s])
+        out[s] = int(math.floor(rate * _HASH_MOD + 0.5 + 1e-9))
+    return out
+
+
+def sample_by_source_temperature(
+    docs: DataFrame,
+    tau: float = 0.5,
+    target_frac: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 7,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Adds a deterministic ``selected`` flag realizing a temperature-τ
+    mixture over sources at ~``target_frac`` of the corpus: doc kept iff
+    hash(source:doc_id) mod 2^20 falls under its source's threshold.
+    Expected per-source draw matches the τ-tempered multinomial up to the
+    min(1,·) cap (a source too small for its tempered share is kept
+    whole — the remainder is NOT redistributed, matching the standard
+    single-pass implementation).
+
+    hash_fn='md5' makes the per-document decision replayable in DuckDB."""
+    counts = {
+        r[source_col]: r["n"]
+        for r in docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    thresholds = temperature_rates(counts, tau, target_frac)
+    thr: Column = F.lit(None).cast("long")
+    for s, t in thresholds.items():
+        thr = F.when(F.col(source_col) == s, F.lit(t)).otherwise(thr)
+    h = F.pmod(
+        hash64(
+            F.concat_ws(":", F.col(source_col), F.col(id_col).cast("string")),
+            seed=seed,
+            hash_fn=hash_fn,
+        ),
+        F.lit(_HASH_MOD),
+    )
+    return docs.withColumn("selected", h < thr)
+
+
+def pack_documents(
+    docs: DataFrame,
+    budget: int = 2048,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shards: int = 1,
+    tokens: Column | None = None,
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: within each (source, shard)
+    stream, documents ordered by id form one token stream chunked into
+    packs of ``budget`` tokens; a document occupies the half-open token
+    interval [start_offset, start_offset + n_tokens) of its stream and
+    may straddle packs (GPT-style packing splits it across contexts —
+    pack_first/pack_last report the span, n_packs = how many contexts
+    touch it).
+
+    All outputs are integers derived from one cumulative-sum window, so
+    the layout is exactly reproducible (and exactly SQL-oracle-able).
+    ``shards`` deterministically splits a source into ``doc_id % shards``
+    independent streams — the skew valve for domains too large for one
+    sorted window partition."""
+    if budget <= 0 or shards <= 0:
+        raise ValueError("budget and shards must be positive")
+    ntok = (tokens if tokens is not None else token_count(text_col)).cast("long")
+    shard = F.pmod(F.col(id_col), F.lit(shards)).cast("int")
+    w = (
+        Window.partitionBy(source_col, shard)
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(ntok).over(w)
+    start = (cum - ntok).alias("start_offset")
+    return docs.select(
+        F.col(id_col),
+        F.col(source_col),
+        shard.alias("shard"),
+        ntok.alias("n_tokens"),
+        start,
+        F.floor((cum - ntok) / budget).cast("long").alias("pack_first"),
+        F.floor((cum - 1) / budget).cast("long").alias("pack_last"),
+    ).withColumn("n_packs", F.col("pack_last") - F.col("pack_first") + F.lit(1))

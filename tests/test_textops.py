@@ -682,3 +682,88 @@ def test_bloom_build_rejects_bad_m(spark):
     seen = spark.range(1).select(F.col("id").alias("content_hash"))
     with pytest.raises(ValueError):
         dedup.bloom_build(seen, m_bits=100)
+
+
+def test_temperature_sampling_rates_and_determinism(spark):
+    """τ=0.5 tempering: selected fractions track the tempered multinomial
+    (small sources upsampled relative to big ones), the whole pass is
+    deterministic in the seed, and τ=1/target=1 keeps everything."""
+    from sentometrics_spark.textops import sampling
+
+    rows = [(i, "t", "big" if i < 9000 else "small") for i in range(10000)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    out = sampling.sample_by_source_temperature(docs, tau=0.5, target_frac=0.5)
+    got = {
+        (r["source"], r["selected"]): r["n"]
+        for r in out.groupBy("source", "selected").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    # analytic: w_big = sqrt(9000)/(sqrt(9000)+sqrt(1000)) = 0.75, k_big = 3750
+    # w_small = 0.25 -> k_small = 1250 > n_small? no: 1250 > 1000 -> capped, all kept
+    frac_big = got[("big", True)] / 9000
+    assert abs(frac_big - 3750 / 9000) < 0.02  # hash-uniformity tolerance
+    assert ("small", False) not in got  # capped at rate 1 -> all kept
+    # deterministic: identical subset on re-run
+    again = sampling.sample_by_source_temperature(docs, tau=0.5, target_frac=0.5)
+    assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
+    # tau=1, target=1: natural distribution at full budget keeps everything
+    full = sampling.sample_by_source_temperature(docs, tau=1.0, target_frac=1.0)
+    assert full.filter("NOT selected").count() == 0
+    with pytest.raises(ValueError):
+        sampling.temperature_rates({"a": 10}, 0.5, 0.0)
+
+
+def test_temperature_sampling_is_map_only_after_counts(spark):
+    from sentometrics_spark.textops import sampling
+
+    docs = spark.createDataFrame(
+        [(i, "t", "s" + str(i % 3)) for i in range(100)],
+        "doc_id long, text string, source string",
+    )
+    out = sampling.sample_by_source_temperature(docs, tau=0.5, target_frac=0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_pack_documents_layout(spark):
+    """Hand-checkable stream: budget 10, three docs of 4/8/3 tokens ->
+    offsets 0/4/12; doc 2 straddles packs 0-1, doc 3 sits in pack 1."""
+    from sentometrics_spark.textops import sampling
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["w"] * 4), "s"),
+            (2, " ".join(["w"] * 8), "s"),
+            (3, " ".join(["w"] * 3), "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r["doc_id"]: (r["start_offset"], r["pack_first"], r["pack_last"], r["n_packs"])
+        for r in sampling.pack_documents(docs, budget=10).collect()
+    }
+    assert out[1] == (0, 0, 0, 1)
+    assert out[2] == (4, 0, 1, 2)   # tokens [4,12) straddles the 10 boundary
+    assert out[3] == (12, 1, 1, 1)
+
+
+def test_pack_documents_shards_are_independent_streams(spark):
+    """shards=2 splits by doc_id parity; each stream's offsets restart at
+    0 and the union of pack contents covers every token exactly once
+    within its stream."""
+    from sentometrics_spark.textops import sampling
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (i + 1)), "s") for i in range(6)],
+        "doc_id long, text string, source string",
+    )
+    out = sampling.pack_documents(docs, budget=5, shards=2).toPandas()
+    for shard, grp in out.groupby("shard"):
+        g = grp.sort_values("doc_id")
+        assert g["start_offset"].iloc[0] == 0
+        # contiguous: each start = previous start + previous n_tokens
+        exp = g["n_tokens"].cumsum().shift(1).fillna(0).astype(int)
+        assert (g["start_offset"].to_numpy() == exp.to_numpy()).all()
+    with pytest.raises(ValueError):
+        sampling.pack_documents(docs, budget=0)

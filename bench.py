@@ -94,11 +94,25 @@ def run_benchmarks(cpus: int, sf_dir: str, q1_only: bool = False) -> dict:
     from sentometrics_spark.textops.textstats import gopher_quality as _gopher
     from sentometrics_spark.textops.dedup import simhash_near_pairs as _simhash_pairs
     from sentometrics_spark.textops.textstats import lm_cross_entropy as _lm_ce
+    from sentometrics_spark.aggregate.timeseries import asof_join as _asof_join
 
     spark = get_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     pages = replicated_pages(spark, sf_dir, REPLICATE).cache()
     n_docs = pages.count()
+    # events replicated with disjoint user spaces per replica (asof bench):
+    # sf0.1 -> 2M events over 30k users
+    ev0 = spark.read.parquet(f"{sf_dir}/events.parquet")
+    reps_ev = spark.range(20).select(F.col("id").alias("rep"))
+    events = (
+        ev0.repartition(spark.sparkContext.defaultParallelism * 2)
+        .crossJoin(F.broadcast(reps_ev))
+        .withColumn("user_id", F.col("user_id") + F.col("rep") * 1_000_000)
+        .withColumn("event_id", F.col("event_id") + F.col("rep") * 100_000_000)
+        .drop("rep")
+        .cache()
+    )
+    events.count()
     lex = fixture_lexicons()
     lex_nv = Lexicons(lex=lex.lex)
 
@@ -200,6 +214,18 @@ def run_benchmarks(cpus: int, sf_dir: str, q1_only: bool = False) -> dict:
                 _simhash_pairs(
                     pages.select(F.col("url").alias("doc_id"), "text"),
                     max_bucket_size=32,
+                ))),
+            # q14 (new in round 4): as-of join at 2M events / 30k users —
+            # the union-window form's single Exchange, clicks picking up
+            # the most recent per-user view value within 1h
+            ("q14_asof_events", lambda: force(
+                _asof_join(
+                    events.filter(F.col("event_type") == "click")
+                    .select("event_id", "ts", "user_id"),
+                    events.filter(F.col("event_type") == "view")
+                    .select("user_id", "ts", F.col("value").alias("v")),
+                    on="ts", by=["user_id"], payload=["v"],
+                    direction="backward", tolerance_seconds=3600.0,
                 ))),
         ]
 

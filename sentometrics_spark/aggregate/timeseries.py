@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["asof_join", "time_weighted_avg", "ohlc"]
+__all__ = ["asof_join", "time_weighted_avg", "ohlc", "counter_rate", "lttb_downsample"]
 
 
 def _us(c: Column) -> Column:
@@ -233,4 +233,127 @@ def ohlc(
         F.min(F.col(value)).alias("low"),
         F.max_by(F.col(value), ord_key).alias("close"),
         F.count(F.lit(1)).alias("n_obs"),
+    )
+
+
+def counter_rate(
+    df: DataFrame,
+    on: str = "ts",
+    value: str = "value",
+    series_keys: list[str] | None = None,
+    by: str = "hour",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Monotone-counter increase/rate per (series, calendar bucket) with
+    reset handling — the Prometheus ``increase()``/``rate()`` shape over
+    cumulative counters (bytes ingested, docs scored, requests served):
+    per series ordered by time, each observation contributes its delta
+    from the previous one; a NEGATIVE delta means the counter reset (
+    process restart) and the post-reset absolute value is the increase —
+    exactly Prometheus's reset correction. A series' first-ever
+    observation has no predecessor and contributes nothing.
+
+    Output per (series, bucket): ``increase`` (Σ corrected deltas of the
+    observations in the bucket), ``rate`` = increase / bucket seconds,
+    ``n_resets``, ``n_obs``. One lag window over the series ordering +
+    one bounded-key groupBy — the same two-Exchange shape as
+    time_weighted_avg. (Deliberately simpler than PromQL's lookahead
+    extrapolation: increases are attributed to the bucket of the LATER
+    endpoint, making buckets exactly additive — Σ bucket increases ==
+    whole-series increase, which the tests pin.)"""
+    keys = list(series_keys or [])
+    order = [F.col(on)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    prev = F.lag(F.col(value)).over(w)
+    delta = F.col(value) - prev
+    inc = F.when(prev.isNull(), F.lit(None).cast("double")).when(
+        delta < 0, F.col(value)
+    ).otherwise(delta)
+    is_reset = F.when(prev.isNotNull() & (delta < 0), 1).otherwise(0)
+    bucket_secs = (
+        _us(F.date_trunc(by, F.col(on)) + F.expr(f"interval 1 {by}"))
+        - _us(F.date_trunc(by, F.col(on)))
+    ).cast("double") / F.lit(1_000_000.0)
+    seg = df.select(
+        *keys,
+        F.date_trunc(by, F.col(on)).alias("bucket_ts"),
+        inc.alias("__inc"),
+        is_reset.alias("__reset"),
+        bucket_secs.alias("__secs"),
+    )
+    return seg.groupBy(*keys, "bucket_ts").agg(
+        F.coalesce(F.sum("__inc"), F.lit(0.0)).alias("increase"),
+        (F.coalesce(F.sum("__inc"), F.lit(0.0)) / F.first("__secs")).alias("rate"),
+        F.sum("__reset").cast("long").alias("n_resets"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+
+
+def lttb_downsample(
+    df: DataFrame,
+    n_out: int,
+    on: str = "ts",
+    value: str = "value",
+    series_keys: list[str] | None = None,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013) per
+    series: keep first and last points; split the interior into n_out - 2
+    equal-count buckets; walking left to right, keep from each bucket the
+    point forming the largest triangle with the PREVIOUSLY KEPT point and
+    the NEXT bucket's centroid. The visually-faithful downsample for
+    plotting rolled-up sentiment tiers at dashboard resolution.
+
+    The selection is inherently sequential (each choice conditions the
+    next triangle), so this is a per-series ``applyInPandas`` numpy
+    kernel — the right altitude here: LTTB's input is an already
+    rolled-up tier (bounded points per series by construction of the
+    retention engine), so one task per series holds its series trivially
+    even at 10^12 source documents; parallelism comes from the series
+    dimension. NOT for raw event streams — roll up first.
+
+    Ties (equal areas) keep the earliest point; a series with <= n_out
+    points passes through unchanged.
+    """
+    if n_out < 3:
+        raise ValueError("n_out must be >= 3 (first + last + one interior)")
+    keys = list(series_keys or [])
+    if not keys:
+        raise ValueError("lttb_downsample requires series_keys (per-series kernel)")
+    import numpy as np
+    import pandas as pd
+
+    out_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.select(*keys, on, value).schema.fields
+    )
+
+    def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(on, kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        if n <= n_out:
+            return pdf[keys + [on, value]]
+        x = pdf[on].astype("int64").to_numpy().astype(np.float64)  # ns epoch
+        y = pdf[value].to_numpy(dtype=np.float64)
+        # equal-count interior buckets over points 1..n-2
+        edges = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+        sel = [0]
+        prev = 0
+        for b in range(n_out - 2):
+            lo, hi = edges[b], edges[b + 1]          # this bucket: [lo, hi)
+            nlo, nhi = (edges[b + 1], edges[b + 2]) if b < n_out - 3 else (n - 1, n)
+            cx, cy = x[nlo:nhi].mean(), y[nlo:nhi].mean()
+            ax, ay = x[prev], y[prev]
+            # 2x triangle area; argmax keeps the earliest on exact ties
+            area = np.abs(
+                (ax - cx) * (y[lo:hi] - ay) - (ax - x[lo:hi]) * (cy - ay)
+            )
+            prev = lo + int(np.argmax(area))
+            sel.append(prev)
+        sel.append(n - 1)
+        return pdf.iloc[sel][keys + [on, value]]
+
+    return (
+        df.select(*keys, on, value)
+        .groupBy(*keys)
+        .applyInPandas(_kernel, schema=out_fields)
     )

@@ -2737,6 +2737,68 @@ SELECT doc_id, source, shard, n_tokens,
 FROM c"""
 
 
+
+def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus-style counter increase/rate per (event_type, hour) with
+    reset correction, treating the event value stream as a cumulative
+    counter. Bucket increases are exactly additive to the whole-series
+    corrected increase (tested); float sums carry the r6 doctrine."""
+    from sentometrics_spark.aggregate.timeseries import counter_rate
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = counter_rate(
+        ev, on="ts", value="value", series_keys=["event_type"],
+        by="hour", tiebreak="event_id",
+    )
+    return _fmt_ts(out, "bucket_ts").select(
+        "event_type", "bucket_ts", _r6("increase").alias("increase"),
+        _r6("rate").alias("rate"), "n_resets", "n_obs"
+    )
+
+
+_SQL_COUNTER_RATE = f"""WITH d AS (
+  SELECT event_type, ts, value,
+         lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev
+  FROM events
+),
+seg AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+         CASE WHEN prev IS NULL THEN NULL
+              WHEN value - prev < 0 THEN value
+              ELSE value - prev END AS inc,
+         CASE WHEN prev IS NOT NULL AND value - prev < 0 THEN 1 ELSE 0 END AS r
+  FROM d
+)
+SELECT event_type, strftime(bucket_ts, '{TSFMT_DUCK}') AS bucket_ts,
+       floor(coalesce(SUM(inc), 0.0) * 1000000 + 0.5 + 1e-9) / 1000000.0 AS increase,
+       floor((coalesce(SUM(inc), 0.0) / 3600.0) * 1000000 + 0.5 + 1e-9) / 1000000.0 AS rate,
+       CAST(SUM(r) AS BIGINT) AS n_resets,
+       COUNT(*) AS n_obs
+FROM seg GROUP BY 1, 2"""
+
+
+def q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB downsample of the hourly per-type average series to 50 points
+    per series (rows-only: the bucket-walk selection is sequential per
+    series — pinned instead by the independent plain-loop reference
+    implementation in tests/test_timeseries.py)."""
+    from sentometrics_spark.aggregate.timeseries import lttb_downsample
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(F.avg("value").alias("value"))
+    out = lttb_downsample(
+        hourly, n_out=50, on="bucket_ts", value="value",
+        series_keys=["event_type"],
+    )
+    return _fmt_ts(out, "bucket_ts").select(
+        "event_type", "bucket_ts", _r6("value").alias("value")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # golden cross-validation rows FIRST: a driver gate that truncates the
     # contract still grades the literal "engine == reference package
@@ -2804,6 +2866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest": q_asof_nearest,
         "twa_hourly": q_twa_hourly,
         "ohlc_hourly": q_ohlc_hourly,
+        "counter_rate_hourly": q_counter_rate,
+        "lttb_downsample_50": q_lttb,
         "events_sessionize": q_events_sessionize,
         # driver-gate closers (S3/S5/S6, T3, O1, O3, M1/M2, M8, M9, M10/M11,
         # K7, A3-inverseExponential, exponential tier composability)
@@ -3040,6 +3104,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_nearest": _SQL_ASOF_NEAREST,
         "twa_hourly": _SQL_TWA_HOURLY,
         "ohlc_hourly": _SQL_OHLC_HOURLY,
+        "counter_rate_hourly": _SQL_COUNTER_RATE,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "corpus_pages": SQL_CORPUS_PAGES,
         "corpus_summarize_day": SQL_CORPUS_SUMMARIZE,

@@ -164,3 +164,98 @@ def test_ohlc_with_planted_tie(spark):
     assert (r["open"], r["high"], r["low"], r["close"], r["n_obs"]) == (
         3.0, 9.0, 1.0, 1.0, 4,
     )
+
+
+def test_counter_rate_resets_and_additivity(spark):
+    """Counter 0,10,25 | reset -> 5,11 in the next hour: increases are
+    10+15=25 then 5(reset contributes absolute)+6=11; resets counted; and
+    bucket increases sum to the whole-series corrected increase."""
+    from sentometrics_spark.aggregate.timeseries import counter_rate
+
+    df = spark.createDataFrame(
+        [
+            ("c", _t(0), 0.0),
+            ("c", _t(10), 10.0),
+            ("c", _t(50), 25.0),
+            ("c", _t(70), 5.0),    # reset in hour 1
+            ("c", _t(80), 11.0),
+        ],
+        "k string, ts timestamp, value double",
+    )
+    out = {
+        str(r["bucket_ts"]): r
+        for r in counter_rate(df, series_keys=["k"], by="hour").collect()
+    }
+    h0, h1 = out["2024-01-01 00:00:00"], out["2024-01-01 01:00:00"]
+    assert h0["increase"] == 25.0 and h0["n_resets"] == 0 and h0["n_obs"] == 3
+    assert h1["increase"] == 11.0 and h1["n_resets"] == 1 and h1["n_obs"] == 2
+    assert abs(h0["rate"] - 25.0 / 3600.0) < 1e-15
+    # additivity: sum over buckets == total corrected increase
+    assert h0["increase"] + h1["increase"] == 36.0
+
+
+def _lttb_reference(points, n_out):
+    """Independent plain-loop LTTB (Steinarsson 2013, §4.2): same bucket
+    edges (linspace over interior), earliest-on-tie argmax."""
+    import numpy as np
+
+    n = len(points)
+    if n <= n_out:
+        return list(range(n))
+    edges = np.linspace(1, n - 1, n_out - 1).astype(int)
+    sel = [0]
+    prev = 0
+    for b in range(n_out - 2):
+        lo, hi = edges[b], edges[b + 1]
+        if b < n_out - 3:
+            nlo, nhi = edges[b + 1], edges[b + 2]
+        else:
+            nlo, nhi = n - 1, n
+        cx = sum(p[0] for p in points[nlo:nhi]) / (nhi - nlo)
+        cy = sum(p[1] for p in points[nlo:nhi]) / (nhi - nlo)
+        ax, ay = points[prev]
+        best, best_area = lo, -1.0
+        for i in range(lo, hi):
+            area = abs((ax - cx) * (points[i][1] - ay) - (ax - points[i][0]) * (cy - ay))
+            if area > best_area:
+                best, best_area = i, area
+        sel.append(best)
+        prev = best
+    sel.append(n - 1)
+    return sel
+
+
+def test_lttb_matches_reference_and_properties(spark):
+    from sentometrics_spark.aggregate.timeseries import lttb_downsample
+
+    rows = []
+    vals = [((i * 37) % 101) * 1.0 + (3.0 if i % 17 == 0 else 0.0) for i in range(200)]
+    for i, v in enumerate(vals):
+        rows.append(("s", _t(i), v))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = (
+        lttb_downsample(df, n_out=20, series_keys=["k"])
+        .toPandas().sort_values("ts").reset_index(drop=True)
+    )
+    assert len(out) == 20
+    assert str(out["ts"].iloc[0]) == str(_t(0)) and str(out["ts"].iloc[-1]) == str(_t(199))
+    assert out["ts"].is_monotonic_increasing
+    pts = [(float(pd.Timestamp(t).value), v) for t, v in zip(
+        [_t(i) for i in range(200)], vals)]
+    ref = _lttb_reference(pts, 20)
+    assert [str(t) for t in out["ts"]] == [str(_t(i)) for i in ref]
+    assert (out["value"].to_numpy() == np.array(vals)[ref]).all()
+
+
+def test_lttb_passthrough_and_guards(spark):
+    from sentometrics_spark.aggregate.timeseries import lttb_downsample
+
+    df = spark.createDataFrame(
+        [("s", _t(i), float(i)) for i in range(5)],
+        "k string, ts timestamp, value double",
+    )
+    assert lttb_downsample(df, n_out=10, series_keys=["k"]).count() == 5
+    with pytest.raises(ValueError, match="n_out"):
+        lttb_downsample(df, n_out=2, series_keys=["k"])
+    with pytest.raises(ValueError, match="series_keys"):
+        lttb_downsample(df, n_out=3)

@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["asof_join", "time_weighted_avg", "ohlc", "counter_rate", "lttb_downsample"]
+__all__ = ["asof_join", "time_weighted_avg", "ohlc", "counter_rate", "lttb_downsample", "interval_join"]
 
 
 def _us(c: Column) -> Column:
@@ -356,4 +356,75 @@ def lttb_downsample(
         df.select(*keys, on, value)
         .groupBy(*keys)
         .applyInPandas(_kernel, schema=out_fields)
+    )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str = "ts",
+    start: str = "start_ts",
+    end: str = "end_ts",
+    by: list[str] | None = None,
+    payload: list[str] | None = None,
+    bucket: str = "hour",
+    max_buckets: int = 10_000,
+    how: str = "inner",
+) -> DataFrame:
+    """Range join: match each point to every interval containing it
+    (``start <= ts <= end``, endpoints inclusive), equi-matching on ``by``.
+
+    The naive formulation is a pure inequality join — Catalyst can only
+    plan that as a (broadcast) nested loop, O(|points| · |intervals|),
+    which is the canonical scale-killer. This operator bucketizes instead:
+    each interval is exploded into the calendar ``bucket``s it covers
+    (``sequence()`` — bounded by ``max_buckets``, enforced executor-side
+    via ``assert_true`` so a runaway interval fails fast instead of
+    exploding), points join on the equi-key (by…, bucket) — a plain hash
+    join — and the exact containment predicate filters the bucket-level
+    candidates. Cost: O(|points| + Σ interval spans) through one hash
+    shuffle; a point only ever meets the intervals overlapping its own
+    bucket. Pick ``bucket`` near the typical interval length: too fine
+    inflates the explode, too coarse inflates candidates per bucket.
+
+    ``how='left'`` keeps unmatched points with NULL payload (dedup-free:
+    the left join is against the matched set, not the exploded buckets).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("how must be inner|left")
+    by = list(by or [])
+    payload = list(
+        payload
+        if payload is not None
+        else [c for c in intervals.columns if c not in by + [start, end]]
+    )
+    clash = [c for c in payload + [start, end] if c in points.columns]
+    if clash:
+        raise ValueError(f"interval columns collide with points: {clash}")
+
+    seq = F.sequence(
+        F.date_trunc(bucket, F.col(start)),
+        F.date_trunc(bucket, F.col(end)),
+        F.expr(f"interval 1 {bucket}"),
+    )
+    guarded = F.when(
+        F.assert_true(
+            F.size(seq) <= F.lit(max_buckets),
+            f"interval spans more than max_buckets={max_buckets} {bucket} buckets",
+        ).isNull(),
+        seq,
+    )
+    iv = intervals.select(
+        *by, F.col(start), F.col(end), *[F.col(c) for c in payload]
+    ).withColumn("__bucket", F.explode(guarded))
+    pts = points.withColumn("__bucket", F.date_trunc(bucket, F.col(on)))
+    matched = pts.join(iv, on=by + ["__bucket"], how="inner").filter(
+        (F.col(on) >= F.col(start)) & (F.col(on) <= F.col(end))
+    ).drop("__bucket")
+    if how == "inner":
+        return matched
+    return points.join(
+        matched.select(*points.columns, start, end, *payload),
+        on=points.columns,
+        how="left",
     )

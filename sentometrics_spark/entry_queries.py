@@ -2799,6 +2799,47 @@ def q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via bucketized overlap: events matched into their user's
+    first-30-minutes window of each day (intervals derived from the same
+    events table, so the query is self-contained). The Spark plan is a
+    hash join on (user_id, hour bucket) + exact containment filter — no
+    nested-loop; the oracle is the plain inequality join DuckDB plans as
+    an IEJoin."""
+    from sentometrics_spark.aggregate.timeseries import interval_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    iv = (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day_ts"))
+        .agg(F.min("ts").alias("start_ts"))
+        .withColumn("end_ts", F.col("start_ts") + F.expr("interval 30 minutes"))
+        .select("user_id", "start_ts", "end_ts",
+                F.date_format("day_ts", TSFMT_SPARK).alias("window_day"))
+    )
+    pts = ev.select("event_id", "user_id", "ts", "event_type")
+    out = interval_join(pts, iv, on="ts", by=["user_id"], bucket="hour")
+    out = _fmt_ts(out, "ts")
+    return out.select(
+        "event_id", "user_id", "ts", "event_type", "window_day",
+        F.date_format("start_ts", TSFMT_SPARK).alias("start_ts"),
+    )
+
+
+_SQL_INTERVAL_JOIN = f"""WITH iv AS (
+  SELECT user_id, date_trunc('day', ts) AS day_ts, MIN(ts) AS start_ts,
+         MIN(ts) + INTERVAL 30 MINUTE AS end_ts
+  FROM events GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, strftime(e.ts, '{TSFMT_DUCK}') AS ts,
+       e.event_type,
+       strftime(iv.day_ts, '{TSFMT_DUCK}') AS window_day,
+       strftime(iv.start_ts, '{TSFMT_DUCK}') AS start_ts
+FROM events e JOIN iv
+  ON e.user_id = iv.user_id AND e.ts >= iv.start_ts AND e.ts <= iv.end_ts"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # golden cross-validation rows FIRST: a driver gate that truncates the
     # contract still grades the literal "engine == reference package
@@ -2868,6 +2909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_hourly": q_ohlc_hourly,
         "counter_rate_hourly": q_counter_rate,
         "lttb_downsample_50": q_lttb,
+        "interval_join_first30": q_interval_join,
         "events_sessionize": q_events_sessionize,
         # driver-gate closers (S3/S5/S6, T3, O1, O3, M1/M2, M8, M9, M10/M11,
         # K7, A3-inverseExponential, exponential tier composability)
@@ -3105,6 +3147,7 @@ def oracle_sql() -> dict[str, str]:
         "twa_hourly": _SQL_TWA_HOURLY,
         "ohlc_hourly": _SQL_OHLC_HOURLY,
         "counter_rate_hourly": _SQL_COUNTER_RATE,
+        "interval_join_first30": _SQL_INTERVAL_JOIN,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "corpus_pages": SQL_CORPUS_PAGES,
         "corpus_summarize_day": SQL_CORPUS_SUMMARIZE,

@@ -259,3 +259,54 @@ def test_lttb_passthrough_and_guards(spark):
         lttb_downsample(df, n_out=2, series_keys=["k"])
     with pytest.raises(ValueError, match="series_keys"):
         lttb_downsample(df, n_out=3)
+
+
+def test_interval_join_semantics_and_plan(spark):
+    """Inclusive endpoints, bucket-straddling intervals, multi-match
+    points, left-outer NULLs; the plan is a hash join over (by, bucket) —
+    no NestedLoop/Cartesian despite the range predicate."""
+    from sentometrics_spark.aggregate.timeseries import interval_join
+
+    pts = spark.createDataFrame(
+        [(1, _t(0), 10), (1, _t(30), 11), (1, _t(90), 12), (1, _t(200), 13),
+         (2, _t(50), 14)],
+        "k int, ts timestamp, pid int",
+    )
+    iv = spark.createDataFrame(
+        [(1, _t(0), _t(90), "a"),      # spans two hour buckets; end inclusive
+         (1, _t(60), _t(300), "b"),    # overlaps 'a' -> pid 12 matches both
+         (2, _t(0), _t(10), "c")],     # contains no point
+        "k int, start_ts timestamp, end_ts timestamp, tag string",
+    )
+    got = sorted(
+        (r["pid"], r["tag"])
+        for r in interval_join(pts, iv, by=["k"]).select("pid", "tag").collect()
+    )
+    assert got == [(10, "a"), (11, "a"), (12, "a"), (12, "b"), (13, "b")]
+    left = interval_join(pts, iv, by=["k"], how="left").select("pid", "tag").collect()
+    assert len(left) == 6
+    assert sorted(r["pid"] for r in left if r["tag"] is None) == [14]
+    plan = (
+        interval_join(pts, iv, by=["k"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_interval_join_guards(spark):
+    from sentometrics_spark.aggregate.timeseries import interval_join
+    from py4j.protocol import Py4JJavaError
+
+    pts = spark.createDataFrame([(1, _t(0), 1)], "k int, ts timestamp, pid int")
+    iv = spark.createDataFrame(
+        [(1, _t(0), _t(60 * 24 * 600), "x")],
+        "k int, start_ts timestamp, end_ts timestamp, tag string",
+    )
+    with pytest.raises(Exception, match="max_buckets"):
+        interval_join(pts, iv, by=["k"], max_buckets=100).collect()
+    with pytest.raises(ValueError, match="how"):
+        interval_join(pts, iv, by=["k"], how="full")
+    with pytest.raises(ValueError, match="collide"):
+        interval_join(
+            pts.withColumnRenamed("pid", "tag"), iv, by=["k"]
+        )

@@ -2840,6 +2840,54 @@ FROM events e JOIN iv
   ON e.user_id = iv.user_id AND e.ts >= iv.start_ts AND e.ts <= iv.end_ts"""
 
 
+
+def q_split_tvt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment (md5 variant so
+    DuckDB replays every decision; integer thresholds out of 2^20 via the
+    tie-stable rounding)."""
+    from sentometrics_spark.textops.sampling import split_train_val_test
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = split_train_val_test(docs, (0.8, 0.1, 0.1), seed=13, hash_fn="md5")
+    return out.select("doc_id", "source", "split")
+
+
+def _sql_split_tvt() -> str:
+    hx = _hx("'13:' || source || ':' || CAST(doc_id AS VARCHAR)")
+    t1 = int(0.8 * 1048576 + 0.5)      # 838861 (nudge-free: exact repr)
+    t2 = int(0.9 * 1048576 + 0.5)      # 943719
+    return f"""SELECT doc_id, source,
+       CASE WHEN ({hx}) % 1048576 < {t1} THEN 'train'
+            WHEN ({hx}) % 1048576 < {t2} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents"""
+
+
+def q_vocab_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-200 vocabulary with deterministic tie-broken ranks. The
+    zipfian token groupBy is scale-safe (map-side partial combine — the
+    opposite of the round-3 token-JOIN finding); the cut is TakeOrdered,
+    O(V) driver memory."""
+    from sentometrics_spark.textops.sampling import vocab_top
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_top(docs, v=200)
+
+
+_SQL_VOCAB_TOP = r"""WITH toks AS (
+  SELECT unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents
+),
+counts AS (
+  SELECT token, COUNT(*) AS n FROM toks WHERE token <> '' GROUP BY 1
+),
+top AS (
+  SELECT token, n FROM counts ORDER BY n DESC, token LIMIT 200
+)
+SELECT token, n,
+       CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank
+FROM top"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # golden cross-validation rows FIRST: a driver gate that truncates the
     # contract still grades the literal "engine == reference package
@@ -2966,6 +3014,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_bloom_maybe_seen": q_dedup_bloom,
         "sample_temperature": q_sample_temperature,
         "pack_documents": q_pack_documents,
+        "split_train_val_test": q_split_tvt,
+        "vocab_top200": q_vocab_top,
         "lm_cross_entropy": q_lm_cross_entropy,
         "dsir_importance": q_dsir_importance,
         "decontaminate_benchmark": q_decontaminate,
@@ -3129,6 +3179,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_bloom_maybe_seen": _sql_dedup_bloom(),
         "sample_temperature": _sql_sample_temperature(),
         "pack_documents": _SQL_PACK_DOCUMENTS,
+        "split_train_val_test": _sql_split_tvt(),
+        "vocab_top200": _SQL_VOCAB_TOP,
         "lm_cross_entropy": _SQL_LM_CROSS_ENTROPY,
         "dsir_importance": _sql_dsir_importance(),
         "decontaminate_benchmark": _sql_decontaminate(),

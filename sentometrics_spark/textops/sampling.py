@@ -35,7 +35,13 @@ from pyspark.sql.window import Window
 from sentometrics_spark.textops.dedup import hash64
 from sentometrics_spark.textops.textstats import token_count
 
-__all__ = ["temperature_rates", "sample_by_source_temperature", "pack_documents"]
+__all__ = [
+    "temperature_rates",
+    "sample_by_source_temperature",
+    "pack_documents",
+    "split_train_val_test",
+    "vocab_top",
+]
 
 _HASH_MOD = 1 << 20
 
@@ -149,3 +155,68 @@ def pack_documents(
         F.floor((cum - ntok) / budget).cast("long").alias("pack_first"),
         F.floor((cum - 1) / budget).cast("long").alias("pack_last"),
     ).withColumn("n_packs", F.col("pack_last") - F.col("pack_first") + F.lit(1))
+
+
+def split_train_val_test(
+    docs: DataFrame,
+    fractions: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 13,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each document's uniform
+    draw is hash(source:doc_id) mod 2^20, split against integer
+    thresholds — so the assignment is a pure function of identity, stable
+    across runs, retries, and corpus growth (a new snapshot's documents
+    never move existing ones between splits, the property that keeps a
+    held-out set honest over time). Hash uniformity within every source
+    stratifies the proportions per domain for free.
+
+    hash_fn='md5' makes every assignment replayable in DuckDB."""
+    f1, f2, f3 = fractions
+    if min(fractions) < 0 or abs(f1 + f2 + f3 - 1.0) > 1e-9:
+        raise ValueError("fractions must be non-negative and sum to 1")
+    t1 = int(math.floor(f1 * _HASH_MOD + 0.5 + 1e-9))
+    t2 = int(math.floor((f1 + f2) * _HASH_MOD + 0.5 + 1e-9))
+    h = F.pmod(
+        hash64(
+            F.concat_ws(":", F.col(source_col), F.col(id_col).cast("string")),
+            seed=seed,
+            hash_fn=hash_fn,
+        ),
+        F.lit(_HASH_MOD),
+    )
+    return docs.withColumn(
+        "split",
+        F.when(h < t1, F.lit("train"))
+        .when(h < t2, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def vocab_top(
+    docs: DataFrame,
+    v: int = 50_000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-V vocabulary with counts and deterministic ranks (count desc,
+    token asc on ties) — the vocab-fitting step for the hashed-LM /
+    tokenizer-training paths.
+
+    Scale shape: explode → groupBy(token) is SAFE on the zipfian token
+    key — unlike a token-keyed JOIN (the round-3 lm_cross_entropy
+    finding), hash aggregation does map-side partial combine, so "the"
+    arrives at the shuffle as one partial row per task, not 5% of all
+    rows. The top-V cut is orderBy().limit(V): Spark plans TakeOrdered —
+    per-partition partial top-V + driver merge, O(V) driver memory, no
+    global sort. The rank window then runs over only V rows."""
+    if v <= 0:
+        raise ValueError("v must be positive")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(v)
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return top.withColumn("rank", F.row_number().over(w))

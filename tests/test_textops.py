@@ -767,3 +767,50 @@ def test_pack_documents_shards_are_independent_streams(spark):
         assert (g["start_offset"].to_numpy() == exp.to_numpy()).all()
     with pytest.raises(ValueError):
         sampling.pack_documents(docs, budget=0)
+
+
+def test_split_train_val_test_stable_and_stratified(spark):
+    from sentometrics_spark.textops import sampling
+
+    rows = [(i, "t", "s" + str(i % 4)) for i in range(8000)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = sampling.split_train_val_test(docs, (0.8, 0.1, 0.1))
+    frac = {r["split"]: r["n"] for r in
+            out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert abs(frac["train"] / 8000 - 0.8) < 0.02
+    assert abs(frac["val"] / 8000 - 0.1) < 0.01
+    assert abs(frac["test"] / 8000 - 0.1) < 0.01
+    # per-source stratification for free (hash uniform within stratum)
+    per_src = out.filter("split = 'train'").groupBy("source").count().collect()
+    for r in per_src:
+        assert abs(r["count"] / 2000 - 0.8) < 0.04
+    # growth stability: adding documents never moves existing assignments
+    bigger = spark.createDataFrame(
+        rows + [(10_000 + i, "t", "new") for i in range(1000)],
+        "doc_id long, text string, source string",
+    )
+    out2 = sampling.split_train_val_test(bigger, (0.8, 0.1, 0.1))
+    moved = (
+        out.select("doc_id", "split")
+        .join(out2.select("doc_id", F.col("split").alias("s2")), "doc_id")
+        .filter("split != s2").count()
+    )
+    assert moved == 0
+    with pytest.raises(ValueError):
+        sampling.split_train_val_test(docs, (0.5, 0.2, 0.2))
+
+
+def test_vocab_top_ranks_and_ties(spark):
+    from sentometrics_spark.textops import sampling
+
+    docs = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a d d B")],  # lowercased: b:4 a:3 d:2 c:1
+        "doc_id long, text string",
+    )
+    out = {r["token"]: (r["n"], r["rank"])
+           for r in sampling.vocab_top(docs, v=3).collect()}
+    assert out == {"b": (4, 1), "a": (3, 2), "d": (2, 3)}
+    # tie determinism: equal counts rank alphabetically
+    docs2 = spark.createDataFrame([(1, "x y x y")], "doc_id long, text string")
+    r = {q["token"]: q["rank"] for q in sampling.vocab_top(docs2, v=2).collect()}
+    assert r == {"x": 1, "y": 2}

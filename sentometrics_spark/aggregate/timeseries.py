@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["asof_join", "time_weighted_avg", "ohlc", "counter_rate", "lttb_downsample", "interval_join"]
+__all__ = ["asof_join", "time_weighted_avg", "ohlc", "counter_rate", "lttb_downsample", "interval_join", "bucket_percentiles", "rolling_zscore"]
 
 
 def _us(c: Column) -> Column:
@@ -427,4 +427,85 @@ def interval_join(
         matched.select(*points.columns, start, end, *payload),
         on=points.columns,
         how="left",
+    )
+
+
+def bucket_percentiles(
+    df: DataFrame,
+    qs: list[float] = (0.5, 0.95, 0.99),
+    on: str = "ts",
+    value: str = "value",
+    series_keys: list[str] | None = None,
+    by: str = "hour",
+    mode: str = "exact",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-(series, calendar bucket) percentile rollup — the latency-SLO
+    shape (p50/p95/p99 per hour) applied to any numeric stream.
+
+    mode='exact': Spark's ``percentile`` (linear interpolation, identical
+    to SQL ``quantile_cont``) — collects each group's values at the
+    aggregator, right for bounded buckets and for oracle checks.
+    mode='approx': ``approx_percentile`` (Greenwald-Khanna sketch) — the
+    scale path: O(accuracy) state per group regardless of bucket size,
+    mergeable map-side partials, bounded rank error 1/accuracy. At 10^12
+    rows exact percentile state is the bucket itself; the sketch is the
+    same rollup at fixed memory (tested within rank-error tolerance of
+    exact)."""
+    if mode not in ("exact", "approx"):
+        raise ValueError("mode must be exact|approx")
+    keys = list(series_keys or [])
+    qarr = "array(" + ", ".join(repr(float(q)) for q in qs) + ")"
+    if mode == "exact":
+        agg = F.expr(f"percentile({value}, {qarr})")
+    else:
+        agg = F.expr(f"approx_percentile({value}, {qarr}, {accuracy})")
+    out = df.groupBy(*keys, F.date_trunc(by, F.col(on)).alias("bucket_ts")).agg(
+        agg.alias("__qs"), F.count(F.lit(1)).alias("n_obs")
+    )
+    cols = [
+        F.col("__qs")[i].alias(f"p{str(q).replace('0.', '').ljust(2, '0')}")
+        for i, q in enumerate(qs)
+    ]
+    return out.select(*keys, "bucket_ts", *cols, "n_obs")
+
+
+def rolling_zscore(
+    df: DataFrame,
+    window: int = 24,
+    min_periods: int = 6,
+    threshold: float = 3.0,
+    on: str = "ts",
+    value: str = "value",
+    series_keys: list[str] | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Trailing z-score anomaly flags per series: each observation is
+    scored against the mean/stddev of the PREVIOUS ``window`` observations
+    (current point excluded — a spike must not mask itself), flagged when
+    |z| > threshold. The standard monitoring primitive over rolled-up
+    sentiment/measure series (burst and collapse detection).
+
+    One window pass per series (rows frame [-window, -1]); rows with
+    fewer than ``min_periods`` trailing points, or zero trailing variance,
+    get NULL z and flag=false. Same shuffle shape as the K6 rolling
+    kernels — one sort per series partition."""
+    if window < 2 or min_periods < 2:
+        raise ValueError("window and min_periods must be >= 2")
+    keys = list(series_keys or [])
+    order = [F.col(on)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(-window, -1)
+    )
+    mu = F.avg(F.col(value)).over(w)
+    sd = F.stddev_samp(F.col(value)).over(w)
+    n = F.count(F.col(value)).over(w)
+    z = F.when(
+        (n >= min_periods) & sd.isNotNull() & (sd > 0),
+        (F.col(value) - mu) / sd,
+    )
+    return df.withColumn("trailing_n", n).withColumn("z", z).withColumn(
+        "is_anomaly", F.coalesce(F.abs(z) > threshold, F.lit(False))
     )

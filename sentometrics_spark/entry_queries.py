@@ -2888,6 +2888,80 @@ SELECT token, n,
 FROM top"""
 
 
+
+def q_percentiles_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p95/p99 of event values per (type, hour) — the SLO
+    rollup shape. Exact mode oracles against DuckDB quantile_cont (same
+    linear interpolation); the approx_percentile sketch is the declared
+    scale path (bounded state, mergeable partials), pinned vs exact in
+    pytest."""
+    from sentometrics_spark.aggregate.timeseries import bucket_percentiles
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = bucket_percentiles(
+        ev, qs=[0.5, 0.95, 0.99], series_keys=["event_type"], by="hour"
+    )
+    return _fmt_ts(out, "bucket_ts").select(
+        "event_type", "bucket_ts",
+        _r6("p50").alias("p50"), _r6("p95").alias("p95"),
+        _r6("p99").alias("p99"), "n_obs",
+    )
+
+
+_SQL_PERCENTILES_HOURLY = f"""SELECT event_type,
+       strftime(date_trunc('hour', ts), '{TSFMT_DUCK}') AS bucket_ts,
+       floor(quantile_cont(value, 0.5) * 1000000 + 0.5 + 1e-9) / 1000000.0 AS p50,
+       floor(quantile_cont(value, 0.95) * 1000000 + 0.5 + 1e-9) / 1000000.0 AS p95,
+       floor(quantile_cont(value, 0.99) * 1000000 + 0.5 + 1e-9) / 1000000.0 AS p99,
+       COUNT(*) AS n_obs
+FROM events GROUP BY 1, 2"""
+
+
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h z-score anomaly flags over the hourly per-type mean
+    series (current point excluded from its own baseline)."""
+    from sentometrics_spark.aggregate.timeseries import rolling_zscore
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(F.avg("value").alias("value"))
+    out = rolling_zscore(
+        hourly, window=24, min_periods=6, threshold=3.0,
+        on="bucket_ts", series_keys=["event_type"],
+    )
+    return _fmt_ts(out, "bucket_ts").select(
+        "event_type", "bucket_ts", "trailing_n",
+        _r6("z").alias("z"), "is_anomaly",
+    )
+
+
+_SQL_ROLLING_ZSCORE = f"""WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts, AVG(value) AS value
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, bucket_ts,
+         COUNT(value) OVER w AS trailing_n,
+         AVG(value) OVER w AS mu,
+         STDDEV_SAMP(value) OVER w AS sd,
+         value
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, strftime(bucket_ts, '{TSFMT_DUCK}') AS bucket_ts,
+       trailing_n,
+       CASE WHEN trailing_n >= 6 AND sd IS NOT NULL AND sd > 0
+            THEN floor((value - mu) / sd * 1000000 + 0.5 + 1e-9) / 1000000.0
+       END AS z,
+       coalesce(CASE WHEN trailing_n >= 6 AND sd IS NOT NULL AND sd > 0
+                     THEN abs((value - mu) / sd) > 3.0 END, false) AS is_anomaly
+FROM scored"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # golden cross-validation rows FIRST: a driver gate that truncates the
     # contract still grades the literal "engine == reference package
@@ -2958,6 +3032,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_rate_hourly": q_counter_rate,
         "lttb_downsample_50": q_lttb,
         "interval_join_first30": q_interval_join,
+        "percentiles_hourly": q_percentiles_hourly,
+        "rolling_zscore_24h": q_rolling_zscore,
         "events_sessionize": q_events_sessionize,
         # driver-gate closers (S3/S5/S6, T3, O1, O3, M1/M2, M8, M9, M10/M11,
         # K7, A3-inverseExponential, exponential tier composability)
@@ -3200,6 +3276,8 @@ def oracle_sql() -> dict[str, str]:
         "ohlc_hourly": _SQL_OHLC_HOURLY,
         "counter_rate_hourly": _SQL_COUNTER_RATE,
         "interval_join_first30": _SQL_INTERVAL_JOIN,
+        "percentiles_hourly": _SQL_PERCENTILES_HOURLY,
+        "rolling_zscore_24h": _SQL_ROLLING_ZSCORE,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "corpus_pages": SQL_CORPUS_PAGES,
         "corpus_summarize_day": SQL_CORPUS_SUMMARIZE,

@@ -310,3 +310,61 @@ def test_interval_join_guards(spark):
         interval_join(
             pts.withColumnRenamed("pid", "tag"), iv, by=["k"]
         )
+
+
+def test_bucket_percentiles_exact_and_approx(spark):
+    """Exact percentiles on a hand-computable bucket; the approx sketch
+    path agrees within its rank-error bound on a larger stream."""
+    from sentometrics_spark.aggregate.timeseries import bucket_percentiles
+
+    df = spark.createDataFrame(
+        [("s", _t(i), float(i)) for i in range(11)],  # values 0..10 in one hour? no: minutes 0..10
+        "k string, ts timestamp, value double",
+    )
+    r = bucket_percentiles(df, qs=[0.5, 0.9], series_keys=["k"], by="hour").collect()[0]
+    assert r["p50"] == 5.0 and r["p90"] == 9.0 and r["n_obs"] == 11
+    big = spark.createDataFrame(
+        [("s", _t(0, i * 0.1), float((i * 37) % 1000)) for i in range(5000)],
+        "k string, ts timestamp, value double",
+    )
+    ex = bucket_percentiles(big, qs=[0.5, 0.99], series_keys=["k"]).collect()[0]
+    ap = bucket_percentiles(
+        big, qs=[0.5, 0.99], series_keys=["k"], mode="approx", accuracy=1000
+    ).collect()[0]
+    # rank error 1/accuracy = 0.1% of 5000 = 5 ranks ~ values move by <= ~40
+    assert abs(ap["p50"] - ex["p50"]) <= 50
+    assert abs(ap["p99"] - ex["p99"]) <= 50
+    with pytest.raises(ValueError, match="mode"):
+        bucket_percentiles(df, series_keys=["k"], mode="sketchy")
+
+
+def test_rolling_zscore_flags_planted_spike(spark):
+    from sentometrics_spark.aggregate.timeseries import rolling_zscore
+
+    vals = [10.0, 11.0, 9.0, 10.5, 9.5, 10.0, 10.2, 9.8, 100.0, 10.1]
+    df = spark.createDataFrame(
+        [("s", _t(i), v) for i, v in enumerate(vals)],
+        "k string, ts timestamp, value double",
+    )
+    out = (
+        rolling_zscore(df, window=8, min_periods=4, threshold=3.0, series_keys=["k"])
+        .toPandas().sort_values("ts").reset_index(drop=True)
+    )
+    # first min_periods rows unscored
+    assert out["z"].iloc[:4].isna().all()
+    assert not out["is_anomaly"].iloc[:4].any()
+    # the planted 100.0 is the only flag; the NEXT point is scored against
+    # a window polluted by the spike but 10.1 is still within 3 sigma there
+    assert list(out[out["is_anomaly"]]["value"]) == [100.0]
+    # hand check z of the spike: mean/std of prior 8 values
+    import statistics
+    prior = vals[:8]
+    zexp = (100.0 - statistics.mean(prior)) / statistics.stdev(prior)
+    assert abs(out["z"].iloc[8] - zexp) < 1e-9
+    # zero-variance window -> NULL z, no flag
+    const = spark.createDataFrame(
+        [("s", _t(i), 5.0) for i in range(6)] + [("s", _t(6), 9.0)],
+        "k string, ts timestamp, value double",
+    )
+    o2 = rolling_zscore(const, window=6, min_periods=3, series_keys=["k"]).toPandas()
+    assert o2.sort_values("ts")["z"].isna().iloc[:3].all()

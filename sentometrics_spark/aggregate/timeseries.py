@@ -187,17 +187,19 @@ def time_weighted_avg(
     bounded (series, bucket) key set.
     """
     keys = list(series_keys or [])
-    b = F.date_trunc(by, F.col(on)).alias("bucket_ts")
+    # materialize bucket_ts BEFORE the window so it partitions on an
+    # attribute, not an expression — the downstream groupBy on the same
+    # attributes then reuses the window's hash partitioning (one Exchange
+    # total instead of two; plan-asserted in tests)
+    base = df.withColumn("bucket_ts", F.date_trunc(by, F.col(on)))
     order = [F.col(on)] + ([F.col(tiebreak)] if tiebreak else [])
-    w = Window.partitionBy(*keys, F.date_trunc(by, F.col(on))).orderBy(*order)
-    bucket_end_us = _us(
-        F.date_trunc(by, F.col(on)) + F.expr(f"interval 1 {by}")
-    )
+    w = Window.partitionBy(*keys, "bucket_ts").orderBy(*order)
+    bucket_end_us = _us(F.col("bucket_ts") + F.expr(f"interval 1 {by}"))
     next_us = F.coalesce(F.lead(_us(F.col(on))).over(w), bucket_end_us)
     wt = (next_us - _us(F.col(on))).cast("double")
-    seg = df.select(
+    seg = base.select(
         *keys,
-        b,
+        "bucket_ts",
         (F.col(value) * wt).alias("__vw"),
         wt.alias("__w"),
     )

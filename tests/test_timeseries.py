@@ -368,3 +368,19 @@ def test_rolling_zscore_flags_planted_spike(spark):
     )
     o2 = rolling_zscore(const, window=6, min_periods=3, series_keys=["k"]).toPandas()
     assert o2.sort_values("ts")["z"].isna().iloc[:3].all()
+
+
+def test_twa_single_exchange(spark):
+    """bucket_ts is materialized before the window so the final groupBy
+    reuses the window's hash partitioning — exactly one Exchange."""
+    from sentometrics_spark.aggregate.timeseries import time_weighted_avg
+
+    df = spark.createDataFrame(
+        [("s", _t(i), float(i), i) for i in range(10)],
+        "k string, ts timestamp, value double, event_id int",
+    )
+    plan = (
+        time_weighted_avg(df, series_keys=["k"], tiebreak="event_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1

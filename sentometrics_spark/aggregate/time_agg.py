@@ -53,8 +53,8 @@ def measures_fill(
     /root/reference/R/attribution.R:49-68)."""
     if fill == "none":
         return measures
-    if fill not in ("zero", "latest"):
-        raise ValueError("fill must be one of zero|latest|none")
+    if fill not in ("zero", "latest", "linear"):
+        raise ValueError("fill must be one of zero|latest|linear|none")
     keys = series_keys if series_keys is not None else SERIES_KEYS
     step = _STEP[by]
 
@@ -77,6 +77,42 @@ def measures_fill(
 
     filled = grid.join(measures, ["bucket_ts", *keys], "left")
     src = F.when(F.col("value").isNotNull(), F.col("bucket_ts"))
+    if fill == "linear":
+        # beyond-reference fill: gaps STRICTLY BETWEEN observations take the
+        # time-proportional line between their neighbours; head/tail gaps
+        # carry the nearest observation flat (pandas interpolate with
+        # limit_direction='both' semantics). Two window passes per series
+        # (backward + forward neighbour), same single spine shuffle as
+        # zero/latest; interpolated rows keep src_ts NULL — their value
+        # belongs to no single observed bucket.
+        wb = (
+            Window.partitionBy(*keys)
+            .orderBy("bucket_ts")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wf = (
+            Window.partitionBy(*keys)
+            .orderBy("bucket_ts")
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        obs = F.when(F.col("value").isNotNull(), F.struct(
+            F.col("bucket_ts").cast("timestamp").alias("ts"), F.col("value").alias("v")
+        ))
+        pv = F.last(obs, ignorenulls=True).over(wb)
+        nv = F.first(obs, ignorenulls=True).over(wf)
+        us = lambda c: F.unix_micros(c.cast("timestamp"))
+        frac = (
+            (us(F.col("bucket_ts")) - us(pv["ts"])).cast("double")
+            / (us(nv["ts"]) - us(pv["ts"])).cast("double")
+        )
+        interp = (
+            F.when(F.col("value").isNotNull(), F.col("value"))
+            .when(pv.isNull(), nv["v"])
+            .when(nv.isNull(), pv["v"])
+            .otherwise(pv["v"] + (nv["v"] - pv["v"]) * frac)
+        )
+        out = filled.withColumn("src_ts", src) if keep_source else filled
+        return out.withColumn("value", interp)
     if fill == "zero":
         # src_ts BEFORE the coalesce overwrites value, so zero-filled gap
         # rows keep src_ts null (the column's contract)

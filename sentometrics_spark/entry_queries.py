@@ -2962,6 +2962,63 @@ SELECT event_type, strftime(bucket_ts, '{TSFMT_DUCK}') AS bucket_ts,
 FROM scored"""
 
 
+
+def q_events_linear_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-type averages gap-filled by LINEAR interpolation on the
+    continuous hour spine (head/tail gaps carried flat) — the
+    beyond-reference extension of the K5 zero/LOCF fills."""
+    from sentometrics_spark.aggregate.time_agg import measures_fill
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket_ts"), "event_type"
+    ).agg(F.avg("value").alias("value"))
+    filled = measures_fill(
+        hourly, by="hour", fill="linear", series_keys=["event_type"]
+    )
+    return _fmt_ts(filled, "bucket_ts").select(
+        "bucket_ts", "event_type", _r6("value").alias("value")
+    )
+
+
+_SQL_EVENTS_LINEAR_FILL = f"""WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket_ts, event_type, AVG(value) AS value
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(bucket_ts) AS mn, max(bucket_ts) AS mx FROM hourly),
+spine AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket_ts FROM bounds),
+types AS (SELECT DISTINCT event_type FROM hourly),
+grid AS (SELECT s.bucket_ts, t.event_type FROM spine s CROSS JOIN types t),
+joined AS (
+  SELECT g.bucket_ts, g.event_type, h.value,
+         CASE WHEN h.value IS NOT NULL THEN g.bucket_ts END AS obs_ts
+  FROM grid g LEFT JOIN hourly h
+    ON g.bucket_ts = h.bucket_ts AND g.event_type = h.event_type
+),
+nb AS (
+  SELECT bucket_ts, event_type, value,
+         last_value(obs_ts IGNORE NULLS) OVER wb AS pts,
+         last_value(value IGNORE NULLS) OVER wb AS pv,
+         first_value(obs_ts IGNORE NULLS) OVER wf AS nts,
+         first_value(value IGNORE NULLS) OVER wf AS nv
+  FROM joined
+  WINDOW wb AS (PARTITION BY event_type ORDER BY bucket_ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY event_type ORDER BY bucket_ts
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT strftime(bucket_ts, '{TSFMT_DUCK}') AS bucket_ts, event_type,
+       floor((CASE WHEN value IS NOT NULL THEN value
+                   WHEN pts IS NULL THEN nv
+                   WHEN nts IS NULL THEN pv
+                   ELSE pv + (nv - pv)
+                        * (CAST(epoch_us(bucket_ts) - epoch_us(pts) AS DOUBLE)
+                           / CAST(epoch_us(nts) - epoch_us(pts) AS DOUBLE))
+              END) * 1000000 + 0.5 + 1e-9) / 1000000.0 AS value
+FROM nb"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # golden cross-validation rows FIRST: a driver gate that truncates the
     # contract still grades the literal "engine == reference package
@@ -3025,6 +3082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_doc_rollup": q_sentence_rollup,
         # generic time-series fill on events
         "events_locf": q_events_locf,
+        "events_linear_fill": q_events_linear_fill,
         "asof_backward_tol": q_asof_backward,
         "asof_nearest": q_asof_nearest,
         "twa_hourly": q_twa_hourly,
@@ -3270,6 +3328,7 @@ def oracle_sql() -> dict[str, str]:
         # single-sentence fixture corpus: sentence path == doc-level counts
         "sentence_doc_rollup": sentiment_cte("counts") + _SENT_FINAL,
         "events_locf": SQL_EVENTS_LOCF,
+        "events_linear_fill": _SQL_EVENTS_LINEAR_FILL,
         "asof_backward_tol": _SQL_ASOF_BACKWARD,
         "asof_nearest": _SQL_ASOF_NEAREST,
         "twa_hourly": _SQL_TWA_HOURLY,

@@ -384,3 +384,30 @@ def test_twa_single_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") == 1
+
+
+def test_linear_fill_interpolates_gaps(spark):
+    """Observations at hours 0 (v=10) and 3 (v=40): hours 1/2 interpolate
+    to 20/30; a head/tail gap carries the nearest observation flat;
+    interpolated rows keep src_ts NULL (keep_source contract)."""
+    from sentometrics_spark.aggregate.time_agg import measures_fill
+
+    df = spark.createDataFrame(
+        [("l", "f", _t(0), 10.0), ("l", "f", _t(180), 40.0)],
+        "lexicon string, feature string, bucket_ts timestamp, value double",
+    )
+    out = {
+        str(r["bucket_ts"]): (r["value"], r["src_ts"])
+        for r in measures_fill(
+            df, by="hour", fill="linear", keep_source=True,
+            date_before="2023-12-31 22:00:00", date_after="2024-01-01 05:00:00",
+        ).collect()
+    }
+    assert out["2024-01-01 00:00:00"][0] == 10.0
+    assert out["2024-01-01 01:00:00"] == (20.0, None)
+    assert out["2024-01-01 02:00:00"] == (30.0, None)
+    assert out["2024-01-01 03:00:00"][0] == 40.0
+    assert out["2023-12-31 23:00:00"] == (10.0, None)   # head: flat
+    assert out["2024-01-01 04:00:00"] == (40.0, None)   # tail: flat
+    # observed rows carry their own src_ts
+    assert out["2024-01-01 00:00:00"][1] is not None

@@ -31,6 +31,22 @@ from sentometrics_spark.corpus import (
 from sentometrics_spark.pipeline import compute_sentiment, measures_update, sento_measures
 from sentometrics_spark.scoring.segment import longest_match_segmenter, segment_corpus
 from sentometrics_spark.aggregate.time_agg import measures_fill
+from sentometrics_spark.aggregate.timeseries import (
+    asof_join,
+    bucket_percentiles,
+    counter_rate,
+    interval_join,
+    lttb_downsample,
+    ohlc,
+    rolling_zscore,
+    time_weighted_avg,
+)
+from sentometrics_spark.textops.sampling import (
+    pack_documents,
+    sample_by_source_temperature,
+    split_train_val_test,
+    vocab_top,
+)
 from sentometrics_spark.measures import (
     as_sentiment,
     merge_sentiment,

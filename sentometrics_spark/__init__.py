@@ -35,10 +35,13 @@ from sentometrics_spark.aggregate.timeseries import (
     asof_join,
     bucket_percentiles,
     counter_rate,
+    detect_gaps,
+    ewma_time_decay,
     interval_join,
     lttb_downsample,
     ohlc,
     rolling_zscore,
+    state_durations,
     time_weighted_avg,
 )
 from sentometrics_spark.textops.sampling import (
@@ -89,4 +92,21 @@ __all__ = [
     "attributions_lags",
     "segment_corpus",
     "longest_match_segmenter",
+    # irregular-timeseries operators
+    "asof_join",
+    "bucket_percentiles",
+    "counter_rate",
+    "detect_gaps",
+    "ewma_time_decay",
+    "interval_join",
+    "lttb_downsample",
+    "ohlc",
+    "rolling_zscore",
+    "state_durations",
+    "time_weighted_avg",
+    # training-data composition
+    "pack_documents",
+    "sample_by_source_temperature",
+    "split_train_val_test",
+    "vocab_top",
 ]

@@ -29,7 +29,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["asof_join", "time_weighted_avg", "ohlc", "counter_rate", "lttb_downsample", "interval_join", "bucket_percentiles", "rolling_zscore"]
+__all__ = [
+    "asof_join",
+    "time_weighted_avg",
+    "ohlc",
+    "counter_rate",
+    "lttb_downsample",
+    "interval_join",
+    "bucket_percentiles",
+    "rolling_zscore",
+    "ewma_time_decay",
+    "state_durations",
+    "detect_gaps",
+]
 
 
 def _us(c: Column) -> Column:
@@ -510,4 +522,148 @@ def rolling_zscore(
     )
     return df.withColumn("trailing_n", n).withColumn("z", z).withColumn(
         "is_anomaly", F.coalesce(F.abs(z) > threshold, F.lit(False))
+    )
+
+
+def ewma_time_decay(
+    df: DataFrame,
+    halflife_seconds: float,
+    on: str = "ts",
+    value: str = "value",
+    series_keys: list[str] | None = None,
+    tiebreak: str | None = None,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Time-decayed exponentially weighted moving average over an
+    IRREGULAR sample stream: at each observation i,
+
+        ewma_i = Σ_{j<=i} v_j · 0.5^((t_i - t_j)/halflife)
+               / Σ_{j<=i}       0.5^((t_i - t_j)/halflife)
+
+    i.e. pandas ``ewm(halflife=Δ, times=ts, adjust=True).mean()`` — the
+    smoothing primitive whose effective memory is measured in TIME, not
+    samples, so hot series (1000× the event rate) and cold series decay
+    identically. The reference's kernels (K1–K4) only weight across
+    fixed calendar lags (/root/reference/R/sentomeasures_main.R:406-453);
+    this is the irregular-stream analogue.
+
+    Implementation — pure JVM, no recurrence: the e^{-t_i λ} factor
+    cancels in the ratio, so both sums are running prefix sums of
+    v·e^{t λ} / e^{t λ} over one ordered window per series (ONE hash
+    Exchange + sort, same shape as counter_rate). t is rebased to the
+    per-series minimum (computed in the same partitioning — no extra
+    Exchange) so exponents start at 0.
+
+    Numerical horizon: e^{t λ} overflows once a series spans more than
+    ~1022 halflives (exp > 709); beyond that the weights being summed are
+    < 2^-1022 of the newest — numerically zero — so at production scale
+    evaluate per retention segment (e.g. per tier partition) rather than
+    over an unbounded series. The function leaves exponent management to
+    the caller deliberately: a silent internal re-segmentation would
+    change results at segment seams.
+    """
+    import math
+
+    if halflife_seconds <= 0:
+        raise ValueError("halflife_seconds must be positive")
+    lam = math.log(2.0) / float(halflife_seconds)
+    keys = list(series_keys or [])
+    if not keys:
+        raise ValueError(
+            "ewma_time_decay requires series_keys: a keyless EWMA is one "
+            "global window partition (a single task holds every row)"
+        )
+    order = [F.col(on)] + ([F.col(tiebreak)] if tiebreak else [])
+    w_all = Window.partitionBy(*keys)
+    w_run = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t_us = _us(F.col(on))
+    delta_s = (t_us - F.min(t_us).over(w_all)).cast("double") / F.lit(1e6)
+    wexp = F.exp(delta_s * F.lit(lam))
+    num = F.sum(F.col(value) * wexp).over(w_run)
+    den = F.sum(wexp).over(w_run)
+    return df.withColumn(out_col, num / den)
+
+
+def state_durations(
+    df: DataFrame,
+    on: str = "ts",
+    state: str = "state",
+    series_keys: list[str] | None = None,
+    tiebreak: str | None = None,
+    end_ts: str | None = None,
+) -> DataFrame:
+    """Total time each series spent in each state — the TimescaleDB
+    ``state_agg``/``duration_in`` shape over an event stream where each
+    row declares the state entered at its timestamp (holding until the
+    next event of the same series).
+
+    Output per (series, state): ``duration_us`` (exact integer
+    microseconds — bit-stable, no float), ``n_periods`` (how many visits),
+    ``first_entered`` / ``last_exited``. Each series' LAST event has no
+    successor: with ``end_ts`` (an ISO timestamp string pinning the
+    observation horizon) it holds until that horizon; without, it is
+    excluded from duration (but still counts a visit). Durations are
+    additive: Σ duration_us over states == series span, which tests pin.
+
+    One lead() window per series + one bounded-key groupBy on
+    (series, state) — same two-Exchange shape as time_weighted_avg.
+    """
+    keys = list(series_keys or [])
+    order = [F.col(on)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    nxt = F.lead(_us(F.col(on))).over(w)
+    if end_ts is not None:
+        nxt = F.coalesce(nxt, _us(F.lit(end_ts).cast("timestamp")))
+    dur = nxt - _us(F.col(on))
+    seg = df.select(
+        *keys,
+        F.col(state).alias("state"),
+        F.col(on).alias("__t"),
+        dur.alias("__dur"),
+        nxt.alias("__next_us"),
+    )
+    return seg.groupBy(*keys, "state").agg(
+        F.coalesce(F.sum("__dur"), F.lit(0)).cast("long").alias("duration_us"),
+        F.count(F.lit(1)).alias("n_periods"),
+        F.min("__t").alias("first_entered"),
+        F.timestamp_micros(F.max("__next_us")).alias("last_exited"),
+    )
+
+
+def detect_gaps(
+    df: DataFrame,
+    min_gap_seconds: float,
+    on: str = "ts",
+    series_keys: list[str] | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Heartbeat-gap detection: one row per (series, silence interval)
+    where consecutive observations are more than ``min_gap_seconds``
+    apart — the uptime/downtime primitive over ingest heartbeats, and the
+    audit that decides WHERE the K5 gap-fill policies (zero/LOCF/linear)
+    will actually fire on a measure series.
+
+    Output: series keys, ``gap_start`` (last ts seen), ``gap_end`` (next
+    ts), ``gap_secs`` (exact integer-microsecond-derived). Open-ended
+    silence at the end of a series is NOT a gap (no successor to bound
+    it) — pair with state_durations(end_ts=...) for horizon-bounded
+    accounting. One lead() window per series, filter — a single hash
+    Exchange, no groupBy at all."""
+    if min_gap_seconds <= 0:
+        raise ValueError("min_gap_seconds must be positive")
+    keys = list(series_keys or [])
+    order = [F.col(on)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    nxt_us = F.lead(_us(F.col(on))).over(w)
+    gap_us = nxt_us - _us(F.col(on))
+    return (
+        df.select(
+            *keys,
+            F.col(on).alias("gap_start"),
+            F.timestamp_micros(nxt_us).alias("gap_end"),
+            (gap_us.cast("double") / F.lit(1e6)).alias("gap_secs"),
+        )
+        .filter(F.col("gap_secs") > F.lit(float(min_gap_seconds)))
     )

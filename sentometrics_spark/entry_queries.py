@@ -2667,6 +2667,116 @@ FROM o GROUP BY 1, 2"""
 
 
 
+def q_ewma_halflife_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed EWMA (halflife = 1 day) of each user's event values
+    over the irregular stream — pandas ewm(times=) semantics, computed as
+    a ratio of two running prefix sums in ONE window pass (the e^{-tλ}
+    factor cancels in the ratio). The oracle replays the identical
+    prefix-sum structure, so only the final ratio needs the engine-wide
+    tie-stable r6 rounding."""
+    from sentometrics_spark.aggregate.timeseries import ewma_time_decay
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = ewma_time_decay(
+        ev, halflife_seconds=86400.0, series_keys=["user_id"],
+        tiebreak="event_id",
+    )
+    return _fmt_ts(out, "ts").select(
+        "event_id", "user_id", "ts", _r6("ewma").alias("ewma")
+    )
+
+
+# ln(2)/86400 as the exact shortest-repr double literal: both engines
+# parse it to the identical bits, so exp()/mult/prefix-sum run on the
+# same values in the same order
+_EWMA_LAM = "8.022536812036404e-06"
+
+_SQL_EWMA_1D = f"""WITH b AS (
+  SELECT event_id, user_id, ts, value,
+         CAST(epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id)
+              AS DOUBLE) / 1000000.0 AS dt
+  FROM events
+), s AS (
+  SELECT event_id, user_id, ts,
+         SUM(value * exp(dt * {_EWMA_LAM})) OVER w AS num,
+         SUM(exp(dt * {_EWMA_LAM})) OVER w AS den
+  FROM b
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, strftime(ts, '{TSFMT_DUCK}') AS ts,
+       floor((num / den) * 1000000 + 0.5 + 1e-9) / 1000000.0 AS ewma
+FROM s"""
+
+
+def q_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB state_agg shape: total time each user spent in each
+    event_type-as-state, horizon-pinned so every visit has a bounded
+    duration. duration_us stays exact integer microseconds — no float in
+    the compare at all."""
+    from sentometrics_spark.aggregate.timeseries import state_durations
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = state_durations(
+        ev, state="event_type", series_keys=["user_id"],
+        tiebreak="event_id", end_ts="2024-02-01 00:00:00",
+    )
+    out = _fmt_ts(out, "first_entered")
+    out = out.withColumn("last_exited", F.date_format("last_exited", TSFMT_SPARK))
+    return out.select(
+        "user_id", "state", "duration_us", "n_periods",
+        "first_entered", "last_exited",
+    )
+
+
+_SQL_STATE_DURATIONS = f"""WITH s AS (
+  SELECT user_id, event_type AS state, ts,
+         coalesce(lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id),
+                  epoch_us(TIMESTAMP '2024-02-01 00:00:00')) AS next_us
+  FROM events
+)
+SELECT user_id, state,
+       CAST(SUM(next_us - epoch_us(ts)) AS BIGINT) AS duration_us,
+       COUNT(*) AS n_periods,
+       strftime(MIN(ts), '{TSFMT_DUCK}') AS first_entered,
+       strftime(make_timestamp(MAX(next_us)), '{TSFMT_DUCK}') AS last_exited
+FROM s GROUP BY 1, 2"""
+
+
+def q_event_gaps_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heartbeat-gap audit: every silence longer than one hour inside each
+    user's event stream — one lead() window + filter, no aggregation.
+    gap_secs is integer-microsecond-derived (exact to 6 dp), so the
+    compare is bit-stable without rounding games."""
+    from sentometrics_spark.aggregate.timeseries import detect_gaps
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = detect_gaps(
+        ev, min_gap_seconds=3600.0, series_keys=["user_id"],
+        tiebreak="event_id",
+    )
+    out = _fmt_ts(out, "gap_start")
+    out = out.withColumn("gap_end", F.date_format("gap_end", TSFMT_SPARK))
+    return out.select("user_id", "gap_start", "gap_end", "gap_secs")
+
+
+_SQL_EVENT_GAPS_1H = f"""WITH s AS (
+  SELECT user_id, ts AS gap_start,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_end,
+         CAST(lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id)
+              - epoch_us(ts) AS DOUBLE) / 1000000.0 AS gap_secs
+  FROM events
+)
+SELECT user_id, strftime(gap_start, '{TSFMT_DUCK}') AS gap_start,
+       strftime(gap_end, '{TSFMT_DUCK}') AS gap_end, gap_secs
+FROM s WHERE gap_secs > 3600.0"""
+
+
 # ---------------------------------------------------------------------------
 # training-data composition (round 4): temperature mixing, sequence packing
 # ---------------------------------------------------------------------------
@@ -3092,6 +3202,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_first30": q_interval_join,
         "percentiles_hourly": q_percentiles_hourly,
         "rolling_zscore_24h": q_rolling_zscore,
+        "ewma_halflife_1d": q_ewma_halflife_1d,
+        "state_durations_user": q_state_durations,
+        "event_gaps_1h": q_event_gaps_1h,
         "events_sessionize": q_events_sessionize,
         # driver-gate closers (S3/S5/S6, T3, O1, O3, M1/M2, M8, M9, M10/M11,
         # K7, A3-inverseExponential, exponential tier composability)
@@ -3337,6 +3450,9 @@ def oracle_sql() -> dict[str, str]:
         "interval_join_first30": _SQL_INTERVAL_JOIN,
         "percentiles_hourly": _SQL_PERCENTILES_HOURLY,
         "rolling_zscore_24h": _SQL_ROLLING_ZSCORE,
+        "ewma_halflife_1d": _SQL_EWMA_1D,
+        "state_durations_user": _SQL_STATE_DURATIONS,
+        "event_gaps_1h": _SQL_EVENT_GAPS_1H,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "corpus_pages": SQL_CORPUS_PAGES,
         "corpus_summarize_day": SQL_CORPUS_SUMMARIZE,

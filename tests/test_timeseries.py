@@ -411,3 +411,129 @@ def test_linear_fill_interpolates_gaps(spark):
     assert out["2024-01-01 04:00:00"] == (40.0, None)   # tail: flat
     # observed rows carry their own src_ts
     assert out["2024-01-01 00:00:00"][1] is not None
+
+
+# ---------------------------------------------------------------------------
+# ewma_time_decay / state_durations / detect_gaps
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def irregular(spark):
+    # two series with very different densities + one planted hour-long gap
+    rows = []
+    for i in range(40):  # dense: every 2 min
+        rows.append((1, i, _t(2 * i), float(10 + (i % 7))))
+    for i in range(6):  # sparse: every 45 min
+        rows.append((2, 100 + i, _t(45 * i), float(50 + 3 * i)))
+    rows.append((1, 999, _t(2 * 39 + 90), 99.0))  # 90-min silence on key 1
+    return spark.createDataFrame(
+        rows, "k int, eid int, ts timestamp, value double"
+    )
+
+
+def test_ewma_matches_pandas_ewm_times(spark, irregular):
+    from sentometrics_spark.aggregate.timeseries import ewma_time_decay
+
+    out = ewma_time_decay(
+        irregular, halflife_seconds=600.0, series_keys=["k"], tiebreak="eid"
+    ).toPandas()
+    pdf = irregular.toPandas().sort_values(["k", "ts", "eid"])
+    for k, g in pdf.groupby("k"):
+        exp = (
+            g["value"]
+            .ewm(halflife=pd.Timedelta(seconds=600), times=pd.DatetimeIndex(g["ts"]))
+            .mean()
+            .values
+        )
+        got = out[out.k == k].sort_values(["ts", "eid"])["ewma"].values
+        assert np.allclose(got, exp, rtol=1e-9, atol=1e-12)
+
+
+def test_ewma_time_not_sample_decay(spark, irregular):
+    """Same elapsed time => same decay regardless of sample count: after a
+    long silence the EWMA forgets at the TIME rate, so the 90-min-later
+    spike on the dense key dominates just as it would on a sparse one."""
+    from sentometrics_spark.aggregate.timeseries import ewma_time_decay
+
+    out = (
+        ewma_time_decay(
+            irregular, halflife_seconds=600.0, series_keys=["k"], tiebreak="eid"
+        )
+        .filter("eid = 999")
+        .collect()[0]["ewma"]
+    )
+    # 90 min = 9 halflives: the 40 old points retain ~1.5% combined weight
+    # (2^-9 each, geometric backward), so the spike dominates ~97.7 vs the
+    # pre-silence level ~13
+    assert out > 97.0
+
+
+def test_ewma_single_exchange_and_guards(spark, irregular):
+    from sentometrics_spark.aggregate.timeseries import ewma_time_decay
+
+    plan = (
+        ewma_time_decay(irregular, 600.0, series_keys=["k"], tiebreak="eid")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1  # min-over-key + running sums share it
+    with pytest.raises(ValueError):
+        ewma_time_decay(irregular, 0.0, series_keys=["k"])
+    with pytest.raises(ValueError):
+        ewma_time_decay(irregular, 600.0, series_keys=[])
+
+
+def test_state_durations_hand_oracle_and_additivity(spark):
+    from sentometrics_spark.aggregate.timeseries import state_durations
+
+    rows = [
+        (1, 1, _t(0), "up"),
+        (1, 2, _t(10), "down"),
+        (1, 3, _t(15), "up"),
+        (2, 4, _t(5), "up"),
+    ]
+    df = spark.createDataFrame(rows, "k int, eid int, ts timestamp, state string")
+    out = {
+        (r["k"], r["state"]): r
+        for r in state_durations(
+            df, state="state", series_keys=["k"], tiebreak="eid",
+            end_ts="2024-01-01 01:00:00",
+        ).collect()
+    }
+    mn = 60_000_000  # one minute in us
+    assert out[(1, "up")]["duration_us"] == 10 * mn + 45 * mn
+    assert out[(1, "up")]["n_periods"] == 2
+    assert out[(1, "down")]["duration_us"] == 5 * mn
+    assert out[(2, "up")]["duration_us"] == 55 * mn
+    # additivity: per-key durations sum to (horizon - first event)
+    assert sum(r["duration_us"] for kk, r in out.items() if kk[0] == 1) == 60 * mn
+    # without end_ts the final open period is excluded but still a visit
+    open_out = {
+        (r["k"], r["state"]): r
+        for r in state_durations(
+            df, state="state", series_keys=["k"], tiebreak="eid"
+        ).collect()
+    }
+    assert open_out[(2, "up")]["duration_us"] == 0
+    assert open_out[(2, "up")]["n_periods"] == 1
+    assert open_out[(1, "up")]["duration_us"] == 10 * mn
+
+
+def test_detect_gaps_planted(spark, irregular):
+    from sentometrics_spark.aggregate.timeseries import detect_gaps
+
+    got = detect_gaps(
+        irregular, min_gap_seconds=3600.0, series_keys=["k"], tiebreak="eid"
+    ).collect()
+    # only the planted 90-min silence on key 1 qualifies at 1h threshold
+    assert len(got) == 1 and got[0]["k"] == 1
+    assert got[0]["gap_secs"] == pytest.approx(90 * 60.0)
+    # at a 30-min threshold the sparse key's five 45-min steps join it
+    got30 = detect_gaps(
+        irregular, min_gap_seconds=1800.0, series_keys=["k"], tiebreak="eid"
+    )
+    assert got30.count() == 6
+    plan = got30._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    with pytest.raises(ValueError):
+        detect_gaps(irregular, 0.0, series_keys=["k"])

@@ -95,6 +95,7 @@ def run_benchmarks(cpus: int, sf_dir: str, q1_only: bool = False) -> dict:
     from sentometrics_spark.textops.dedup import simhash_near_pairs as _simhash_pairs
     from sentometrics_spark.textops.textstats import lm_cross_entropy as _lm_ce
     from sentometrics_spark.aggregate.timeseries import asof_join as _asof_join
+    from sentometrics_spark.aggregate.timeseries import ewma_time_decay as _ewma
 
     spark = get_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -227,6 +228,12 @@ def run_benchmarks(cpus: int, sf_dir: str, q1_only: bool = False) -> dict:
                     on="ts", by=["user_id"], payload=["v"],
                     direction="backward", tolerance_seconds=3600.0,
                 ))),
+            # q15 (new in round 4): time-decayed EWMA at 2M events / 30k
+            # users — one ordered window per series carrying two running
+            # prefix sums, the canonical smoothing pass over every series
+            ("q15_ewma_events", lambda: force(
+                _ewma(events, halflife_seconds=86400.0,
+                      series_keys=["user_id"], tiebreak="event_id"))),
         ]
 
     n_points = 0

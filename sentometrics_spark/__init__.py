@@ -35,14 +35,18 @@ from sentometrics_spark.aggregate.timeseries import (
     asof_join,
     bucket_percentiles,
     counter_rate,
+    cusum_changepoints,
     detect_gaps,
     ewma_time_decay,
+    hll_distinct_rollup,
+    hll_distinct_tier,
     interval_join,
     lttb_downsample,
     ohlc,
     rolling_zscore,
     state_durations,
     time_weighted_avg,
+    topk_per_bucket,
 )
 from sentometrics_spark.textops.sampling import (
     pack_documents,
@@ -96,14 +100,18 @@ __all__ = [
     "asof_join",
     "bucket_percentiles",
     "counter_rate",
+    "cusum_changepoints",
     "detect_gaps",
     "ewma_time_decay",
+    "hll_distinct_rollup",
+    "hll_distinct_tier",
     "interval_join",
     "lttb_downsample",
     "ohlc",
     "rolling_zscore",
     "state_durations",
     "time_weighted_avg",
+    "topk_per_bucket",
     # training-data composition
     "pack_documents",
     "sample_by_source_temperature",

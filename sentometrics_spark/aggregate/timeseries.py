@@ -41,6 +41,10 @@ __all__ = [
     "ewma_time_decay",
     "state_durations",
     "detect_gaps",
+    "topk_per_bucket",
+    "cusum_changepoints",
+    "hll_distinct_tier",
+    "hll_distinct_rollup",
 ]
 
 
@@ -667,3 +671,209 @@ def detect_gaps(
         )
         .filter(F.col("gap_secs") > F.lit(float(min_gap_seconds)))
     )
+
+
+def topk_per_bucket(
+    df: DataFrame,
+    k: int,
+    key: str,
+    on: str = "ts",
+    by: str = "day",
+    weight: str | None = None,
+    series_keys: list[str] | None = None,
+    prefilter_groups: int = 0,
+) -> DataFrame:
+    """Exact top-k heavy hitters per calendar bucket — "top domains per
+    hour", "top users per day" — the leaderboard rollup every webtext
+    ingest dashboard needs and the reference's fixed-measure pipeline has
+    no analogue for (its peakdocs, /root/reference/R/sentiment_measures.R,
+    ranks documents globally, never keys within time buckets).
+
+    Weight per (bucket, key) is COUNT(*) or SUM(weight); ranking is
+    row_number over (weight DESC, key ASC) — a total order, so results
+    are deterministic and bit-reproducible across engines (rank/ties
+    would admit >k rows and partition-order dependence).
+
+    Scale shape: stage 1 is a groupBy on (series, bucket, key) — map-side
+    partials absorb the raw row count, the shuffle carries only distinct
+    combinations. Stage 2 ranks WITHIN the aggregated table. With
+    ``prefilter_groups = m > 0`` the rank runs in two exact phases:
+    row_number within (bucket, hash(key) % m) keeps m·k candidates per
+    bucket, then the global row_number ranks only those. Since the salt
+    groups partition the key space and per-key weights are already final
+    after stage 1, every global top-k member is in its salt group's local
+    top-k — the two-phase result is EXACT, and no single task ever holds
+    a full bucket's distinct-key set (the 10^8-domains-per-day case).
+    With m = 0 a single rank window per bucket is used (right when
+    distinct keys per bucket are bounded)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    keys = list(series_keys or [])
+    wcol = F.count(F.lit(1)) if weight is None else F.sum(F.col(weight))
+    agg = df.groupBy(
+        *keys, F.date_trunc(by, F.col(on)).alias("bucket_ts"), F.col(key).alias("key")
+    ).agg(wcol.alias("weight"))
+    order = [F.col("weight").desc(), F.col("key").asc()]
+    if prefilter_groups > 0:
+        w_local = Window.partitionBy(
+            *keys,
+            "bucket_ts",
+            F.pmod(F.xxhash64(F.col("key")), F.lit(prefilter_groups)),
+        ).orderBy(*order)
+        agg = agg.withColumn("__lrn", F.row_number().over(w_local)).filter(
+            F.col("__lrn") <= k
+        ).drop("__lrn")
+    w_glob = Window.partitionBy(*keys, "bucket_ts").orderBy(*order)
+    return (
+        agg.withColumn("rank", F.row_number().over(w_glob))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    threshold_sigmas: float = 5.0,
+    drift_sigmas: float = 0.0,
+    on: str = "ts",
+    value: str = "value",
+    series_keys: list[str] | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Page's CUSUM level-shift detector over a (rolled-up) measure
+    series, in the prefix-sum formulation that needs NO sequential
+    recurrence: with d_i = x_i − μ (per-series mean) and running sum
+    S_i = Σ_{j<=i} d_j,
+
+        G_i = S_i − min(0, min_{j<=i} S_j)    (upward-shift statistic)
+        H_i = max(0, max_{j<=i} S_j) − S_i    (downward-shift statistic)
+
+    which equals the classic clamped recurrence
+    g_i = max(0, g_{i-1} + d_i) EXACTLY (the running min of the prefix
+    sum, with the virtual S_0 = 0 included, is the last clamp point —
+    the equivalence the tests pin against a plain-loop recurrence). Drift subtracts ``drift_sigmas``·σ from
+    each deviation before summing (the standard slack that ignores slow
+    wander); a shift is flagged when the statistic exceeds
+    ``threshold_sigmas``·σ.
+
+    Everything is one window pass per series: prefix sum, running
+    min/max, plus whole-partition n/Σx/Σx² picked off the LAST prefix
+    value (``last_value`` over the full frame) — so every float both
+    engines compare is built from the SAME linearly-ordered prefix sums
+    (the ewma_time_decay determinism doctrine), never from a
+    tree-aggregated mean whose summation order differs. Flags compare
+    r6-rounded statistic vs r6-rounded threshold, so an ulp at the cliff
+    cannot flip engines apart. One hash Exchange + sort; O(1) state."""
+    if threshold_sigmas <= 0:
+        raise ValueError("threshold_sigmas must be positive")
+    if drift_sigmas < 0:
+        raise ValueError("drift_sigmas must be >= 0")
+    keys = list(series_keys or [])
+    if not keys:
+        raise ValueError(
+            "cusum_changepoints requires series_keys: a keyless CUSUM is "
+            "one global window partition (a single task holds every row)"
+        )
+    order = [F.col(on)] + ([F.col(tiebreak)] if tiebreak else [])
+    w_run = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    x = F.col(value).cast("double")
+    cum_x = F.sum(x).over(w_run)
+    cum_x2 = F.sum(x * x).over(w_run)
+    n = F.count(F.lit(1)).over(w_all).cast("double")
+    tot_x = F.last(cum_x).over(w_all)
+    tot_x2 = F.last(cum_x2).over(w_all)
+    mu = tot_x / n
+    sigma = F.sqrt(
+        F.greatest(F.lit(0.0), (tot_x2 - tot_x * tot_x / n) / (n - F.lit(1.0)))
+    )
+    # prefix sum of deviations: Σx_j − i·(μ + drift·σ) — one running sum
+    # (cum_x) reused, the per-row index comes from the same sort
+    i = F.row_number().over(Window.partitionBy(*keys).orderBy(*order)).cast("double")
+    s_up = cum_x - i * (mu + F.lit(float(drift_sigmas)) * sigma)
+    s_dn = cum_x - i * (mu - F.lit(float(drift_sigmas)) * sigma)
+    g = s_up - F.least(F.lit(0.0), F.min(s_up).over(w_run))
+    h = F.greatest(F.lit(0.0), F.max(s_dn).over(w_run)) - s_dn
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5) + F.lit(1e-9)) / F.lit(1e6)
+    thr = r6(F.lit(float(threshold_sigmas)) * sigma)
+    return (
+        df.withColumn("cusum_up", r6(g))
+        .withColumn("cusum_down", r6(h))
+        .withColumn("shift_up", r6(g) > thr)
+        .withColumn("shift_down", r6(h) > thr)
+    )
+
+
+def hll_distinct_tier(
+    df: DataFrame,
+    key: str,
+    on: str = "ts",
+    series_keys: list[str] | None = None,
+    by: str = "hour",
+    lgk: int = 12,
+) -> DataFrame:
+    """Finest-tier distinct-count sketches: one Datasketches HLL sketch of
+    ``key`` per (series, calendar bucket) — the ONLY distinct-count shape
+    that survives the tier engine, because exact COUNT(DISTINCT) does not
+    re-aggregate (distinct users per hour cannot be summed into distinct
+    users per day; the sketches union losslessly instead).
+
+    Output: series keys, ``bucket_ts``, ``hll`` (binary sketch,
+    2^lgk registers), ``estimate`` (bigint), ``n_rows``. One groupBy on
+    bounded (series, bucket) keys with mergeable map-side partials — the
+    shuffle carries O(2^lgk)-byte sketches, never raw keys. Register
+    content is order-invariant, so re-running the same plan on the same
+    data reproduces estimates exactly (tested). DataSketches subtlety:
+    the library reports the HIP estimator while a sketch has only ever
+    absorbed raw/coupon updates and the composite estimator after dense
+    merges, so estimates are decomposition-SENSITIVE within the error
+    bound — do not assert bit-equality between differently-built
+    sketches of the same set; the hard invariants are the error bound
+    and exact n_rows additivity (see hll_distinct_rollup)."""
+    keys = list(series_keys or [])
+    return df.groupBy(
+        *keys, F.date_trunc(by, F.col(on)).alias("bucket_ts")
+    ).agg(
+        F.hll_sketch_agg(F.col(key), F.lit(int(lgk))).alias("hll"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).withColumn("estimate", F.hll_sketch_estimate(F.col("hll")))
+
+
+def hll_distinct_rollup(
+    tier: DataFrame,
+    to: str = "day",
+    series_keys: list[str] | None = None,
+) -> DataFrame:
+    """Roll a finer distinct-count tier to a coarser one by UNIONING the
+    stored sketches — no raw data touched, the continuous-aggregate
+    property the north star demands (hour→day→week→month each reads only
+    the tier below). HLL union takes the per-register maximum, which is
+    associative and commutative, so the merged estimate is IDENTICAL to
+    the sketch built directly from the raw rows (an exact equality the
+    tests pin, not an approximation bound).
+
+    Input is ``hll_distinct_tier`` output (or a previous rollup — the
+    operation composes). One groupBy over coarser bucket keys; n_rows
+    stays additive.
+
+    Accuracy contract (tested): register merge is associative, so ANY
+    decomposition of the rows into input sketches (hour sketches,
+    per-shard sketches, hour→day→month vs hour→month) yields an estimate
+    within the standard HLL bound of the exact distinct count
+    (~1.04/√2^lgk relative error, ≈1.6% at lgk=12) — but NOT bit-equal
+    across decompositions: DataSketches reports the tighter HIP
+    estimator for never-merged sketches and the composite estimator
+    after merges, an estimator choice, not lost information. n_rows is
+    exactly additive, and re-running the same plan is deterministic."""
+    keys = list(series_keys or [])
+    return tier.groupBy(
+        *keys, F.date_trunc(to, F.col("bucket_ts")).alias("bucket_ts")
+    ).agg(
+        F.hll_union_agg(F.col("hll")).alias("hll"),
+        F.sum("n_rows").alias("n_rows"),
+    ).withColumn("estimate", F.hll_sketch_estimate(F.col("hll")))

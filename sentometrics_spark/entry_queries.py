@@ -2777,6 +2777,136 @@ SELECT user_id, strftime(gap_start, '{TSFMT_DUCK}') AS gap_start,
 FROM s WHERE gap_secs > 3600.0"""
 
 
+def q_topk_users_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 heavy-hitter users per (event_type, day), via the
+    two-phase exact rank path (prefilter_groups=8) so the driver row
+    exercises the scale plan — per-key weights are final after the first
+    groupBy, so salted local top-k followed by global top-k is EXACT and
+    the oracle is the plain single-rank SQL."""
+    from sentometrics_spark.aggregate.timeseries import topk_per_bucket
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = topk_per_bucket(
+        ev, k=5, key="user_id", by="day", series_keys=["event_type"],
+        prefilter_groups=8,
+    )
+    return _fmt_ts(out, "bucket_ts").select(
+        "event_type", "bucket_ts",
+        F.col("key").cast("long").alias("user_id"),
+        "weight", F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_SQL_TOPK_USERS_DAY = f"""WITH a AS (
+  SELECT event_type, date_trunc('day', ts) AS b, user_id,
+         COUNT(*) AS weight
+  FROM events GROUP BY 1, 2, 3
+),
+r AS (
+  SELECT event_type, b, user_id, weight,
+         row_number() OVER (PARTITION BY event_type, b
+                            ORDER BY weight DESC, user_id ASC) AS rnk
+  FROM a
+)
+SELECT event_type, strftime(b, '{TSFMT_DUCK}') AS bucket_ts,
+       CAST(user_id AS BIGINT) AS user_id, weight, rnk AS "rank"
+FROM r WHERE rnk <= 5"""
+
+
+def q_cusum_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's CUSUM level-shift statistics per user value stream
+    (threshold 5σ, drift 0.5σ) in the prefix-sum formulation — every
+    float both engines compare descends from the SAME linearly-ordered
+    running sums (the ewma determinism doctrine), and flags compare
+    r6-rounded statistic vs r6-rounded threshold so a cliff ulp cannot
+    flip engines apart."""
+    from sentometrics_spark.aggregate.timeseries import cusum_changepoints
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = cusum_changepoints(
+        ev, threshold_sigmas=5.0, drift_sigmas=0.5,
+        series_keys=["user_id"], tiebreak="event_id",
+    )
+    return _fmt_ts(out, "ts").select(
+        "event_id", "user_id", "ts",
+        "cusum_up", "cusum_down", "shift_up", "shift_down",
+    )
+
+
+_SQL_CUSUM_USER_VALUE = f"""WITH b AS (
+  SELECT event_id, user_id, ts,
+         SUM(CAST(value AS DOUBLE)) OVER w AS cum_x,
+         SUM(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)) OVER w AS cum_x2,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS DOUBLE) AS i,
+         CAST(COUNT(*) OVER (PARTITION BY user_id) AS DOUBLE) AS n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+t AS (
+  SELECT *, last_value(cum_x) OVER q AS tot_x,
+            last_value(cum_x2) OVER q AS tot_x2
+  FROM b
+  WINDOW q AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+m AS (
+  SELECT *, tot_x / n AS mu,
+         sqrt(greatest(0.0, (tot_x2 - tot_x * tot_x / n) / (n - 1.0))) AS sigma
+  FROM t
+),
+s AS (
+  SELECT *, cum_x - i * (mu + 0.5 * sigma) AS s_up,
+            cum_x - i * (mu - 0.5 * sigma) AS s_dn
+  FROM m
+),
+g AS (
+  SELECT event_id, user_id, ts, sigma,
+         floor((s_up - least(0.0, min(s_up) OVER r)) * 1000000 + 0.5 + 1e-9)
+           / 1000000.0 AS cusum_up,
+         floor((greatest(0.0, max(s_dn) OVER r) - s_dn) * 1000000 + 0.5 + 1e-9)
+           / 1000000.0 AS cusum_down
+  FROM s
+  WINDOW r AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, strftime(ts, '{TSFMT_DUCK}') AS ts,
+       cusum_up, cusum_down,
+       cusum_up > floor(5.0 * sigma * 1000000 + 0.5 + 1e-9) / 1000000.0
+         AS shift_up,
+       cusum_down > floor(5.0 * sigma * 1000000 + 0.5 + 1e-9) / 1000000.0
+         AS shift_down
+FROM g"""
+
+
+def q_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-users-per-day tier built by UNIONING per-hour Datasketches
+    HLL sketches — the re-aggregatable distinct count exact COUNT(DISTINCT)
+    can never give a tier engine. Rows-only driver check: the estimate is
+    deterministic per plan (register content is order-invariant) but no
+    DuckDB function replays the Datasketches register layout; pytest pins
+    the HLL error bound for every union decomposition of the same rows,
+    rollup composition, exact n_rows additivity, and same-plan
+    determinism."""
+    from sentometrics_spark.aggregate.timeseries import (
+        hll_distinct_rollup,
+        hll_distinct_tier,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tier = hll_distinct_tier(
+        ev, key="user_id", by="hour", series_keys=["event_type"]
+    )
+    day = hll_distinct_rollup(tier, to="day", series_keys=["event_type"])
+    return _fmt_ts(day, "bucket_ts").select(
+        "event_type", "bucket_ts", "estimate", "n_rows"
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data composition (round 4): temperature mixing, sequence packing
 # ---------------------------------------------------------------------------
@@ -3205,6 +3335,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_halflife_1d": q_ewma_halflife_1d,
         "state_durations_user": q_state_durations,
         "event_gaps_1h": q_event_gaps_1h,
+        "topk_users_day": q_topk_users_day,
+        "cusum_user_value": q_cusum_user_value,
+        "hll_user_rollup_day": q_hll_user_rollup,
         "events_sessionize": q_events_sessionize,
         # driver-gate closers (S3/S5/S6, T3, O1, O3, M1/M2, M8, M9, M10/M11,
         # K7, A3-inverseExponential, exponential tier composability)
@@ -3453,6 +3586,8 @@ def oracle_sql() -> dict[str, str]:
         "ewma_halflife_1d": _SQL_EWMA_1D,
         "state_durations_user": _SQL_STATE_DURATIONS,
         "event_gaps_1h": _SQL_EVENT_GAPS_1H,
+        "topk_users_day": _SQL_TOPK_USERS_DAY,
+        "cusum_user_value": _SQL_CUSUM_USER_VALUE,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "corpus_pages": SQL_CORPUS_PAGES,
         "corpus_summarize_day": SQL_CORPUS_SUMMARIZE,

@@ -537,3 +537,183 @@ def test_detect_gaps_planted(spark, irregular):
     assert plan.count("Exchange") == 1
     with pytest.raises(ValueError):
         detect_gaps(irregular, 0.0, series_keys=["k"])
+
+
+def test_topk_matches_pandas_and_two_phase_exact(spark):
+    from sentometrics_spark.aggregate.timeseries import topk_per_bucket
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (
+            int(i),
+            T0 + timedelta(hours=int(rng.integers(0, 72))),
+            f"d{int(rng.zipf(1.5)) % 40}",  # zipf-skewed key space
+            float(rng.integers(1, 5)),
+        )
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "eid long, ts timestamp, dom string, w double")
+
+    got = (
+        topk_per_bucket(df, k=3, key="dom", by="day", weight="w")
+        .toPandas()
+        .sort_values(["bucket_ts", "rank"])
+        .reset_index(drop=True)
+    )
+    pdf = df.toPandas()
+    pdf["bucket_ts"] = pdf.ts.dt.floor("D")
+    agg = pdf.groupby(["bucket_ts", "dom"], as_index=False).w.sum()
+    # pandas oracle: weight desc, key asc, row_number <= 3
+    agg = agg.sort_values(["bucket_ts", "w", "dom"], ascending=[True, False, True])
+    agg["rank"] = agg.groupby("bucket_ts").cumcount() + 1
+    exp = agg[agg["rank"] <= 3].reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got["key"].values == exp.dom.values).all()
+    assert got.weight.values == pytest.approx(exp.w.values)
+    assert (got["rank"].values == exp["rank"].values).all()
+
+    # two-phase (any m) is EXACT: weights are final after stage 1, so the
+    # global top-k is inside the union of per-salt-group local top-ks
+    for m in (2, 5, 64):
+        two = (
+            topk_per_bucket(df, k=3, key="dom", by="day", weight="w",
+                            prefilter_groups=m)
+            .toPandas()
+            .sort_values(["bucket_ts", "rank"])
+            .reset_index(drop=True)
+        )
+        assert (two["key"].values == got["key"].values).all()
+        assert two.weight.values == pytest.approx(got.weight.values)
+
+    # count mode (weight=None) and guards
+    cnt = topk_per_bucket(df, k=1, key="dom", by="day")
+    assert cnt.filter("rank > 1").count() == 0
+    with pytest.raises(ValueError):
+        topk_per_bucket(df, k=0, key="dom")
+
+    # plan: stage-1 groupBy + one rank window = exactly two Exchanges
+    plan = (
+        topk_per_bucket(df, k=3, key="dom", by="day", weight="w")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 2
+
+
+def test_cusum_equals_clamped_recurrence(spark):
+    from sentometrics_spark.aggregate.timeseries import cusum_changepoints
+
+    rng = np.random.default_rng(5)
+    # key 1: flat noise then a +4 level shift at i=60; key 2: pure noise
+    x1 = np.concatenate([rng.normal(0, 1, 60), rng.normal(4, 1, 40)])
+    x2 = rng.normal(10, 2, 80)
+    rows = [
+        (1, i, T0 + timedelta(minutes=i), float(v)) for i, v in enumerate(x1)
+    ] + [
+        (2, i, T0 + timedelta(minutes=i), float(v)) for i, v in enumerate(x2)
+    ]
+    df = spark.createDataFrame(rows, "k int, eid int, ts timestamp, x double")
+    out = (
+        cusum_changepoints(
+            df, threshold_sigmas=5.0, drift_sigmas=0.5,
+            on="ts", value="x", series_keys=["k"], tiebreak="eid",
+        )
+        .toPandas()
+        .sort_values(["k", "eid"])
+    )
+    for k, xs in ((1, x1), (2, x2)):
+        mu, sd = xs.mean(), xs.std(ddof=1)
+        g = h = 0.0
+        exp_g, exp_h = [], []
+        for v in xs:
+            g = max(0.0, g + (v - mu - 0.5 * sd))
+            h = max(0.0, h + (mu - 0.5 * sd - v))
+            exp_g.append(g)
+            exp_h.append(h)
+        sub = out[out.k == k]
+        assert sub.cusum_up.values == pytest.approx(exp_g, abs=2e-6)
+        assert sub.cusum_down.values == pytest.approx(exp_h, abs=2e-6)
+    # the planted shift fires (and only) on key 1, after the shift point
+    fired = out[out.shift_up]
+    assert set(fired.k) == {1}
+    assert fired.eid.min() >= 60
+    # pure-noise key never crosses 5 sigma either way
+    assert not out[out.k == 2][["shift_up", "shift_down"]].any().any()
+    with pytest.raises(ValueError):
+        cusum_changepoints(df, threshold_sigmas=0.0, series_keys=["k"])
+    with pytest.raises(ValueError):
+        cusum_changepoints(df, series_keys=[])
+    plan = (
+        cusum_changepoints(df, series_keys=["k"], value="x", tiebreak="eid")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1  # every window shares one partitioning
+
+
+def test_hll_rollup_error_bound_composition_determinism(spark):
+    from sentometrics_spark.aggregate.timeseries import (
+        hll_distinct_rollup,
+        hll_distinct_tier,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (
+            T0 + timedelta(hours=int(rng.integers(0, 96))),
+            int(rng.integers(0, 5000)),
+            "a" if i % 3 else "b",
+        )
+        for i in range(20_000)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, uid long, g string")
+
+    tier = hll_distinct_tier(df, key="uid", by="hour", series_keys=["g"])
+    merged = (
+        hll_distinct_rollup(tier, to="day", series_keys=["g"])
+        .toPandas().set_index(["g", "bucket_ts"]).sort_index()
+    )
+    exact = (
+        df.select("g", F.date_trunc("day", "ts").alias("bucket_ts"), "uid")
+        .distinct().groupBy("g", "bucket_ts").count()
+        .toPandas().set_index(["g", "bucket_ts"]).sort_index()
+    )
+
+    # a completely different decomposition of the same rows (13 uid shards
+    # per day instead of 24 hours per day): n_rows is EXACTLY additive
+    # either way, and both estimates sit inside the HLL error bound of
+    # exact (≈1.6% 1σ at lgk=12; 5% ≈ 3σ). Estimates are NOT bit-equal
+    # across decompositions — DataSketches reports HIP for never-merged
+    # sketches and the composite estimator after merges.
+    shards = df.withColumn("shard", F.pmod(F.col("uid"), F.lit(13)))
+    alt = hll_distinct_rollup(
+        hll_distinct_tier(
+            shards, key="uid", by="day", series_keys=["g", "shard"]
+        ).drop("shard"),
+        to="day", series_keys=["g"],
+    ).toPandas().set_index(["g", "bucket_ts"]).sort_index()
+    assert (merged.n_rows == alt.n_rows).all()
+    for est in (merged.estimate, alt.estimate):
+        rel = ((est - exact["count"]).abs() / exact["count"]).max()
+        assert rel < 0.05
+
+    # composes: hour -> day -> month stays inside the bound of the exact
+    # month distincts
+    month = hll_distinct_rollup(
+        hll_distinct_rollup(tier, to="day", series_keys=["g"]),
+        to="month", series_keys=["g"],
+    ).toPandas().set_index(["g", "bucket_ts"]).sort_index()
+    exact_month = (
+        df.select("g", F.date_trunc("month", "ts").alias("bucket_ts"), "uid")
+        .distinct().groupBy("g", "bucket_ts").count()
+        .toPandas().set_index(["g", "bucket_ts"]).sort_index()
+    )
+    relm = (
+        (month.estimate - exact_month["count"]).abs() / exact_month["count"]
+    ).max()
+    assert relm < 0.05
+
+    # same plan, same data: estimates reproduce exactly
+    rerun = (
+        hll_distinct_rollup(tier, to="day", series_keys=["g"])
+        .toPandas().set_index(["g", "bucket_ts"]).sort_index()
+    )
+    assert (rerun.estimate == merged.estimate).all()

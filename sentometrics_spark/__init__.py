@@ -34,6 +34,7 @@ from sentometrics_spark.aggregate.time_agg import measures_fill
 from sentometrics_spark.aggregate.timeseries import (
     asof_join,
     bucket_percentiles,
+    cohort_retention,
     counter_rate,
     cusum_changepoints,
     detect_gaps,
@@ -45,6 +46,7 @@ from sentometrics_spark.aggregate.timeseries import (
     ohlc,
     rolling_zscore,
     state_durations,
+    time_bucket,
     time_weighted_avg,
     topk_per_bucket,
 )
@@ -99,6 +101,7 @@ __all__ = [
     # irregular-timeseries operators
     "asof_join",
     "bucket_percentiles",
+    "cohort_retention",
     "counter_rate",
     "cusum_changepoints",
     "detect_gaps",
@@ -110,6 +113,7 @@ __all__ = [
     "ohlc",
     "rolling_zscore",
     "state_durations",
+    "time_bucket",
     "time_weighted_avg",
     "topk_per_bucket",
     # training-data composition

@@ -45,6 +45,8 @@ __all__ = [
     "cusum_changepoints",
     "hll_distinct_tier",
     "hll_distinct_rollup",
+    "time_bucket",
+    "cohort_retention",
 ]
 
 
@@ -877,3 +879,79 @@ def hll_distinct_rollup(
         F.hll_union_agg(F.col("hll")).alias("hll"),
         F.sum("n_rows").alias("n_rows"),
     ).withColumn("estimate", F.hll_sketch_estimate(F.col("hll")))
+
+
+def time_bucket(
+    col: Column,
+    width_seconds: float,
+    origin: str = "2000-01-03 00:00:00",
+) -> Column:
+    """TimescaleDB-style arbitrary-width time bucket: the largest
+    ``origin + n·width`` not after ``col`` — generalizing the engine's
+    calendar buckets (A1 hour/day/ISO-week/month/year,
+    /root/reference/R/sentomeasures_main.R:406-453) to ANY fixed width
+    (15 min, 6 h, 2 d) with explicit alignment. The default origin is
+    TimescaleDB's (2000-01-03, a Monday, so week-multiples align to ISO
+    weeks).
+
+    Pure integer microsecond arithmetic (``pmod`` keeps pre-origin
+    timestamps correct — floor, not truncate-toward-zero), so it stays
+    inside whole-stage codegen and is bit-identical to DuckDB/TimescaleDB
+    ``time_bucket`` (oracle-checked against DuckDB's native function).
+    Calendar-variable widths (months) are what the A1 buckets are for —
+    this is the fixed-width complement, not a replacement."""
+    w_us = int(round(width_seconds * 1_000_000))
+    if w_us <= 0:
+        raise ValueError("width_seconds must be positive")
+    us = _us(col)
+    o = _us(F.lit(origin).cast("timestamp"))
+    return F.timestamp_micros(us - F.pmod(us - o, F.lit(w_us)))
+
+
+def cohort_retention(
+    df: DataFrame,
+    on: str = "ts",
+    user: str = "user_id",
+    by: str = "week",
+    series_keys: list[str] | None = None,
+) -> DataFrame:
+    """Cohort retention matrix over an activity stream: users are
+    cohorted by the calendar bucket of their FIRST event, and each later
+    bucket they are active in increments (cohort, age) — the
+    week-0/week-1/… retention triangle every engagement dashboard draws,
+    plus per-bucket new-vs-returning splits via the same output
+    (age 0 rows are exactly the new users of their bucket).
+
+    Output per (series, cohort_ts, age): ``n_users`` (distinct users of
+    that cohort active ``age`` buckets after their first), exact — no
+    sketches, the (user, bucket) distinct pairs are materialized once.
+
+    Scale shape: one distinct on (series, user, bucket) — the shuffle is
+    bounded by active (user, bucket) pairs, far below raw events after
+    map-side partial dedup; one window min over user (second Exchange)
+    pins each user's cohort; the final groupBy is on the tiny
+    (cohort, age) key space. ``by`` must be a fixed-stride unit
+    (hour/day/week) so age = integer bucket difference; month retention
+    needs months_between semantics — use A1 buckets + a custom age for
+    that."""
+    strides = {"hour": 3_600, "day": 86_400, "week": 7 * 86_400}
+    if by not in strides:
+        raise ValueError(f"by must be one of {sorted(strides)} (fixed stride)")
+    keys = list(series_keys or [])
+    # date_trunc('week') is ISO (Monday) in both Spark and DuckDB
+    b = F.date_trunc(by, F.col(on)).alias("__b")
+    active = df.select(*keys, F.col(user).alias("__u"), b).distinct()
+    w = Window.partitionBy(*keys, "__u")
+    cohort = F.min("__b").over(w)
+    stride_us = strides[by] * 1_000_000
+    aged = active.select(
+        *keys,
+        cohort.alias("cohort_ts"),
+        ((_us(F.col("__b")) - _us(cohort)) / F.lit(stride_us))
+        .cast("long")
+        .alias("age"),
+        "__u",
+    )
+    return aged.groupBy(*keys, "cohort_ts", "age").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

@@ -2882,6 +2882,62 @@ SELECT event_id, user_id, strftime(ts, '{TSFMT_DUCK}') AS ts,
 FROM g"""
 
 
+def q_time_bucket_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width 15-minute bucket rollup via the TimescaleDB-style
+    time_bucket (integer-µs floor against the 2000-01-03 origin). The
+    oracle uses DuckDB's NATIVE time_bucket function — an independent
+    implementation of the same spec — so the row proves semantic parity,
+    not just arithmetic replay."""
+    from sentometrics_spark.aggregate.timeseries import time_bucket
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = ev.groupBy(
+        "event_type", time_bucket(F.col("ts"), 900.0).alias("bucket_ts")
+    ).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        (F.sum("value") / F.count(F.lit(1))).alias("avg_value"),
+    )
+    return _fmt_ts(out, "bucket_ts").select(
+        "event_type", "bucket_ts", "n_obs", _r6("avg_value").alias("avg_value")
+    )
+
+
+_SQL_TIME_BUCKET_15M = f"""SELECT event_type,
+       strftime(time_bucket(INTERVAL '900 seconds', ts,
+                            TIMESTAMP '2000-01-03 00:00:00'),
+                '{TSFMT_DUCK}') AS bucket_ts,
+       COUNT(*) AS n_obs,
+       floor((SUM(value) / COUNT(*)) * 1000000 + 0.5 + 1e-9) / 1000000.0
+         AS avg_value
+FROM events GROUP BY 1, 2"""
+
+
+def q_cohort_retention_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-week cohort retention triangle over the event stream: users
+    cohorted by the week of their first event, n_users counted exactly at
+    each (cohort, age). Age-0 rows double as the per-week new-user
+    series; the column totals are weekly actives."""
+    from sentometrics_spark.aggregate.timeseries import cohort_retention
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = cohort_retention(ev, on="ts", user="user_id", by="week")
+    return _fmt_ts(out, "cohort_ts").select("cohort_ts", "age", "n_users")
+
+
+_SQL_COHORT_RETENTION_WEEK = f"""WITH a AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS b FROM events
+),
+c AS (
+  SELECT user_id, b, min(b) OVER (PARTITION BY user_id) AS cohort FROM a
+)
+SELECT strftime(cohort, '{TSFMT_DUCK}') AS cohort_ts,
+       CAST((epoch_us(b) - epoch_us(cohort)) // 604800000000 AS BIGINT) AS age,
+       COUNT(*) AS n_users
+FROM c GROUP BY 1, 2"""
+
+
 def q_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-users-per-day tier built by UNIONING per-hour Datasketches
     HLL sketches — the re-aggregatable distinct count exact COUNT(DISTINCT)
@@ -3338,6 +3394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_users_day": q_topk_users_day,
         "cusum_user_value": q_cusum_user_value,
         "hll_user_rollup_day": q_hll_user_rollup,
+        "time_bucket_15m": q_time_bucket_15m,
+        "cohort_retention_week": q_cohort_retention_week,
         "events_sessionize": q_events_sessionize,
         # driver-gate closers (S3/S5/S6, T3, O1, O3, M1/M2, M8, M9, M10/M11,
         # K7, A3-inverseExponential, exponential tier composability)
@@ -3588,6 +3646,8 @@ def oracle_sql() -> dict[str, str]:
         "event_gaps_1h": _SQL_EVENT_GAPS_1H,
         "topk_users_day": _SQL_TOPK_USERS_DAY,
         "cusum_user_value": _SQL_CUSUM_USER_VALUE,
+        "time_bucket_15m": _SQL_TIME_BUCKET_15M,
+        "cohort_retention_week": _SQL_COHORT_RETENTION_WEEK,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "corpus_pages": SQL_CORPUS_PAGES,
         "corpus_summarize_day": SQL_CORPUS_SUMMARIZE,

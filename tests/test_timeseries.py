@@ -717,3 +717,71 @@ def test_hll_rollup_error_bound_composition_determinism(spark):
         .toPandas().set_index(["g", "bucket_ts"]).sort_index()
     )
     assert (rerun.estimate == merged.estimate).all()
+
+
+def test_time_bucket_hand_and_guards(spark):
+    from sentometrics_spark.aggregate.timeseries import time_bucket
+
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 00:07:12.345678",),
+            ("1999-12-31 23:59:59",),      # pre-origin: floor, not trunc-to-zero
+            ("2024-03-10 13:44:59.999999",),
+            ("2000-01-03 00:00:00",),      # exactly the origin
+        ],
+        "s string",
+    ).select(F.col("s").cast("timestamp").alias("ts"))
+    got = [
+        str(r[0])
+        for r in df.select(time_bucket(F.col("ts"), 900.0)).collect()
+    ]
+    assert got == [
+        "2024-01-01 00:00:00",
+        "1999-12-31 23:45:00",
+        "2024-03-10 13:30:00",
+        "2000-01-03 00:00:00",
+    ]
+    # week-multiple widths align to ISO weeks (origin is a Monday)
+    wk = [
+        str(r[0])
+        for r in df.select(time_bucket(F.col("ts"), 7 * 86400.0)).collect()
+    ]
+    assert wk[0] == "2024-01-01 00:00:00"  # 2024-01-01 is a Monday
+    # sub-second width stays exact integer microseconds
+    ms = df.select(time_bucket(F.col("ts"), 0.25)).collect()
+    assert str(ms[0][0]) == "2024-01-01 00:07:12.250000"
+    with pytest.raises(ValueError):
+        time_bucket(F.col("ts"), 0.0)
+
+
+def test_cohort_retention_hand_matrix(spark):
+    from sentometrics_spark.aggregate.timeseries import cohort_retention
+
+    # weeks W0=2024-01-01, W1=01-08, W2=01-15 (all Mondays)
+    rows = [
+        # u1: joins W0, active W0+W2 (skips W1); two events in W0 (dedup)
+        (1, "2024-01-02 10:00:00"),
+        (1, "2024-01-03 11:00:00"),
+        (1, "2024-01-16 09:00:00"),
+        # u2: joins W0, active every week
+        (2, "2024-01-01 00:00:00"),
+        (2, "2024-01-08 00:00:00"),
+        (2, "2024-01-15 00:00:00"),
+        # u3: joins W1 only
+        (3, "2024-01-10 12:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "uid int, s string").select(
+        "uid", F.col("s").cast("timestamp").alias("ts")
+    )
+    got = {
+        (str(r["cohort_ts"]), r["age"]): r["n_users"]
+        for r in cohort_retention(df, user="uid", by="week").collect()
+    }
+    assert got == {
+        ("2024-01-01 00:00:00", 0): 2,  # u1, u2 new in W0
+        ("2024-01-01 00:00:00", 1): 1,  # only u2 back in W1
+        ("2024-01-01 00:00:00", 2): 2,  # u1 and u2 in W2
+        ("2024-01-08 00:00:00", 0): 1,  # u3 new in W1
+    }
+    with pytest.raises(ValueError):
+        cohort_retention(df, user="uid", by="month")

@@ -35,6 +35,7 @@ from sentometrics_spark.aggregate.timeseries import (
     asof_join,
     bucket_percentiles,
     cohort_retention,
+    funnel_stages,
     counter_rate,
     cusum_changepoints,
     detect_gaps,
@@ -102,6 +103,7 @@ __all__ = [
     "asof_join",
     "bucket_percentiles",
     "cohort_retention",
+    "funnel_stages",
     "counter_rate",
     "cusum_changepoints",
     "detect_gaps",

@@ -47,6 +47,7 @@ __all__ = [
     "hll_distinct_rollup",
     "time_bucket",
     "cohort_retention",
+    "funnel_stages",
 ]
 
 
@@ -954,4 +955,94 @@ def cohort_retention(
     )
     return aged.groupBy(*keys, "cohort_ts", "age").agg(
         F.count(F.lit(1)).alias("n_users")
+    )
+
+
+def funnel_stages(
+    df: DataFrame,
+    steps: list[str],
+    within_seconds: float | None = None,
+    on: str = "ts",
+    user: str = "user_id",
+    step_col: str = "event_type",
+    series_keys: list[str] | None = None,
+) -> DataFrame:
+    """Ordered-funnel analysis (the ClickHouse ``windowFunnel`` shape):
+    how far each user progressed through ``steps`` in order, optionally
+    requiring the whole path to fit inside ``within_seconds`` of the
+    first step.
+
+    Semantics — the EARLIEST-ANCHOR CASCADE, chosen because it is
+    deterministic and exactly SQL-replicable: t₁ = the user's earliest
+    step-1 event; t_k = the earliest step-k event at-or-after t_{k-1};
+    ``stage`` = the largest k with t_k defined and t_k − t₁ ≤ within.
+    (Cascade times are monotone, so the window cut never leaves gaps.)
+    This is NOT the sliding-anchor maximal variant: a user who would
+    only convert measured from a LATER first step is not counted —
+    documented, and the right trade for an auditable metric.
+
+    Output per user: ``stage`` (0..len(steps)), ``first_ts`` (t₁),
+    ``reached_ts`` (t_stage). Only users with at least one step event
+    appear (filter others upstream or count them as stage 0 via the
+    user dimension table).
+
+    Scale shape: filter to the step vocabulary (pushed to the scan),
+    then ONE groupBy(user) building the per-user event list — bounded by
+    per-user funnel events, the same contract as sessionization — and a
+    single JVM ``aggregate`` fold walks the cascade; no window function,
+    no join, no Python. Events are folded in (ts, step-index) order so
+    equal-timestamp cascades resolve exactly like the SQL ``>=``."""
+    k = len(steps)
+    if k < 2:
+        raise ValueError("a funnel needs at least two steps")
+    if len(set(steps)) != k:
+        raise ValueError("steps must be distinct")
+    keys = list(series_keys or [])
+    idx = F.lit(None).cast("int")
+    for j in range(k - 1, -1, -1):
+        idx = F.when(F.col(step_col) == steps[j], F.lit(j)).otherwise(idx)
+    ev = df.filter(F.col(step_col).isin(list(steps))).select(
+        *keys,
+        F.col(user).alias("__u"),
+        F.struct(_us(F.col(on)).alias("us"), idx.alias("idx")).alias("__e"),
+    )
+    lst = F.sort_array(F.collect_list("__e"))
+
+    def _upd(acc, e):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda j: F.coalesce(
+                F.element_at(acc, j + 1),
+                F.when(
+                    (e["idx"] == j)
+                    & F.when(j == F.lit(0), F.lit(True)).otherwise(
+                        F.element_at(acc, j).isNotNull()
+                        & (e["us"] >= F.element_at(acc, j))
+                    ),
+                    e["us"],
+                ),
+            ),
+        )
+
+    acc = F.aggregate(
+        lst, F.expr(f"array_repeat(cast(null as bigint), {k})"), _upd
+    )
+    agg = ev.groupBy(*keys, "__u").agg(acc.alias("__acc"))
+    t1 = F.element_at("__acc", 1)
+    if within_seconds is None:
+        ok = F.transform("__acc", lambda t: t.isNotNull())
+    else:
+        w_us = int(round(within_seconds * 1_000_000))
+        ok = F.transform(
+            "__acc", lambda t: t.isNotNull() & ((t - t1) <= F.lit(w_us))
+        )
+    stage = F.size(F.filter(ok, lambda b: b))
+    return agg.select(
+        *keys,
+        F.col("__u").alias(user),
+        stage.cast("long").alias("stage"),
+        F.timestamp_micros(t1).alias("first_ts"),
+        F.timestamp_micros(
+            F.when(stage > 0, F.element_at("__acc", stage))
+        ).alias("reached_ts"),
     )

@@ -2938,6 +2938,63 @@ SELECT strftime(cohort, '{TSFMT_DUCK}') AS cohort_ts,
 FROM c GROUP BY 1, 2"""
 
 
+def q_funnel_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view→click→purchase funnel, whole path within 7 days of the first
+    view (earliest-anchor cascade semantics — deterministic and exactly
+    replayed by the oracle's min-ts cascade CTEs)."""
+    from sentometrics_spark.aggregate.timeseries import funnel_stages
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = funnel_stages(
+        ev, ["view", "click", "purchase"], within_seconds=7 * 86400.0
+    )
+    return out.select(
+        "user_id", "stage",
+        F.date_format("first_ts", TSFMT_SPARK).alias("first_ts"),
+        F.date_format("reached_ts", TSFMT_SPARK).alias("reached_ts"),
+    )
+
+
+_SQL_FUNNEL_WEEK = f"""WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+  JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts >= t1.t1 GROUP BY 1
+),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+  JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= t2.t2 GROUP BY 1
+),
+u AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+s AS (
+  SELECT u.user_id, t1, t2, t3,
+         (CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN t2 IS NOT NULL
+                 AND epoch_us(t2) - epoch_us(t1) <= 604800000000
+                 THEN 1 ELSE 0 END
+          + CASE WHEN t3 IS NOT NULL
+                 AND epoch_us(t3) - epoch_us(t1) <= 604800000000
+                 THEN 1 ELSE 0 END) AS stage
+  FROM u
+  LEFT JOIN t1 ON u.user_id = t1.user_id
+  LEFT JOIN t2 ON u.user_id = t2.user_id
+  LEFT JOIN t3 ON u.user_id = t3.user_id
+)
+SELECT user_id, CAST(stage AS BIGINT) AS stage,
+       strftime(t1, '{TSFMT_DUCK}') AS first_ts,
+       strftime(CASE stage WHEN 3 THEN t3 WHEN 2 THEN t2 WHEN 1 THEN t1 END,
+                '{TSFMT_DUCK}') AS reached_ts
+FROM s"""
+
+
 def q_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-users-per-day tier built by UNIONING per-hour Datasketches
     HLL sketches — the re-aggregatable distinct count exact COUNT(DISTINCT)
@@ -3396,6 +3453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_user_rollup_day": q_hll_user_rollup,
         "time_bucket_15m": q_time_bucket_15m,
         "cohort_retention_week": q_cohort_retention_week,
+        "funnel_week": q_funnel_week,
         "events_sessionize": q_events_sessionize,
         # driver-gate closers (S3/S5/S6, T3, O1, O3, M1/M2, M8, M9, M10/M11,
         # K7, A3-inverseExponential, exponential tier composability)
@@ -3648,6 +3706,7 @@ def oracle_sql() -> dict[str, str]:
         "cusum_user_value": _SQL_CUSUM_USER_VALUE,
         "time_bucket_15m": _SQL_TIME_BUCKET_15M,
         "cohort_retention_week": _SQL_COHORT_RETENTION_WEEK,
+        "funnel_week": _SQL_FUNNEL_WEEK,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "corpus_pages": SQL_CORPUS_PAGES,
         "corpus_summarize_day": SQL_CORPUS_SUMMARIZE,

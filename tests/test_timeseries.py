@@ -785,3 +785,62 @@ def test_cohort_retention_hand_matrix(spark):
     }
     with pytest.raises(ValueError):
         cohort_retention(df, user="uid", by="month")
+
+
+def test_funnel_stages_hand_cascade(spark):
+    from sentometrics_spark.aggregate.timeseries import funnel_stages
+
+    rows = [
+        # u1: full funnel inside the window
+        (1, "view", "2024-01-01 00:00:00"),
+        (1, "click", "2024-01-01 01:00:00"),
+        (1, "purchase", "2024-01-01 02:00:00"),
+        # u2: click BEFORE the first view — cascade must not count it
+        (2, "click", "2024-01-01 00:00:00"),
+        (2, "view", "2024-01-01 01:00:00"),
+        # u3: completes, but purchase falls outside within_seconds
+        (3, "view", "2024-01-01 00:00:00"),
+        (3, "click", "2024-01-01 00:30:00"),
+        (3, "purchase", "2024-01-01 04:00:00"),
+        # u4: earliest-anchor trap — a LATER view would convert, the
+        # earliest one must be the anchor (documented semantics)
+        (4, "view", "2024-01-01 00:00:00"),
+        (4, "view", "2024-01-01 03:30:00"),
+        (4, "click", "2024-01-01 03:45:00"),
+        (4, "purchase", "2024-01-01 06:00:00"),
+        # u5: only noise events → not in the output at all
+        (5, "scroll", "2024-01-01 00:00:00"),
+        # u6: equal timestamps — view and click at the same instant count
+        # (SQL >= cascade), purchase missing
+        (6, "view", "2024-01-01 00:00:00"),
+        (6, "click", "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "uid int, event_type string, s string").select(
+        F.col("uid").alias("user_id"), "event_type",
+        F.col("s").cast("timestamp").alias("ts"),
+    )
+    out = {
+        r["user_id"]: (r["stage"], str(r["first_ts"]), str(r["reached_ts"]))
+        for r in funnel_stages(
+            df, ["view", "click", "purchase"], within_seconds=3 * 3600.0
+        ).collect()
+    }
+    assert 5 not in out
+    assert out[1] == (3, "2024-01-01 00:00:00", "2024-01-01 02:00:00")
+    assert out[2] == (1, "2024-01-01 01:00:00", "2024-01-01 01:00:00")
+    assert out[3] == (2, "2024-01-01 00:00:00", "2024-01-01 00:30:00")
+    # u4: click at 03:45 is > 3h after the 00:00 anchor → stage 1
+    assert out[4] == (1, "2024-01-01 00:00:00", "2024-01-01 00:00:00")
+    assert out[6] == (2, "2024-01-01 00:00:00", "2024-01-01 00:00:00")
+
+    # no window: every cascade step counts regardless of elapsed time
+    unbounded = {
+        r["user_id"]: r["stage"]
+        for r in funnel_stages(df, ["view", "click", "purchase"]).collect()
+    }
+    assert unbounded[3] == 3 and unbounded[4] == 3
+
+    with pytest.raises(ValueError):
+        funnel_stages(df, ["view"])
+    with pytest.raises(ValueError):
+        funnel_stages(df, ["view", "view"])

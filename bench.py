@@ -96,6 +96,7 @@ def run_benchmarks(cpus: int, sf_dir: str, q1_only: bool = False) -> dict:
     from sentometrics_spark.textops.textstats import lm_cross_entropy as _lm_ce
     from sentometrics_spark.aggregate.timeseries import asof_join as _asof_join
     from sentometrics_spark.aggregate.timeseries import ewma_time_decay as _ewma
+    from sentometrics_spark.aggregate.timeseries import funnel_stages as _funnel
 
     spark = get_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -234,6 +235,12 @@ def run_benchmarks(cpus: int, sf_dir: str, q1_only: bool = False) -> dict:
             ("q15_ewma_events", lambda: force(
                 _ewma(events, halflife_seconds=86400.0,
                       series_keys=["user_id"], tiebreak="event_id"))),
+            # q16 (new in round 4): ordered funnel over the same 2M
+            # events / 30k users — one groupBy(user) + a single JVM
+            # aggregate fold walking the view->click->purchase cascade
+            ("q16_funnel_events", lambda: force(
+                _funnel(events, ["view", "click", "purchase"],
+                        within_seconds=7 * 86400.0))),
         ]
 
     n_points = 0

@@ -34,8 +34,13 @@ from sentometrics_spark.aggregate.time_agg import measures_fill
 from sentometrics_spark.aggregate.timeseries import (
     asof_join,
     bucket_percentiles,
+    acf,
+    bucket_trend,
     cohort_retention,
     funnel_stages,
+    kll_quantile_rollup,
+    kll_quantile_tier,
+    seasonal_decompose,
     counter_rate,
     cusum_changepoints,
     detect_gaps,
@@ -102,8 +107,13 @@ __all__ = [
     # irregular-timeseries operators
     "asof_join",
     "bucket_percentiles",
+    "acf",
+    "bucket_trend",
     "cohort_retention",
     "funnel_stages",
+    "kll_quantile_rollup",
+    "kll_quantile_tier",
+    "seasonal_decompose",
     "counter_rate",
     "cusum_changepoints",
     "detect_gaps",

@@ -48,6 +48,11 @@ __all__ = [
     "time_bucket",
     "cohort_retention",
     "funnel_stages",
+    "bucket_trend",
+    "acf",
+    "seasonal_decompose",
+    "kll_quantile_tier",
+    "kll_quantile_rollup",
 ]
 
 
@@ -1045,4 +1050,307 @@ def funnel_stages(
         F.timestamp_micros(
             F.when(stage > 0, F.element_at("__acc", stage))
         ).alias("reached_ts"),
+    )
+
+
+def bucket_trend(
+    df: DataFrame,
+    on: str = "ts",
+    value: str = "value",
+    series_keys: list[str] | None = None,
+    by: str = "hour",
+) -> DataFrame:
+    """Per-(series, calendar bucket) OLS trend: slope (value units per
+    second), intercept (fitted value at the bucket start) and r² of the
+    regression of ``value`` on elapsed-seconds-within-bucket. The
+    "is this metric rising inside each window" primitive — the rollup
+    analogue of PromQL's ``deriv()``.
+
+    x is rebased to seconds since the bucket start BEFORE squaring
+    (epoch-microsecond x² is ~1e33 and eats all double precision; bucket-
+    relative x² is ≤ 7.5e9 for a day bucket). All five sufficient
+    statistics (n, Σx, Σy, Σxy, Σx²(, Σy²)) come from ONE groupBy with
+    map-side partials — no window sort, no second pass; slope/intercept/r²
+    are ratios of those sums, computed at value magnitude where the r6
+    oracle rounding is stable (the TWA round-ratios rule). Degenerate
+    buckets (n < 2 or zero x-variance, e.g. all rows at one timestamp)
+    return NULL slope/intercept/r²; zero y-variance returns r²=NULL
+    (0/0) with a valid flat slope."""
+    keys = list(series_keys or [])
+    b = F.date_trunc(by, F.col(on))
+    x = (_us(F.col(on)) - _us(b)).cast("double") / F.lit(1e6)
+    y = F.col(value).cast("double")
+    pre = df.select(
+        *keys,
+        b.alias("bucket_ts"),
+        x.alias("__x"),
+        y.alias("__y"),
+    )
+    agg = pre.groupBy(*keys, "bucket_ts").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+    )
+    n = F.col("n_obs").cast("double")
+    sxx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    syy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    sxy = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    slope = F.when((F.col("n_obs") >= 2) & (sxx > 0), sxy / sxx)
+    intercept = (F.col("__sy") - slope * F.col("__sx")) / n
+    r2 = F.when(syy > 0, (sxy * sxy) / (sxx * syy))
+    return agg.select(
+        *keys,
+        "bucket_ts",
+        slope.alias("slope_per_sec"),
+        intercept.alias("intercept"),
+        F.when(slope.isNotNull(), r2).alias("r2"),
+        "n_obs",
+    )
+
+
+def acf(
+    df: DataFrame,
+    max_lag: int,
+    on: str = "ts",
+    value: str = "value",
+    series_keys: list[str] | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-series autocorrelation function at lags 1..max_lag over an
+    ordered series (normally an already-rolled-up, gap-filled tier —
+    lags are POSITIONAL, so run it on a regular grid):
+
+        r_k = Σ_{t≤n−k} (x_t − μ)(x_{t+k} − μ) / Σ_t (x_t − μ)²
+
+    with μ and the denominator over the FULL series — the standard
+    Box-Jenkins/statsmodels estimator (biased, positive-semidefinite),
+    NOT the per-lag-mean variant. The seasonality-detection primitive: a
+    daily cycle in an hourly tier peaks at lag 24.
+
+    ONE Exchange total and NO join: an ordered window builds the array
+    of the next ``max_lag`` centered values in ONE pass (the naive form
+    self-joins the series K times), with μ from an unordered window over
+    the SAME partitioning (Catalyst reuses the Exchange); the
+    denominator Σd² and n ride along as a second window over the same
+    partitioning (again no new Exchange) instead of a per-series
+    aggregate that would need a join back — AQE turns that join into a
+    SortMergeJoin whenever stats are missing. Products then explode to
+    (series, lag) rows — bounded at n·K, map-side partials — and the
+    (series, lag) groupBy finishes WITHOUT reshuffling: hash-partitioning
+    on series already satisfies its distribution (plan-asserted). Output keeps every lag
+    1..max_lag per series: ``r`` (NULL when the series has no lag-k
+    pairs or zero variance), ``n_pairs`` for CIs (±1.96/√n), ``n_obs``."""
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    keys = list(series_keys or [])
+    if not keys:
+        raise ValueError(
+            "acf requires series_keys: a keyless series is one global "
+            "window partition (single task holds every row)"
+        )
+    order = [F.col(on)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    wfull = Window.partitionBy(*keys)
+    y = F.col(value).cast("double")
+    mu = F.avg(y).over(wfull)
+    base = df.select(
+        *keys,
+        (y - mu).alias("__d"),
+        F.array(
+            *[F.lead(y, k).over(w) - mu for k in range(1, max_lag + 1)]
+        ).alias("__dl"),
+    )
+    base = base.select(
+        *keys,
+        "__d",
+        "__dl",
+        F.sum(F.col("__d") * F.col("__d")).over(wfull).alias("__ss"),
+        F.count(F.lit(1)).over(wfull).alias("__n"),
+    )
+    num = (
+        base.select(
+            *keys, "__d", "__ss", "__n",
+            F.posexplode("__dl").alias("__k0", "__dlk"),
+        )
+        .groupBy(*keys, (F.col("__k0") + 1).alias("lag"))
+        .agg(
+            F.sum(F.col("__d") * F.col("__dlk")).alias("__num"),
+            F.count("__dlk").alias("n_pairs"),
+            F.first("__ss").alias("__ss"),
+            F.first("__n").alias("n_obs"),
+        )
+    )
+    r = F.when(
+        (F.col("n_pairs") > 0) & (F.col("__ss") > 0),
+        F.col("__num") / F.col("__ss"),
+    )
+    return num.select(
+        *keys,
+        F.col("lag").cast("int").alias("lag"),
+        r.alias("r"),
+        "n_pairs",
+        "n_obs",
+    )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    period: int,
+    on: str = "ts",
+    value: str = "value",
+    series_keys: list[str] | None = None,
+) -> DataFrame:
+    """Classical additive seasonal decomposition (the statsmodels
+    ``seasonal_decompose(model='additive')`` estimator) of a REGULAR
+    series — run it on a gap-filled tier, positions are ordinal:
+
+      trend_t    = centered moving average of width ``period``
+                   (even p: the 2×p MA — ends half-weighted; odd p:
+                   plain centered MA); NULL at the edges where the
+                   full window does not exist,
+      seasonal_φ = mean over t of (x_t − trend_t) at phase φ = t mod p,
+                   re-centered so the p seasonal effects sum to zero —
+                   constant per phase across the whole series,
+      resid_t    = x_t − trend_t − seasonal_t (NULL where trend is).
+
+    Scale shape: ONE ordered window per series carries the row number
+    and both MA half-sums (even p needs two overlapping p-frames — same
+    sort, no extra Exchange); phase effects are a (series, phase)
+    groupBy — at most p rows per series — re-centered with a second
+    p-row groupBy and broadcast-joined back. Raw rows shuffle once.
+
+    Phase 0 is the series' FIRST row (ordinal, statsmodels convention),
+    not a calendar phase: decompose aligned series (same grid start) or
+    read phases via the returned ``phase`` column."""
+    if period < 2:
+        raise ValueError("period must be >= 2")
+    keys = list(series_keys or [])
+    if not keys:
+        raise ValueError(
+            "seasonal_decompose requires series_keys: a keyless series is "
+            "one global window partition (single task holds every row)"
+        )
+    w = Window.partitionBy(*keys).orderBy(F.col(on))
+    y = F.col(value).cast("double")
+    half = period // 2
+    if period % 2 == 0:
+        # 2xp MA: average of the p-frame [-h, h-1] and the p-frame [-h+1, h]
+        f1 = w.rowsBetween(-half, half - 1)
+        f2 = w.rowsBetween(-half + 1, half)
+        trend = F.when(
+            (F.count(y).over(f1) == period) & (F.count(y).over(f2) == period),
+            (F.sum(y).over(f1) + F.sum(y).over(f2)) / F.lit(2.0 * period),
+        )
+    else:
+        fr = w.rowsBetween(-half, half)
+        trend = F.when(
+            F.count(y).over(fr) == period, F.sum(y).over(fr) / F.lit(float(period))
+        )
+    base = df.withColumn("__rn", F.row_number().over(w) - 1).withColumn(
+        "__trend", trend
+    )
+    base = base.withColumn("phase", (F.col("__rn") % period).cast("int"))
+    eff = (
+        base.filter(F.col("__trend").isNotNull())
+        .groupBy(*keys, "phase")
+        .agg(F.avg(y - F.col("__trend")).alias("__raw"))
+    )
+    ctr = eff.groupBy(*keys).agg(F.avg("__raw").alias("__c"))
+    eff = eff.join(F.broadcast(ctr), keys).select(
+        *keys, "phase", (F.col("__raw") - F.col("__c")).alias("__seas")
+    )
+    out = base.join(F.broadcast(eff), keys + ["phase"], "left")
+    return out.select(
+        *df.columns,
+        "phase",
+        F.col("__trend").alias("trend"),
+        F.col("__seas").alias("seasonal"),
+        (y - F.col("__trend") - F.col("__seas")).alias("resid"),
+    )
+
+
+def kll_quantile_tier(
+    df: DataFrame,
+    on: str = "ts",
+    value: str = "value",
+    series_keys: list[str] | None = None,
+    by: str = "hour",
+    k: int = 200,
+    qs: list[float] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Finest-tier re-aggregatable percentiles: one Datasketches KLL
+    sketch of ``value`` per (series, calendar bucket) — the quantile
+    analogue of ``hll_distinct_tier``, and the only percentile shape the
+    tier engine can keep: exact p99-per-hour cannot be rolled into
+    p99-per-day (quantiles don't add), but KLL sketches MERGE losslessly
+    within their rank-error bound, so every coarser tier reads only the
+    tier below, never the raw stream.
+
+    Output: series keys, ``bucket_ts``, ``kll`` (binary sketch),
+    decoded ``p50/p95/p99`` (or the requested qs), exact ``n_rows``.
+    One groupBy on bounded (series, bucket) keys with mergeable map-side
+    partials; the shuffle carries O(k·log(n/k))-byte sketches, never raw
+    values. Rank-error contract: ~1.65/√k ≈ 1.2% at k=200 (two-sided,
+    99% confidence), tested against exact ``percentile``. Estimates are
+    LIB-DEFINED at rank boundaries (KLL returns a stored value, not an
+    interpolation — quantile_cont oracles don't apply); n_rows is exact
+    and additive."""
+    keys = list(series_keys or [])
+    v = F.col(value).cast("double")
+    agg = df.groupBy(*keys, F.date_trunc(by, F.col(on)).alias("bucket_ts")).agg(
+        F.kll_sketch_agg_double(v, F.lit(int(k))).alias("kll"),
+        F.count(v).alias("n_rows"),
+    )
+    return agg.select(
+        *keys,
+        "bucket_ts",
+        "kll",
+        *[
+            F.kll_sketch_get_quantile_double(F.col("kll"), F.lit(float(q))).alias(
+                f"p{str(q).replace('0.', '').ljust(2, '0')}"
+            )
+            for q in qs
+        ],
+        "n_rows",
+    )
+
+
+def kll_quantile_rollup(
+    tier: DataFrame,
+    to: str = "day",
+    series_keys: list[str] | None = None,
+    qs: list[float] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Roll a finer percentile tier to a coarser one by MERGING the
+    stored KLL sketches — no raw data touched (hour→day→week→month each
+    reads only the tier below), the continuous-aggregate property.
+
+    Input is ``kll_quantile_tier`` output (or a previous rollup — the
+    operation composes). One groupBy over coarser bucket keys; n_rows
+    stays exactly additive. Merge is within the same rank-error bound as
+    a sketch built directly from the raw rows (tested); like the HLL
+    tier, estimates are NOT asserted bit-equal across decompositions —
+    the KLL compaction schedule depends on merge order — the contract is
+    the rank-error bound plus exact n_rows."""
+    keys = list(series_keys or [])
+    agg = tier.groupBy(
+        *keys, F.date_trunc(to, F.col("bucket_ts")).alias("bucket_ts")
+    ).agg(
+        F.kll_merge_agg_double(F.col("kll")).alias("kll"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+    return agg.select(
+        *keys,
+        "bucket_ts",
+        "kll",
+        *[
+            F.kll_sketch_get_quantile_double(F.col("kll"), F.lit(float(q))).alias(
+                f"p{str(q).replace('0.', '').ljust(2, '0')}"
+            )
+            for q in qs
+        ],
+        "n_rows",
     )

@@ -2995,6 +2995,203 @@ SELECT user_id, CAST(stage AS BIGINT) AS stage,
 FROM s"""
 
 
+def q_trend_day_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, day) OLS trend of value on elapsed-seconds — one
+    groupBy carrying the five sufficient statistics, slope/intercept/r²
+    as ratios (round ratios, never raw sums: the r6 doctrine). Slope is
+    reported per-day (x3600x24) so its magnitude survives 6-decimal
+    rounding."""
+    from sentometrics_spark.aggregate.timeseries import bucket_trend
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = bucket_trend(ev, series_keys=["event_type"], by="day")
+    out = _fmt_ts(out, "bucket_ts")
+    return out.select(
+        "event_type", "bucket_ts",
+        _r6(F.col("slope_per_sec") * 86400.0).alias("slope_per_day"),
+        _r6("intercept").alias("intercept"),
+        _r6("r2").alias("r2"),
+        "n_obs",
+    )
+
+
+_SQL_TREND_DAY_TYPE = f"""WITH b AS (
+  SELECT event_type, date_trunc('day', ts) AS b,
+         CAST(epoch_us(ts) - epoch_us(date_trunc('day', ts)) AS DOUBLE)
+           / 1000000.0 AS x,
+         CAST(value AS DOUBLE) AS y
+  FROM events
+), a AS (
+  SELECT event_type, b, COUNT(*) AS n_obs,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM b GROUP BY 1, 2
+), s AS (
+  SELECT event_type, b, n_obs,
+         CASE WHEN n_obs >= 2 AND n_obs * sxx - sx * sx > 0
+              THEN (n_obs * sxy - sx * sy) / (n_obs * sxx - sx * sx)
+         END AS slope,
+         sx, sy, sxx, syy, sxy
+  FROM a
+)
+SELECT event_type, strftime(b, '{TSFMT_DUCK}') AS bucket_ts,
+       floor(slope * 86400.0 * 1000000 + 0.5 + 1e-9) / 1000000.0
+         AS slope_per_day,
+       floor((sy - slope * sx) / n_obs * 1000000 + 0.5 + 1e-9) / 1000000.0
+         AS intercept,
+       CASE WHEN slope IS NOT NULL
+                 AND n_obs * syy - sy * sy > 0
+            THEN floor((n_obs * sxy - sx * sy) * (n_obs * sxy - sx * sy)
+                       / ((n_obs * sxx - sx * sx) * (n_obs * syy - sy * sy))
+                       * 1000000 + 0.5 + 1e-9) / 1000000.0
+       END AS r2,
+       n_obs
+FROM s"""
+
+
+def q_acf_type_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..5 autocorrelation of the raw value stream per event_type
+    (Box-Jenkins estimator: full-series mean and denominator). One
+    ordered window building all five centered leads in a single pass +
+    two same-key groupBys; r is a ratio of two sums -> r6 at the end."""
+    from sentometrics_spark.aggregate.timeseries import acf
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = acf(
+        ev, 5, series_keys=["event_type"], tiebreak="event_id"
+    )
+    return out.select(
+        "event_type", "lag", _r6("r").alias("r"), "n_pairs", "n_obs"
+    )
+
+
+_SQL_ACF_TYPE_VALUE = """WITH b AS (
+  SELECT event_type,
+         CAST(value AS DOUBLE)
+           - avg(CAST(value AS DOUBLE)) OVER (PARTITION BY event_type) AS d,
+         {leads}
+  FROM events
+), l AS (
+  {unions}
+), num AS (
+  SELECT event_type, lag, SUM(d * dl) AS num, COUNT(dl) AS n_pairs
+  FROM l GROUP BY 1, 2
+), den AS (
+  SELECT event_type, SUM(d * d) AS ss, COUNT(*) AS n_obs FROM b GROUP BY 1
+)
+SELECT num.event_type, CAST(lag AS INT) AS lag,
+       CASE WHEN n_pairs > 0 AND ss > 0
+            THEN floor(num / ss * 1000000 + 0.5 + 1e-9) / 1000000.0
+       END AS r,
+       n_pairs, n_obs
+FROM num JOIN den ON num.event_type = den.event_type""".format(
+    leads=",\n         ".join(
+        "lead(CAST(value AS DOUBLE), {k}) OVER "
+        "(PARTITION BY event_type ORDER BY ts, event_id)"
+        "\n           - avg(CAST(value AS DOUBLE)) OVER "
+        "(PARTITION BY event_type) AS dl{k}".format(k=k)
+        for k in range(1, 6)
+    ),
+    unions="\n  UNION ALL\n  ".join(
+        "SELECT event_type, d, {k} AS lag, dl{k} AS dl FROM b".format(k=k)
+        for k in range(1, 6)
+    ),
+)
+
+
+def q_seasonal_hourly24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition (period 24) of the hourly mean-
+    value tier per event_type: centered 2x24 MA trend, ordinal-phase
+    seasonal effects re-centered to sum 0, residual. The oracle replays
+    the identical window-frame structure; every float output is a chain
+    of avgs -> r6."""
+    from sentometrics_spark.aggregate.timeseries import seasonal_decompose
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # tier quantized to integer MICRO-units: hourly means of 2-decimal
+    # inputs put the 2x24 MA on exact .xxxxxx5 decimal ties where a
+    # 1-ulp cross-engine diff in the float window sums flips r6 (12/3385
+    # rows did). Integer-valued doubles make the window sums EXACT and
+    # order-free, so trend is bit-identical before rounding; /1e6 at the
+    # end restores value units.
+    tier = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("ts")
+    ).agg(
+        F.floor(F.avg("value") * 1000000.0 + 0.5 + 1e-9)
+        .cast("double").alias("value")
+    )
+    out = seasonal_decompose(tier, 24, series_keys=["event_type"])
+    out = _fmt_ts(out, "ts")
+    u = 1000000.0
+    return out.select(
+        "event_type", F.col("ts").alias("bucket_ts"), "phase",
+        _r6(F.col("value") / u).alias("value"),
+        _r6(F.col("trend") / u).alias("trend"),
+        _r6(F.col("seasonal") / u).alias("seasonal"),
+        _r6(F.col("resid") / u).alias("resid"),
+    )
+
+
+_SQL_SEASONAL_HOURLY24 = f"""WITH t AS (
+  SELECT event_type, date_trunc('hour', ts) AS b,
+         CAST(floor(avg(value) * 1000000 + 0.5 + 1e-9) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT event_type, b, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY b) - 1 AS rn,
+         CASE WHEN count(v) OVER f1 = 24 AND count(v) OVER f2 = 24
+              THEN (sum(v) OVER f1 + sum(v) OVER f2) / 48.0
+         END AS trend
+  FROM t
+  WINDOW f1 AS (PARTITION BY event_type ORDER BY b
+                ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING),
+         f2 AS (PARTITION BY event_type ORDER BY b
+                ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)
+), e AS (
+  SELECT event_type, rn % 24 AS phase, avg(v - trend) AS raw
+  FROM w WHERE trend IS NOT NULL GROUP BY 1, 2
+), c AS (
+  SELECT event_type, avg(raw) AS ctr FROM e GROUP BY 1
+), s AS (
+  SELECT e.event_type, e.phase, raw - ctr AS seas
+  FROM e JOIN c ON e.event_type = c.event_type
+)
+SELECT w.event_type, strftime(b, '{TSFMT_DUCK}') AS bucket_ts,
+       CAST(rn % 24 AS INT) AS phase,
+       floor(v / 1000000.0 * 1000000 + 0.5 + 1e-9) / 1000000.0 AS value,
+       floor(trend / 1000000.0 * 1000000 + 0.5 + 1e-9) / 1000000.0 AS trend,
+       floor(seas / 1000000.0 * 1000000 + 0.5 + 1e-9) / 1000000.0 AS seasonal,
+       floor((v - trend - seas) / 1000000.0 * 1000000 + 0.5 + 1e-9) / 1000000.0
+         AS resid
+FROM w LEFT JOIN s ON w.event_type = s.event_type AND w.rn % 24 = s.phase"""
+
+
+def q_kll_value_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-tier p50/p95/p99 of event values built by MERGING per-hour KLL
+    sketches (the re-aggregatable percentile: exact per-tier quantiles
+    don't compose; sketches do). Rows-only: KLL estimates are
+    lib-defined stored values, not quantile_cont interpolations, so no
+    SQL oracle applies — the rank-error bound and exact n_rows
+    additivity are pinned in pytest (test_timeseries)."""
+    from sentometrics_spark.aggregate.timeseries import (
+        kll_quantile_rollup,
+        kll_quantile_tier,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tier = kll_quantile_tier(ev, by="hour", k=200)
+    day = kll_quantile_rollup(tier, to="day")
+    day = _fmt_ts(day, "bucket_ts")
+    return day.select(
+        "bucket_ts", _r6("p50").alias("p50"), _r6("p95").alias("p95"),
+        _r6("p99").alias("p99"), "n_rows",
+    )
+
+
 def q_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-users-per-day tier built by UNIONING per-hour Datasketches
     HLL sketches — the re-aggregatable distinct count exact COUNT(DISTINCT)
@@ -3454,6 +3651,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_bucket_15m": q_time_bucket_15m,
         "cohort_retention_week": q_cohort_retention_week,
         "funnel_week": q_funnel_week,
+        "trend_day_type": q_trend_day_type,
+        "acf_type_value": q_acf_type_value,
+        "seasonal_hourly24": q_seasonal_hourly24,
+        "kll_value_rollup_day": q_kll_value_rollup,
         "events_sessionize": q_events_sessionize,
         # driver-gate closers (S3/S5/S6, T3, O1, O3, M1/M2, M8, M9, M10/M11,
         # K7, A3-inverseExponential, exponential tier composability)
@@ -3707,6 +3908,9 @@ def oracle_sql() -> dict[str, str]:
         "time_bucket_15m": _SQL_TIME_BUCKET_15M,
         "cohort_retention_week": _SQL_COHORT_RETENTION_WEEK,
         "funnel_week": _SQL_FUNNEL_WEEK,
+        "trend_day_type": _SQL_TREND_DAY_TYPE,
+        "acf_type_value": _SQL_ACF_TYPE_VALUE,
+        "seasonal_hourly24": _SQL_SEASONAL_HOURLY24,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "corpus_pages": SQL_CORPUS_PAGES,
         "corpus_summarize_day": SQL_CORPUS_SUMMARIZE,

@@ -179,3 +179,48 @@ def test_near_dup_and_ann_plans_never_cartesian(spark):
         p = plan_of(df)
         assert "CartesianProduct" not in p, p
         assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_round4_timeseries_plan_shapes(spark):
+    """bucket_trend is ONE Exchange (a single groupBy carrying the five
+    sufficient statistics — no window, no join); acf re-uses the series
+    Exchange for its window + per-series groupBy and joins num/den by
+    BROADCAST (a SortMergeJoin on series keys would re-shuffle); seasonal
+    joins its bounded phase-effect tables back by broadcast only. All
+    three stay JVM-side."""
+    from pyspark.sql import functions as F
+
+    from sentometrics_spark.aggregate.timeseries import (
+        acf,
+        bucket_trend,
+        seasonal_decompose,
+    )
+
+    ev = spark.createDataFrame(
+        [("a", "2024-01-01 00:%02d:00" % (i % 60), float(i), i) for i in range(120)],
+        "g string, s string, value double, event_id int",
+    ).select("g", F.col("s").cast("timestamp").alias("ts"), "value", "event_id")
+
+    def exec_plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    p = exec_plan(bucket_trend(ev, series_keys=["g"], by="hour"))
+    assert p.count("Exchange") == 1, p
+    assert "Join" not in p, p
+
+    p = exec_plan(acf(ev, 3, series_keys=["g"], tiebreak="event_id"))
+    assert "Join" not in p, p
+    # hashpartitioning(series) already satisfies the (series, lag) groupBy
+    # distribution, so the whole op is ONE Exchange
+    assert p.count("Exchange") == 1, p
+
+    p = plan_of(seasonal_decompose(ev.drop("event_id"), 4, series_keys=["g"]))
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+
+    for name in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        for q in (
+            plan_of(bucket_trend(ev, series_keys=["g"])),
+            plan_of(acf(ev, 3, series_keys=["g"])),
+        ):
+            assert name not in q, name

@@ -844,3 +844,180 @@ def test_funnel_stages_hand_cascade(spark):
         funnel_stages(df, ["view"])
     with pytest.raises(ValueError):
         funnel_stages(df, ["view", "view"])
+
+
+def test_bucket_trend_vs_polyfit(spark):
+    import numpy as np
+    import pandas as pd
+
+    from sentometrics_spark.aggregate.timeseries import bucket_trend
+
+    rng = np.random.RandomState(7)
+    n = 400
+    ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        np.sort(rng.randint(0, 2 * 86400, n)), unit="s"
+    )
+    pdf = pd.DataFrame(
+        {"g": rng.choice(["a", "b"], n), "ts": ts,
+         "value": rng.randn(n) + np.linspace(0, 5, n)}
+    )
+    # degenerate buckets: single row, and two rows at one timestamp
+    extra = pd.DataFrame(
+        {"g": ["a", "b", "b"],
+         "ts": pd.to_datetime(
+             ["2024-01-05 00:30:00", "2024-01-05 01:00:10",
+              "2024-01-05 01:00:10"]),
+         "value": [1.0, 2.0, 4.0]}
+    )
+    pdf = pd.concat([pdf, extra], ignore_index=True)
+    bt = (
+        bucket_trend(spark.createDataFrame(pdf), series_keys=["g"], by="hour")
+        .toPandas().set_index(["g", "bucket_ts"])
+    )
+    pdf["b"] = pdf.ts.dt.floor("h")
+    pdf["x"] = (pdf.ts - pdf.b).dt.total_seconds()
+    for (g, b), sub in pdf.groupby(["g", "b"]):
+        row = bt.loc[(g, b)]
+        if len(sub) >= 2 and sub.x.var() > 0:
+            sl, ic = np.polyfit(sub.x, sub.value, 1)
+            assert abs(row.slope_per_sec - sl) < 1e-8
+            assert abs(row.intercept - ic) < 1e-8
+            y = sub.value.to_numpy()
+            sst = ((y - y.mean()) ** 2).sum()
+            ssr = ((sl * sub.x + ic - y.mean()) ** 2).sum()
+            if sst > 0:
+                assert abs(row.r2 - ssr / sst) < 1e-8
+        else:
+            assert pd.isna(row.slope_per_sec) and pd.isna(row.r2)
+        assert row.n_obs == len(sub)
+
+
+def test_acf_vs_numpy_and_guards(spark):
+    import numpy as np
+    import pandas as pd
+
+    from sentometrics_spark.aggregate.timeseries import acf
+
+    rng = np.random.RandomState(11)
+    frames = []
+    for g, n in [("long", 300), ("short", 3), ("flat", 20)]:
+        v = (
+            np.sin(np.arange(n) / 5.0) + rng.randn(n) * 0.3
+            if g == "long"
+            else (rng.randn(n) if g == "short" else np.full(n, 2.5))
+        )
+        frames.append(pd.DataFrame({
+            "g": g,
+            "ts": pd.date_range("2024-01-01", periods=n, freq="h"),
+            "value": v,
+        }))
+    pdf = pd.concat(frames, ignore_index=True)
+    out = (
+        acf(spark.createDataFrame(pdf), 5, series_keys=["g"])
+        .toPandas().set_index(["g", "lag"]).sort_index()
+    )
+    # every series gets every lag row
+    assert sorted(out.index) == sorted((g, k) for g in ("flat", "long", "short") for k in range(1, 6))
+    for g, n in [("long", 300), ("short", 3)]:
+        x = pdf[pdf.g == g].sort_values("ts").value.to_numpy()
+        d = x - x.mean()
+        ss = (d * d).sum()
+        for k in range(1, 6):
+            row = out.loc[(g, k)]
+            assert row.n_obs == n and row.n_pairs == max(0, n - k)
+            if n > k and ss > 0:
+                assert abs(row.r - (d[:-k] * d[k:]).sum() / ss) < 1e-10
+            else:
+                assert pd.isna(row.r)
+    # zero variance -> NULL r at every lag
+    assert out.loc["flat"].r.isna().all()
+    with pytest.raises(ValueError):
+        acf(spark.createDataFrame(pdf), 0, series_keys=["g"])
+    with pytest.raises(ValueError):
+        acf(spark.createDataFrame(pdf), 3)
+
+
+def test_seasonal_decompose_vs_manual(spark):
+    import numpy as np
+    import pandas as pd
+
+    from sentometrics_spark.aggregate.timeseries import seasonal_decompose
+
+    rng = np.random.RandomState(3)
+    for p, n in [(24, 240), (7, 70)]:  # even (2xp MA) and odd (plain MA)
+        reg = pd.DataFrame({
+            "g": "s",
+            "ts": pd.date_range("2024-01-01", periods=n, freq="h"),
+        })
+        x = (
+            10 + 0.01 * np.arange(n)
+            + 2 * np.sin(2 * np.pi * np.arange(n) / p)
+            + rng.randn(n) * 0.1
+        )
+        reg["value"] = x
+        sd = (
+            seasonal_decompose(spark.createDataFrame(reg), p, series_keys=["g"])
+            .toPandas().sort_values("ts").reset_index(drop=True)
+        )
+        h = p // 2
+        tr = np.full(n, np.nan)
+        if p % 2 == 0:
+            for t in range(h, n - h):
+                tr[t] = (x[t - h:t + h].sum() + x[t - h + 1:t + h + 1].sum()) / (2 * p)
+        else:
+            for t in range(h, n - h):
+                tr[t] = x[t - h:t + h + 1].sum() / p
+        det = x - tr
+        raw = np.array([np.nanmean(det[phi::p]) for phi in range(p)])
+        seas = raw - raw.mean()
+        seas_full = seas[np.arange(n) % p]
+        assert (sd.trend.isna().to_numpy() == np.isnan(tr)).all()
+        assert np.nanmax(np.abs(sd.trend.to_numpy() - tr)) < 1e-12
+        assert np.nanmax(np.abs(sd.seasonal.to_numpy() - seas_full)) < 1e-12
+        assert np.nanmax(np.abs(sd.resid.to_numpy() - (x - tr - seas_full))) < 1e-12
+        # seasonal effects sum to ~0 over one period
+        assert abs(sd.seasonal.to_numpy()[:p].sum()) < 1e-10
+    with pytest.raises(ValueError):
+        seasonal_decompose(spark.createDataFrame(reg), 1, series_keys=["g"])
+    with pytest.raises(ValueError):
+        seasonal_decompose(spark.createDataFrame(reg), 24)
+
+
+def test_kll_tier_rollup_bounds(spark, sf_dir):
+    import numpy as np
+
+    from sentometrics_spark.aggregate.timeseries import (
+        kll_quantile_rollup,
+        kll_quantile_tier,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tier = kll_quantile_tier(ev, by="hour", k=200)
+    day = kll_quantile_rollup(tier, to="day")
+    month = kll_quantile_rollup(day, to="month")  # composes
+    dpd = day.toPandas()
+    exact = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("bucket_ts"))
+        .agg(F.expr("percentile(value, array(0.5,0.95,0.99))").alias("q"),
+             F.count("value").alias("n"))
+        .toPandas()
+    )
+    m = dpd.merge(exact, on="bucket_ts")
+    assert len(m) == len(dpd) and (m.n_rows == m.n).all()
+    evp = ev.select("ts", "value").toPandas()
+    evp["b"] = evp.ts.dt.floor("d")
+    worst = 0.0
+    for _, r in m.iterrows():
+        vals = np.sort(evp[evp.b == r.bucket_ts].value.to_numpy())
+        # empirical rank is quantized at 1/n: subtract that granularity so
+        # the check measures SKETCH error, not small-bucket discreteness
+        for est, q in [(r.p50, 0.5), (r.p95, 0.95), (r.p99, 0.99)]:
+            err = abs(np.searchsorted(vals, est) / len(vals) - q)
+            worst = max(worst, err - 1.5 / len(vals))
+    # two-sided 99% rank error at k=200 is ~1.65/sqrt(200) ~ 1.2%; allow 2x
+    assert worst < 0.024, worst
+    # month tier: n additive vs raw count
+    mp = month.toPandas()
+    assert mp.n_rows.sum() == ev.count()
+    # estimates are within the raw value range
+    assert (mp.p50 >= evp.value.min()).all() and (mp.p99 <= evp.value.max()).all()

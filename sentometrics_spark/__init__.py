@@ -35,6 +35,7 @@ from sentometrics_spark.aggregate.timeseries import (
     asof_join,
     bucket_percentiles,
     acf,
+    bucket_histogram,
     bucket_trend,
     cohort_retention,
     funnel_stages,
@@ -108,6 +109,7 @@ __all__ = [
     "asof_join",
     "bucket_percentiles",
     "acf",
+    "bucket_histogram",
     "bucket_trend",
     "cohort_retention",
     "funnel_stages",

@@ -53,6 +53,7 @@ __all__ = [
     "seasonal_decompose",
     "kll_quantile_tier",
     "kll_quantile_rollup",
+    "bucket_histogram",
 ]
 
 
@@ -1353,4 +1354,69 @@ def kll_quantile_rollup(
             for q in qs
         ],
         "n_rows",
+    )
+
+
+def bucket_histogram(
+    df: DataFrame,
+    lo: float,
+    hi: float,
+    nbins: int,
+    on: str = "ts",
+    value: str = "value",
+    series_keys: list[str] | None = None,
+    by: str = "hour",
+) -> DataFrame:
+    """Fixed-bin histogram per (series, calendar bucket): counts of
+    ``value`` in ``nbins`` equal-width bins over [lo, hi), plus underflow
+    (bin -1) and overflow (bin ``nbins``) — the Prometheus-histogram /
+    distribution-tier shape. Unlike percentiles, histogram counts are
+    EXACT integers and re-aggregate losslessly (hour bins sum into day
+    bins), so this is the cheap lossless companion to the KLL tier when
+    the bin layout can be fixed up front.
+
+    Bin index is pure JVM arithmetic (floor of the affine map, clamped),
+    one groupBy on (series, bucket, bin) with map-side partials — bounded
+    keys, no window, no Python. Empty bins are absent (sparse output);
+    densify downstream with a sequence() join only if a fixed-width
+    vector is genuinely needed. NULL values are dropped (they are in
+    every aggregation in this engine); NaN goes to overflow (IEEE
+    compares false on both engine sides, documented rather than clever).
+
+    Rolling a finer tier up: ``out.groupBy(keys, date_trunc(coarser,
+    bucket_ts), bin).sum(n)`` — counts add exactly; no helper needed."""
+    if nbins < 1:
+        raise ValueError("nbins must be >= 1")
+    if not (hi > lo):
+        raise ValueError("need hi > lo")
+    keys = list(series_keys or [])
+    v = F.col(value).cast("double")
+    width = (hi - lo) / nbins
+    raw = F.floor((v - F.lit(float(lo))) / F.lit(float(width)))
+    bin_ = (
+        F.when(F.isnan(v), F.lit(nbins))
+        .when(v < F.lit(float(lo)), F.lit(-1))
+        .when(raw >= nbins, F.lit(nbins))
+        .otherwise(raw)
+    ).cast("int")
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(
+            *keys,
+            F.date_trunc(by, F.col(on)).alias("bucket_ts"),
+            bin_.alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "bin_lo",
+            F.when(F.col("bin") == -1, F.lit(float("-inf"))).otherwise(
+                F.lit(float(lo)) + F.col("bin") * F.lit(float(width))
+            ),
+        )
+        .withColumn(
+            "bin_hi",
+            F.when(F.col("bin") == nbins, F.lit(float("inf"))).otherwise(
+                F.lit(float(lo)) + (F.col("bin") + 1) * F.lit(float(width))
+            ),
+        )
     )

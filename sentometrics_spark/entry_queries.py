@@ -3169,6 +3169,44 @@ SELECT w.event_type, strftime(b, '{TSFMT_DUCK}') AS bucket_ts,
 FROM w LEFT JOIN s ON w.event_type = s.event_type AND w.rn % 24 = s.phase"""
 
 
+def q_histogram_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin value histogram per day (20 bins over [0, 500) plus
+    under/overflow) — exact integer counts, the lossless distribution
+    tier. Bin index is the same floor-affine map on both engines, so the
+    whole row is integer/boundary-exact."""
+    from sentometrics_spark.aggregate.timeseries import bucket_histogram
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = bucket_histogram(ev, 0.0, 500.0, 20, by="day")
+    out = _fmt_ts(out, "bucket_ts")
+    return out.select(
+        "bucket_ts", "bin", "n",
+        _r6("bin_lo").alias("bin_lo"), _r6("bin_hi").alias("bin_hi"),
+    )
+
+
+_SQL_HISTOGRAM_DAY = f"""WITH b AS (
+  SELECT date_trunc('day', ts) AS d,
+         CASE WHEN isnan(value) THEN 20
+              WHEN value < 0.0 THEN -1
+              WHEN floor((value - 0.0) / 25.0) >= 20 THEN 20
+              ELSE CAST(floor((value - 0.0) / 25.0) AS INT)
+         END AS bin
+  FROM events WHERE value IS NOT NULL
+)
+SELECT strftime(d, '{TSFMT_DUCK}') AS bucket_ts, CAST(bin AS INT) AS bin,
+       COUNT(*) AS n,
+       CASE WHEN bin = -1 THEN CAST('-inf' AS DOUBLE)
+            ELSE floor((0.0 + bin * 25.0) * 1000000 + 0.5 + 1e-9) / 1000000.0
+       END AS bin_lo,
+       CASE WHEN bin = 20 THEN CAST('inf' AS DOUBLE)
+            ELSE floor((0.0 + (bin + 1) * 25.0) * 1000000 + 0.5 + 1e-9)
+                 / 1000000.0
+       END AS bin_hi
+FROM b GROUP BY d, bin"""
+
+
 def q_kll_value_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-tier p50/p95/p99 of event values built by MERGING per-hour KLL
     sketches (the re-aggregatable percentile: exact per-tier quantiles
@@ -3655,6 +3693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_type_value": q_acf_type_value,
         "seasonal_hourly24": q_seasonal_hourly24,
         "kll_value_rollup_day": q_kll_value_rollup,
+        "histogram_day": q_histogram_day,
         "events_sessionize": q_events_sessionize,
         # driver-gate closers (S3/S5/S6, T3, O1, O3, M1/M2, M8, M9, M10/M11,
         # K7, A3-inverseExponential, exponential tier composability)
@@ -3911,6 +3950,7 @@ def oracle_sql() -> dict[str, str]:
         "trend_day_type": _SQL_TREND_DAY_TYPE,
         "acf_type_value": _SQL_ACF_TYPE_VALUE,
         "seasonal_hourly24": _SQL_SEASONAL_HOURLY24,
+        "histogram_day": _SQL_HISTOGRAM_DAY,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "corpus_pages": SQL_CORPUS_PAGES,
         "corpus_summarize_day": SQL_CORPUS_SUMMARIZE,

@@ -1021,3 +1021,53 @@ def test_kll_tier_rollup_bounds(spark, sf_dir):
     assert mp.n_rows.sum() == ev.count()
     # estimates are within the raw value range
     assert (mp.p50 >= evp.value.min()).all() and (mp.p99 <= evp.value.max()).all()
+
+
+def test_bucket_histogram_hand_and_rollup(spark):
+    import pandas as pd
+
+    from sentometrics_spark.aggregate.timeseries import bucket_histogram
+
+    rows = [
+        ("2024-01-01 00:10:00", -5.0),   # underflow
+        ("2024-01-01 00:20:00", 0.0),    # exactly lo -> bin 0
+        ("2024-01-01 00:30:00", 9.999),  # bin 0
+        ("2024-01-01 00:40:00", 10.0),   # boundary -> bin 1
+        ("2024-01-01 01:10:00", 99.9),   # bin 9
+        ("2024-01-01 01:20:00", 100.0),  # exactly hi -> overflow
+        ("2024-01-01 01:30:00", 250.0),  # overflow
+        ("2024-01-01 01:40:00", None),   # dropped
+        ("2024-01-01 01:50:00", float("nan")),  # overflow by contract
+    ]
+    df = spark.createDataFrame(rows, "s string, value double").select(
+        F.col("s").cast("timestamp").alias("ts"), "value"
+    )
+    out = bucket_histogram(df, 0.0, 100.0, 10, by="hour").toPandas()
+    got = {
+        (str(r.bucket_ts), r.bin): r.n for r in out.itertuples()
+    }
+    assert got == {
+        ("2024-01-01 00:00:00", -1): 1,
+        ("2024-01-01 00:00:00", 0): 2,
+        ("2024-01-01 00:00:00", 1): 1,
+        ("2024-01-01 01:00:00", 9): 1,
+        ("2024-01-01 01:00:00", 10): 3,
+    }
+    # bin edges: underflow/-inf, overflow/+inf, interior affine
+    e = out.set_index("bin")
+    assert e.loc[-1].bin_lo == float("-inf") and e.loc[10].bin_hi == float("inf")
+    assert e.loc[1].bin_lo == 10.0 and e.loc[1].bin_hi == 20.0
+    # lossless rollup: hour bins sum into day bins
+    day = (
+        out.groupby([out.bucket_ts.dt.floor("d"), "bin"]).n.sum().to_dict()
+    )
+    direct = {
+        (str(r.bucket_ts), r.bin): r.n
+        for r in bucket_histogram(df, 0.0, 100.0, 10, by="day")
+        .toPandas().itertuples()
+    }
+    assert {(str(k[0]), k[1]): v for k, v in day.items()} == direct
+    with pytest.raises(ValueError):
+        bucket_histogram(df, 0.0, 100.0, 0)
+    with pytest.raises(ValueError):
+        bucket_histogram(df, 5.0, 5.0, 10)

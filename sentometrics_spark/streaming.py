@@ -379,3 +379,111 @@ def compact_partials(spark: SparkSession, partials_path: str) -> None:
     # local-fs swap; on Iceberg this is an atomic rewrite-data-files commit
     shutil.rmtree(partials_path)
     os.rename(tmp, partials_path)
+
+
+def stream_events_tier(
+    events_stream: DataFrame,
+    tier_fn,
+    partials_path: str,
+    checkpoint_path: str,
+    trigger_available_now: bool = True,
+):
+    """Streaming maintenance for the GENERIC event tiers (histogram
+    counts, HLL distinct sketches, KLL percentile sketches, OHLC partials
+    — anything whose per-bucket state merges associatively): each
+    micro-batch runs ``tier_fn`` (a batch tier builder, e.g.
+    ``lambda df: bucket_histogram(df, 0, 500, 20, by="hour")``) over the
+    batch only, and appends the result as that batch's partial.
+
+    Same exactly-once shape as stream_to_hour_tier: partials are
+    partitioned by batch_id with dynamic overwrite, so an at-least-once
+    foreachBatch replay rewrites its OWN partition instead of appending
+    duplicates. Finalization (below) merges partials per bucket — late
+    events land in whatever bucket their timestamp belongs to and simply
+    contribute another mergeable partial; no watermark, nothing dropped.
+    """
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.rdd.isEmpty():
+            return
+        (
+            tier_fn(batch_df)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(partials_path)
+        )
+
+    writer = (
+        events_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def finalize_histogram_tier(
+    spark: SparkSession, partials_path: str, series_keys: list[str] | None = None
+) -> DataFrame:
+    """Merge streamed histogram partials: counts ADD exactly, so the
+    finalized tier is bit-identical to the batch histogram over the same
+    events (tested stream==batch)."""
+    keys = list(series_keys or [])
+    p = spark.read.parquet(partials_path)
+    return (
+        p.groupBy(*keys, "bucket_ts", "bin")
+        .agg(
+            F.sum("n").alias("n"),
+            F.first("bin_lo").alias("bin_lo"),
+            F.first("bin_hi").alias("bin_hi"),
+        )
+    )
+
+
+def finalize_hll_tier(
+    spark: SparkSession, partials_path: str, series_keys: list[str] | None = None
+) -> DataFrame:
+    """Merge streamed HLL distinct-count partials: register-max union,
+    associative — the merged registers equal the batch sketch's exactly;
+    the reported estimate is within the standard bound (HIP vs composite
+    estimator choice, same caveat as hll_distinct_rollup)."""
+    keys = list(series_keys or [])
+    p = spark.read.parquet(partials_path)
+    return (
+        p.groupBy(*keys, "bucket_ts")
+        .agg(
+            F.hll_union_agg(F.col("hll")).alias("hll"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+        .withColumn("estimate", F.hll_sketch_estimate(F.col("hll")))
+    )
+
+
+def finalize_kll_tier(
+    spark: SparkSession,
+    partials_path: str,
+    series_keys: list[str] | None = None,
+    qs: list[float] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Merge streamed KLL percentile partials: sketch merge, rank-error
+    bound preserved; n_rows exactly additive (tested stream==batch)."""
+    keys = list(series_keys or [])
+    p = spark.read.parquet(partials_path)
+    agg = p.groupBy(*keys, "bucket_ts").agg(
+        F.kll_merge_agg_double(F.col("kll")).alias("kll"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+    return agg.select(
+        *keys,
+        "bucket_ts",
+        "kll",
+        *[
+            F.kll_sketch_get_quantile_double(F.col("kll"), F.lit(float(q))).alias(
+                f"p{str(q).replace('0.', '').ljust(2, '0')}"
+            )
+            for q in qs
+        ],
+        "n_rows",
+    )

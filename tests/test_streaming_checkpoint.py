@@ -321,3 +321,103 @@ def test_stream_refresh_tiers_equals_batch(spark, pages, tmp_path):
         np.testing.assert_allclose(
             got["value"].to_numpy(), exp["value"].to_numpy(), rtol=1e-9, atol=1e-12
         )
+
+
+def test_stream_events_tiers_equal_batch(spark, sf_dir, tmp_path):
+    """Generic tier streaming: histogram counts finalize BIT-IDENTICAL to
+    the batch histogram; HLL/KLL sketch tiers finalize with exactly
+    additive n_rows and in-bound estimates — all from per-batch partials,
+    no raw-event reprocessing at finalize time."""
+    from sentometrics_spark.aggregate.timeseries import (
+        bucket_histogram,
+        hll_distinct_tier,
+        kll_quantile_tier,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = str(tmp_path / "incoming")
+    ev.withColumn("part", (F.crc32(F.col("event_id").cast("string")) % 4).cast("int")) \
+        .repartition("part").write.partitionBy("part").mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).drop("part").schema
+
+    def mkstream():
+        return (
+            spark.readStream.format("parquet").schema(schema)
+            .option("maxFilesPerTrigger", 2).load(src)
+        )
+
+    # histogram: exact equality stream vs batch
+    q = streaming.stream_events_tier(
+        mkstream(),
+        lambda df: bucket_histogram(df, 0.0, 500.0, 20, by="hour"),
+        partials_path=str(tmp_path / "hist_partials"),
+        checkpoint_path=str(tmp_path / "hist_ckpt"),
+    )
+    q.awaitTermination(120)
+    got = (
+        streaming.finalize_histogram_tier(spark, str(tmp_path / "hist_partials"))
+        .toPandas().set_index(["bucket_ts", "bin"]).sort_index()
+    )
+    exp = (
+        bucket_histogram(ev, 0.0, 500.0, 20, by="hour")
+        .toPandas().set_index(["bucket_ts", "bin"]).sort_index()
+    )
+    assert (got.n == exp.n).all() and len(got) == len(exp)
+    assert (got.bin_lo == exp.bin_lo).all()
+
+    # hll: n_rows exact, estimate within the lgk=12 bound of exact distinct
+    q = streaming.stream_events_tier(
+        mkstream(),
+        lambda df: hll_distinct_tier(df, key="user_id", by="day"),
+        partials_path=str(tmp_path / "hll_partials"),
+        checkpoint_path=str(tmp_path / "hll_ckpt"),
+    )
+    q.awaitTermination(120)
+    hll = (
+        streaming.finalize_hll_tier(spark, str(tmp_path / "hll_partials"))
+        .toPandas().set_index("bucket_ts").sort_index()
+    )
+    exact = (
+        ev.select(F.date_trunc("day", "ts").alias("bucket_ts"), "user_id")
+        .distinct().groupBy("bucket_ts").count()
+        .toPandas().set_index("bucket_ts").sort_index()
+    )
+    assert (hll.n_rows.sum() == ev.count())
+    rel = ((hll.estimate - exact["count"]).abs() / exact["count"]).max()
+    assert rel < 0.05, rel
+
+    # kll: n_rows additive; p50 between per-day min/max
+    q = streaming.stream_events_tier(
+        mkstream(),
+        lambda df: kll_quantile_tier(df, by="day", k=200),
+        partials_path=str(tmp_path / "kll_partials"),
+        checkpoint_path=str(tmp_path / "kll_ckpt"),
+    )
+    q.awaitTermination(120)
+    kll = (
+        streaming.finalize_kll_tier(spark, str(tmp_path / "kll_partials"))
+        .toPandas().set_index("bucket_ts").sort_index()
+    )
+    agg = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("bucket_ts"))
+        .agg(F.count("value").alias("n"), F.min("value").alias("lo"),
+             F.max("value").alias("hi"))
+        .toPandas().set_index("bucket_ts").sort_index()
+    )
+    assert (kll.n_rows == agg.n).all()
+    assert (kll.p50 >= agg.lo).all() and (kll.p50 <= agg.hi).all()
+
+    # replay idempotence: re-running the SAME stream from a fresh
+    # checkpoint rewrites per-batch partitions, never duplicates
+    q = streaming.stream_events_tier(
+        mkstream(),
+        lambda df: bucket_histogram(df, 0.0, 500.0, 20, by="hour"),
+        partials_path=str(tmp_path / "hist_partials"),
+        checkpoint_path=str(tmp_path / "hist_ckpt2"),
+    )
+    q.awaitTermination(120)
+    again = (
+        streaming.finalize_histogram_tier(spark, str(tmp_path / "hist_partials"))
+        .toPandas().set_index(["bucket_ts", "bin"]).sort_index()
+    )
+    assert (again.n == exp.n).all() and len(again) == len(exp)

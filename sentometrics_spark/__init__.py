@@ -39,6 +39,7 @@ from sentometrics_spark.aggregate.timeseries import (
     bucket_trend,
     cohort_retention,
     funnel_stages,
+    holt_forecast,
     kll_quantile_rollup,
     kll_quantile_tier,
     seasonal_decompose,
@@ -113,6 +114,7 @@ __all__ = [
     "bucket_trend",
     "cohort_retention",
     "funnel_stages",
+    "holt_forecast",
     "kll_quantile_rollup",
     "kll_quantile_tier",
     "seasonal_decompose",

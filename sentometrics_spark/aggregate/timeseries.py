@@ -54,6 +54,7 @@ __all__ = [
     "kll_quantile_tier",
     "kll_quantile_rollup",
     "bucket_histogram",
+    "holt_forecast",
 ]
 
 
@@ -1419,4 +1420,82 @@ def bucket_histogram(
                 F.lit(float(lo)) + (F.col("bin") + 1) * F.lit(float(width))
             ),
         )
+    )
+
+
+def holt_forecast(
+    df: DataFrame,
+    alpha: float,
+    beta: float,
+    horizon: int,
+    on: str = "ts",
+    value: str = "value",
+    series_keys: list[str] | None = None,
+) -> DataFrame:
+    """Holt linear-trend exponential smoothing per series, with an
+    h-step-ahead forecast — the "where is this measure heading" primitive
+    over a rolled-up tier:
+
+        l_1 = x_1,  b_1 = x_2 − x_1   (statsmodels legacy-heuristic init;
+                                       a 1-point series gets b_1 = 0)
+        l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        ŷ(h) = l_n + h·b_n
+
+    Output: one row per (series, h) for h = 1..horizon, with ``level``
+    and ``trend`` (the final l_n, b_n), ``yhat``, ``n_obs`` and
+    ``last_ts`` (forecast origin). β = 0 degenerates to simple
+    exponential smoothing (trend frozen at its init — pass a 1-row... or
+    rather use alpha-only SES by also passing beta=0 and reading level).
+
+    The recurrence is inherently sequential (l and b are coupled), so
+    like ``lttb_downsample`` this is a per-series ``applyInPandas`` numpy
+    kernel at the RIGHT altitude: input is an already-rolled-up tier,
+    bounded per series by retention; parallelism is the series dimension.
+    NOT for raw event streams — roll up first. The float operations are
+    written in the exact textbook order above so a row-by-row SQL replay
+    (DuckDB recursive CTE) reproduces them bit-for-bit."""
+    if not (0.0 < alpha <= 1.0) or not (0.0 <= beta <= 1.0):
+        raise ValueError("need 0 < alpha <= 1 and 0 <= beta <= 1")
+    if horizon < 1:
+        raise ValueError("horizon must be >= 1")
+    keys = list(series_keys or [])
+    if not keys:
+        raise ValueError("holt_forecast requires series_keys (per-series kernel)")
+    import numpy as np
+    import pandas as pd
+
+    key_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.select(*keys).schema.fields
+    )
+    ts_type = df.schema[on].dataType.simpleString()
+    out_schema = (
+        f"{key_fields}, h int, yhat double, level double, trend double, "
+        f"n_obs long, last_ts {ts_type}"
+    )
+
+    def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(on, kind="mergesort").reset_index(drop=True)
+        x = pdf[value].to_numpy(dtype=np.float64)
+        n = len(x)
+        l = x[0]
+        b = (x[1] - x[0]) if n >= 2 else 0.0
+        for t in range(1, n):
+            l_prev = l
+            l = alpha * x[t] + (1.0 - alpha) * (l_prev + b)
+            b = beta * (l - l_prev) + (1.0 - beta) * b
+        rows = {k: [pdf[k].iloc[0]] * horizon for k in keys}
+        rows["h"] = np.arange(1, horizon + 1, dtype=np.int32)
+        rows["yhat"] = [l + h * b for h in range(1, horizon + 1)]
+        rows["level"] = [l] * horizon
+        rows["trend"] = [b] * horizon
+        rows["n_obs"] = [n] * horizon
+        rows["last_ts"] = [pdf[on].iloc[n - 1]] * horizon
+        return pd.DataFrame(rows)
+
+    return (
+        df.select(*keys, on, value)
+        .groupBy(*keys)
+        .applyInPandas(_kernel, schema=out_schema)
     )

@@ -3207,6 +3207,72 @@ SELECT strftime(d, '{TSFMT_DUCK}') AS bucket_ts, CAST(bin AS INT) AS bin,
 FROM b GROUP BY d, bin"""
 
 
+def q_holt_forecast_12h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing (alpha=0.3, beta=0.1) of the hourly
+    mean-value tier per event_type, forecast 12 hours ahead. The tier is
+    quantized to the r6 grid FIRST so both engines feed the recurrence
+    bit-identical inputs; the oracle replays the exact textbook update
+    order row-by-row with a recursive CTE."""
+    from sentometrics_spark.aggregate.timeseries import holt_forecast
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tier = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("ts")
+    ).agg(
+        (F.floor(F.avg("value") * 1000000.0 + 0.5 + 1e-9) / 1000000.0)
+        .alias("value")
+    )
+    out = holt_forecast(
+        tier, alpha=0.3, beta=0.1, horizon=12, series_keys=["event_type"]
+    )
+    out = _fmt_ts(out, "last_ts")
+    return out.select(
+        "event_type", "h", _r6("yhat").alias("yhat"),
+        _r6("level").alias("level"), _r6("trend").alias("trend"),
+        "n_obs", "last_ts",
+    )
+
+
+_SQL_HOLT_FORECAST_12H = f"""WITH RECURSIVE t AS (
+  SELECT event_type, b AS ts,
+         floor(v * 1000000 + 0.5 + 1e-9) / 1000000.0 AS v,
+         row_number() OVER (PARTITION BY event_type ORDER BY b) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM (
+    SELECT event_type, date_trunc('hour', ts) AS b, avg(value) AS v
+    FROM events GROUP BY 1, 2
+  )
+), rec AS (
+  SELECT t1.event_type, t1.rn, t1.n,
+         t1.v AS l,
+         coalesce(t2.v - t1.v, 0.0) AS b
+  FROM t t1 LEFT JOIN t t2
+    ON t2.event_type = t1.event_type AND t2.rn = 2
+  WHERE t1.rn = 1
+  UNION ALL
+  SELECT t.event_type, t.rn, t.n,
+         0.3 * t.v + (1.0 - 0.3) * (r.l + r.b) AS l,
+         0.1 * ((0.3 * t.v + (1.0 - 0.3) * (r.l + r.b)) - r.l)
+           + (1.0 - 0.1) * r.b AS b
+  FROM rec r JOIN t ON t.event_type = r.event_type AND t.rn = r.rn + 1
+), fin AS (
+  SELECT event_type, l, b, n FROM rec WHERE rn = n
+), last_ts AS (
+  SELECT event_type, max(ts) AS last_ts FROM t GROUP BY 1
+)
+SELECT fin.event_type, CAST(h AS INT) AS h,
+       floor((l + CAST(h AS DOUBLE) * b) * 1000000 + 0.5 + 1e-9)
+         / 1000000.0 AS yhat,
+       floor(l * 1000000 + 0.5 + 1e-9) / 1000000.0 AS level,
+       floor(b * 1000000 + 0.5 + 1e-9) / 1000000.0 AS trend,
+       n AS n_obs,
+       strftime(last_ts.last_ts, '{TSFMT_DUCK}') AS last_ts
+FROM fin
+JOIN last_ts ON fin.event_type = last_ts.event_type
+CROSS JOIN generate_series(1, 12) AS g(h)"""
+
+
 def q_kll_value_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-tier p50/p95/p99 of event values built by MERGING per-hour KLL
     sketches (the re-aggregatable percentile: exact per-tier quantiles
@@ -3694,6 +3760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_hourly24": q_seasonal_hourly24,
         "kll_value_rollup_day": q_kll_value_rollup,
         "histogram_day": q_histogram_day,
+        "holt_forecast_12h": q_holt_forecast_12h,
         "events_sessionize": q_events_sessionize,
         # driver-gate closers (S3/S5/S6, T3, O1, O3, M1/M2, M8, M9, M10/M11,
         # K7, A3-inverseExponential, exponential tier composability)
@@ -3951,6 +4018,7 @@ def oracle_sql() -> dict[str, str]:
         "acf_type_value": _SQL_ACF_TYPE_VALUE,
         "seasonal_hourly24": _SQL_SEASONAL_HOURLY24,
         "histogram_day": _SQL_HISTOGRAM_DAY,
+        "holt_forecast_12h": _SQL_HOLT_FORECAST_12H,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "corpus_pages": SQL_CORPUS_PAGES,
         "corpus_summarize_day": SQL_CORPUS_SUMMARIZE,

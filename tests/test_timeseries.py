@@ -1071,3 +1071,64 @@ def test_bucket_histogram_hand_and_rollup(spark):
         bucket_histogram(df, 0.0, 100.0, 0)
     with pytest.raises(ValueError):
         bucket_histogram(df, 5.0, 5.0, 10)
+
+
+def test_holt_forecast_vs_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    from sentometrics_spark.aggregate.timeseries import holt_forecast
+
+    rng = np.random.RandomState(5)
+    frames = []
+    for g, n in [("up", 60), ("noisy", 45), ("one", 1), ("two", 2)]:
+        x = (
+            5 + 0.4 * np.arange(n) + rng.randn(n) * 0.2
+            if g != "one"
+            else np.array([3.0])
+        )
+        frames.append(pd.DataFrame({
+            "g": g, "ts": pd.date_range("2024-01-01", periods=n, freq="h"),
+            "value": x[:n],
+        }))
+    pdf = pd.concat(frames, ignore_index=True)
+    alpha, beta, H = 0.4, 0.2, 6
+    out = (
+        holt_forecast(spark.createDataFrame(pdf), alpha, beta, H,
+                      series_keys=["g"])
+        .toPandas().set_index(["g", "h"]).sort_index()
+    )
+    for g in ("up", "noisy", "one", "two"):
+        x = pdf[pdf.g == g].sort_values("ts").value.to_numpy()
+        l = x[0]
+        b = x[1] - x[0] if len(x) >= 2 else 0.0
+        for t in range(1, len(x)):
+            lp = l
+            l = alpha * x[t] + (1 - alpha) * (lp + b)
+            b = beta * (l - lp) + (1 - beta) * b
+        for h in range(1, H + 1):
+            row = out.loc[(g, h)]
+            assert row.yhat == l + h * b
+            assert row.level == l and row.trend == b
+            assert row.n_obs == len(x)
+    # a rising series forecasts above its last level
+    assert out.loc[("up", 6)].yhat > out.loc[("up", 1)].yhat
+    # cross-check against statsmodels legacy-heuristic Holt if available
+    try:
+        from statsmodels.tsa.holtwinters import Holt
+
+        x = pdf[pdf.g == "up"].sort_values("ts").value.to_numpy()
+        fit = Holt(x, initialization_method="legacy-heuristic").fit(
+            smoothing_level=alpha, smoothing_trend=beta, optimized=False
+        )
+        fc = fit.forecast(H)
+        got = out.loc["up"].yhat.to_numpy()
+        assert np.max(np.abs(got - fc)) < 1e-8
+    except ImportError:
+        pass
+    with pytest.raises(ValueError):
+        holt_forecast(spark.createDataFrame(pdf), 0.0, 0.2, 3, series_keys=["g"])
+    with pytest.raises(ValueError):
+        holt_forecast(spark.createDataFrame(pdf), 0.4, 0.2, 0, series_keys=["g"])
+    with pytest.raises(ValueError):
+        holt_forecast(spark.createDataFrame(pdf), 0.4, 0.2, 3)

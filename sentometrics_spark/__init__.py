@@ -37,6 +37,7 @@ from sentometrics_spark.aggregate.timeseries import (
     acf,
     bucket_histogram,
     bucket_trend,
+    ccf,
     cohort_retention,
     funnel_stages,
     holt_forecast,
@@ -112,6 +113,7 @@ __all__ = [
     "acf",
     "bucket_histogram",
     "bucket_trend",
+    "ccf",
     "cohort_retention",
     "funnel_stages",
     "holt_forecast",

@@ -55,6 +55,7 @@ __all__ = [
     "kll_quantile_rollup",
     "bucket_histogram",
     "holt_forecast",
+    "ccf",
 ]
 
 
@@ -1498,4 +1499,95 @@ def holt_forecast(
         df.select(*keys, on, value)
         .groupBy(*keys)
         .applyInPandas(_kernel, schema=out_schema)
+    )
+
+
+def ccf(
+    df: DataFrame,
+    max_lag: int,
+    on: str = "ts",
+    x: str = "x",
+    y: str = "y",
+    series_keys: list[str] | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-series cross-correlation function between two aligned columns
+    at lags −max_lag..max_lag (positional — run on a regular grid):
+
+        r_k = Σ_t (x_t − x̄)(y_{t+k} − ȳ)
+              / √( Σ(x − x̄)² · Σ(y − ȳ)² )
+
+    (statsmodels ``ccf`` convention: positive k means x LEADS y — the
+    "do clicks lead purchases by k hours" primitive; r_{−k} mirrors y
+    leading x.) Means and both denominators are over the FULL series.
+
+    Same plan shape as ``acf`` — ONE Exchange, NO join: one ordered
+    window builds the array of y at offsets −K..K (lead for positive,
+    lag for negative) in a single pass; x̄, ȳ and both sums of squares
+    ride unordered windows over the same partitioning; the (series, lag)
+    groupBy reuses it. NULL r where a series has no lag-k pairs or
+    either side has zero variance."""
+    if max_lag < 0:
+        raise ValueError("max_lag must be >= 0")
+    keys = list(series_keys or [])
+    if not keys:
+        raise ValueError(
+            "ccf requires series_keys: a keyless series is one global "
+            "window partition (add a constant key to correlate one pair)"
+        )
+    order = [F.col(on)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    wfull = Window.partitionBy(*keys)
+    xv = F.col(x).cast("double")
+    yv = F.col(y).cast("double")
+    mx = F.avg(xv).over(wfull)
+    my = F.avg(yv).over(wfull)
+
+    def _off(k: int) -> Column:
+        if k > 0:
+            return F.lead(yv, k).over(w)
+        if k < 0:
+            return F.lag(yv, -k).over(w)
+        return yv
+
+    base = df.select(
+        *keys,
+        (xv - mx).alias("__dx"),
+        (yv - my).alias("__dy"),
+        F.array(
+            *[_off(k) - my for k in range(-max_lag, max_lag + 1)]
+        ).alias("__dyl"),
+    )
+    base = base.select(
+        *keys,
+        "__dx",
+        "__dyl",
+        F.sum(F.col("__dx") * F.col("__dx")).over(wfull).alias("__ssx"),
+        F.sum(F.col("__dy") * F.col("__dy")).over(wfull).alias("__ssy"),
+        F.count(F.lit(1)).over(wfull).alias("__n"),
+    )
+    num = (
+        base.select(
+            *keys, "__dx", "__ssx", "__ssy", "__n",
+            F.posexplode("__dyl").alias("__k0", "__dyk"),
+        )
+        .groupBy(*keys, (F.col("__k0") - max_lag).alias("lag"))
+        .agg(
+            F.sum(F.col("__dx") * F.col("__dyk")).alias("__num"),
+            F.count("__dyk").alias("n_pairs"),
+            F.first("__ssx").alias("__ssx"),
+            F.first("__ssy").alias("__ssy"),
+            F.first("__n").alias("n_obs"),
+        )
+    )
+    r = F.when(
+        (F.col("n_pairs") > 0) & (F.col("__ssx") > 0) & (F.col("__ssy") > 0),
+        F.col("__num") / F.sqrt(F.col("__ssx") * F.col("__ssy")),
+    )
+    return num.select(
+        *keys,
+        F.col("lag").cast("int").alias("lag"),
+        r.alias("r"),
+        "n_pairs",
+        "n_obs",
     )

@@ -3273,6 +3273,96 @@ JOIN last_ts ON fin.event_type = last_ts.event_type
 CROSS JOIN generate_series(1, 12) AS g(h)"""
 
 
+def q_ccf_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation (lags -6..+6 hours) between the click and
+    purchase hourly mean-value tiers — positive lag = clicks LEAD
+    purchases. One pair, so the series key is a constant; the oracle
+    replays the same centered lead/lag sums over the joined tier."""
+    from sentometrics_spark.aggregate.timeseries import ccf
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tier = (
+        ev.filter(F.col("event_type").isin(["click", "purchase"]))
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("b"))
+        .agg(F.avg("value").alias("v"))
+        .groupBy("b")
+        .pivot("event_type", ["click", "purchase"])
+        .agg(F.first("v"))
+        .filter(F.col("click").isNotNull() & F.col("purchase").isNotNull())
+    )
+    out = ccf(
+        tier.withColumn("grp", F.lit("all")),
+        6, on="b", x="click", y="purchase", series_keys=["grp"],
+    )
+    return out.select("lag", _r6("r").alias("r"), "n_pairs", "n_obs")
+
+
+_SQL_CCF_CLICK_PURCHASE = """WITH j AS (
+  SELECT c.b, c.v AS x, p.v AS y
+  FROM (SELECT date_trunc('hour', ts) AS b, avg(value) AS v FROM events
+        WHERE event_type = 'click' GROUP BY 1) c
+  JOIN (SELECT date_trunc('hour', ts) AS b, avg(value) AS v FROM events
+        WHERE event_type = 'purchase' GROUP BY 1) p
+    ON c.b = p.b
+), b AS (
+  SELECT x - avg(x) OVER () AS dx,
+         y - avg(y) OVER () AS dy,
+         lag(y, 6) OVER w - avg(y) OVER () AS dl_m6,
+         lag(y, 5) OVER w - avg(y) OVER () AS dl_m5,
+         lag(y, 4) OVER w - avg(y) OVER () AS dl_m4,
+         lag(y, 3) OVER w - avg(y) OVER () AS dl_m3,
+         lag(y, 2) OVER w - avg(y) OVER () AS dl_m2,
+         lag(y, 1) OVER w - avg(y) OVER () AS dl_m1,
+         y - avg(y) OVER () AS dl_p0,
+         lead(y, 1) OVER w - avg(y) OVER () AS dl_p1,
+         lead(y, 2) OVER w - avg(y) OVER () AS dl_p2,
+         lead(y, 3) OVER w - avg(y) OVER () AS dl_p3,
+         lead(y, 4) OVER w - avg(y) OVER () AS dl_p4,
+         lead(y, 5) OVER w - avg(y) OVER () AS dl_p5,
+         lead(y, 6) OVER w - avg(y) OVER () AS dl_p6
+  FROM j
+  WINDOW w AS (ORDER BY b)
+), l AS (
+  SELECT dx, -6 AS lag, dl_m6 AS dy FROM b
+  UNION ALL
+  SELECT dx, -5 AS lag, dl_m5 AS dy FROM b
+  UNION ALL
+  SELECT dx, -4 AS lag, dl_m4 AS dy FROM b
+  UNION ALL
+  SELECT dx, -3 AS lag, dl_m3 AS dy FROM b
+  UNION ALL
+  SELECT dx, -2 AS lag, dl_m2 AS dy FROM b
+  UNION ALL
+  SELECT dx, -1 AS lag, dl_m1 AS dy FROM b
+  UNION ALL
+  SELECT dx, 0 AS lag, dl_p0 AS dy FROM b
+  UNION ALL
+  SELECT dx, 1 AS lag, dl_p1 AS dy FROM b
+  UNION ALL
+  SELECT dx, 2 AS lag, dl_p2 AS dy FROM b
+  UNION ALL
+  SELECT dx, 3 AS lag, dl_p3 AS dy FROM b
+  UNION ALL
+  SELECT dx, 4 AS lag, dl_p4 AS dy FROM b
+  UNION ALL
+  SELECT dx, 5 AS lag, dl_p5 AS dy FROM b
+  UNION ALL
+  SELECT dx, 6 AS lag, dl_p6 AS dy FROM b
+), den AS (
+  SELECT SUM(dx * dx) AS ssx, SUM(dy * dy) AS ssy, COUNT(*) AS n_obs
+  FROM b
+)
+SELECT CAST(lag AS INT) AS lag,
+       CASE WHEN COUNT(dy) > 0 AND ssx > 0 AND ssy > 0
+            THEN floor(SUM(dx * dy) / sqrt(ssx * ssy) * 1000000
+                       + 0.5 + 1e-9) / 1000000.0
+       END AS r,
+       COUNT(dy) AS n_pairs, n_obs
+FROM l CROSS JOIN den
+GROUP BY lag, ssx, ssy, n_obs"""
+
+
 def q_kll_value_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-tier p50/p95/p99 of event values built by MERGING per-hour KLL
     sketches (the re-aggregatable percentile: exact per-tier quantiles
@@ -3761,6 +3851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_value_rollup_day": q_kll_value_rollup,
         "histogram_day": q_histogram_day,
         "holt_forecast_12h": q_holt_forecast_12h,
+        "ccf_click_purchase": q_ccf_click_purchase,
         "events_sessionize": q_events_sessionize,
         # driver-gate closers (S3/S5/S6, T3, O1, O3, M1/M2, M8, M9, M10/M11,
         # K7, A3-inverseExponential, exponential tier composability)
@@ -4019,6 +4110,7 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_hourly24": _SQL_SEASONAL_HOURLY24,
         "histogram_day": _SQL_HISTOGRAM_DAY,
         "holt_forecast_12h": _SQL_HOLT_FORECAST_12H,
+        "ccf_click_purchase": _SQL_CCF_CLICK_PURCHASE,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "corpus_pages": SQL_CORPUS_PAGES,
         "corpus_summarize_day": SQL_CORPUS_SUMMARIZE,

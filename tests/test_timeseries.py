@@ -1132,3 +1132,48 @@ def test_holt_forecast_vs_numpy(spark):
         holt_forecast(spark.createDataFrame(pdf), 0.4, 0.2, 0, series_keys=["g"])
     with pytest.raises(ValueError):
         holt_forecast(spark.createDataFrame(pdf), 0.4, 0.2, 3)
+
+
+def test_ccf_vs_numpy_and_symmetry(spark):
+    import numpy as np
+    import pandas as pd
+
+    from sentometrics_spark.aggregate.timeseries import ccf
+
+    rng = np.random.RandomState(9)
+    n = 200
+    x = rng.randn(n)
+    y = np.roll(x, 3) + rng.randn(n) * 0.1  # x leads y by 3 steps
+    pdf = pd.DataFrame({
+        "g": "s", "ts": pd.date_range("2024-01-01", periods=n, freq="h"),
+        "x": x, "y": y,
+    })
+    out = (
+        ccf(spark.createDataFrame(pdf), 5, x="x", y="y", series_keys=["g"])
+        .toPandas().set_index("lag").sort_index()
+    )
+    assert sorted(out.index) == list(range(-5, 6))
+    dx, dy = x - x.mean(), y - y.mean()
+    den = np.sqrt((dx * dx).sum() * (dy * dy).sum())
+    for k in range(-5, 6):
+        if k > 0:
+            num = (dx[:-k] * dy[k:]).sum()
+        elif k < 0:
+            num = (dx[-k:] * dy[:k]).sum()
+        else:
+            num = (dx * dy).sum()
+        assert abs(out.loc[k].r - num / den) < 1e-10
+        assert out.loc[k].n_pairs == n - abs(k)
+    # the planted lead shows up at lag +3
+    assert out.r.idxmax() == 3 and out.loc[3].r > 0.9
+    # swapping x and y mirrors the lag axis
+    sw = (
+        ccf(spark.createDataFrame(pdf), 5, x="y", y="x", series_keys=["g"])
+        .toPandas().set_index("lag").sort_index()
+    )
+    for k in range(-5, 6):
+        assert abs(sw.loc[k].r - out.loc[-k].r) < 1e-12
+    with pytest.raises(ValueError):
+        ccf(spark.createDataFrame(pdf), -1, x="x", y="y", series_keys=["g"])
+    with pytest.raises(ValueError):
+        ccf(spark.createDataFrame(pdf), 3, x="x", y="y")

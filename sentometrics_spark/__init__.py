@@ -42,6 +42,7 @@ from sentometrics_spark.aggregate.timeseries import (
     funnel_stages,
     holt_forecast,
     kll_quantile_rollup,
+    mad_outliers,
     kll_quantile_tier,
     seasonal_decompose,
     counter_rate,
@@ -118,6 +119,7 @@ __all__ = [
     "funnel_stages",
     "holt_forecast",
     "kll_quantile_rollup",
+    "mad_outliers",
     "kll_quantile_tier",
     "seasonal_decompose",
     "counter_rate",

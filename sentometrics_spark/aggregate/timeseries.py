@@ -56,6 +56,7 @@ __all__ = [
     "bucket_histogram",
     "holt_forecast",
     "ccf",
+    "mad_outliers",
 ]
 
 
@@ -1590,4 +1591,63 @@ def ccf(
         r.alias("r"),
         "n_pairs",
         "n_obs",
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    threshold: float = 3.5,
+    on: str = "ts",
+    value: str = "value",
+    series_keys: list[str] | None = None,
+    by: str = "day",
+) -> DataFrame:
+    """Robust per-(series, calendar bucket) outlier flags: each
+    observation is scored against its bucket's MEDIAN and MAD (median
+    absolute deviation), flagged when
+
+        |x − median| > threshold · 1.4826 · MAD
+
+    (1.4826 = 1/Φ⁻¹(3/4) makes MAD consistent for the normal σ; 3.5 is
+    the standard Iglewicz-Hoaglin cut). The robust counterpart of
+    ``rolling_zscore``: a burst of extreme values drags a mean/stddev
+    gate (masking itself) but barely moves the median. Zero-MAD buckets
+    (at least half the bucket at one value) get NULL ``robust_z`` and
+    ``is_outlier`` = false — a zero-spread bucket has no robust scale to
+    score against.
+
+    ONE Exchange, NO join: exact ``percentile`` runs as a window
+    aggregate over the (series, bucket) partition for the median, and
+    again over the SAME partitioning for the MAD of the derived
+    deviations — two Window nodes, one hash Exchange, rows never leave
+    their partition. Exact per-bucket percentile state is the bucket
+    itself (same contract as bucket_percentiles mode='exact'); this is a
+    monitoring op over rolled-up or bounded buckets, not a raw 10^12-row
+    pass — use rolling_zscore for the cheap streaming-friendly gate."""
+    keys = list(series_keys or [])
+    v = F.col(value).cast("double")
+    # materialize the bucket BEFORE the windows: partitioning two Window
+    # nodes by the same named column collapses them onto one Exchange,
+    # partitioning by a fresh date_trunc expression does not
+    base = df.withColumn("__b", F.date_trunc(by, F.col(on)))
+    wb = Window.partitionBy(*keys, "__b")
+    base = base.withColumn("__med", F.expr(f"percentile({value}, 0.5)").over(wb))
+    base = base.withColumn("__adev", F.abs(v - F.col("__med")))
+    base = base.withColumn(
+        "__mad", F.expr("percentile(__adev, 0.5)").over(wb)
+    ).withColumn("__n", F.count(F.lit(1)).over(wb))
+    z = F.when(
+        F.col("__mad") > 0,
+        (v - F.col("__med")) / (F.lit(1.4826) * F.col("__mad")),
+    )
+    return base.select(
+        *df.columns,
+        F.col("__b").alias("bucket_ts"),
+        F.col("__med").alias("bucket_median"),
+        F.col("__mad").alias("bucket_mad"),
+        z.alias("robust_z"),
+        F.coalesce(F.abs(z) > F.lit(float(threshold)), F.lit(False)).alias(
+            "is_outlier"
+        ),
+        F.col("__n").alias("n_obs"),
     )

@@ -3363,6 +3363,63 @@ FROM l CROSS JOIN den
 GROUP BY lag, ssx, ssy, n_obs"""
 
 
+def q_mad_outliers_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-day MAD outlier flags on event values. Values are
+    quantized to integer micro-units first so BOTH engines' median
+    interpolation ((a+b)/2 vs a+(b-a)*0.5 — they may differ by an ulp on
+    arbitrary doubles) runs on exact integers/halves where either
+    formula is exact, making median/MAD bit-identical before r6."""
+    from sentometrics_spark.aggregate.timeseries import mad_outliers
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    q = ev.select(
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 1000000.0 + 0.5 + 1e-9)
+        .cast("double").alias("value"),
+    )
+    out = mad_outliers(q, threshold=3.5, by="day")
+    out = _fmt_ts(out, "bucket_ts")
+    u = 1000000.0
+    return out.select(
+        "event_id", "bucket_ts",
+        _r6(F.col("bucket_median") / u).alias("bucket_median"),
+        _r6(F.col("bucket_mad") / u).alias("bucket_mad"),
+        _r6("robust_z").alias("robust_z"),
+        "is_outlier", "n_obs",
+    )
+
+
+_SQL_MAD_OUTLIERS_DAY = f"""WITH b AS (
+  SELECT event_id, date_trunc('day', ts) AS d,
+         CAST(floor(value * 1000000 + 0.5 + 1e-9) AS DOUBLE) AS v
+  FROM events
+), m AS (
+  SELECT event_id, d, v,
+         quantile_cont(v, 0.5) OVER (PARTITION BY d) AS med,
+         count(*) OVER (PARTITION BY d) AS n_obs
+  FROM b
+), a AS (
+  SELECT event_id, d, v, med, n_obs,
+         quantile_cont(abs(v - med), 0.5) OVER (PARTITION BY d) AS mad
+  FROM m
+)
+SELECT event_id, strftime(d, '{TSFMT_DUCK}') AS bucket_ts,
+       floor(med / 1000000.0 * 1000000 + 0.5 + 1e-9) / 1000000.0
+         AS bucket_median,
+       floor(mad / 1000000.0 * 1000000 + 0.5 + 1e-9) / 1000000.0
+         AS bucket_mad,
+       CASE WHEN mad > 0
+            THEN floor((v - med) / (1.4826 * mad) * 1000000 + 0.5 + 1e-9)
+                 / 1000000.0
+       END AS robust_z,
+       CASE WHEN mad > 0 THEN abs((v - med) / (1.4826 * mad)) > 3.5
+            ELSE false END AS is_outlier,
+       n_obs
+FROM a"""
+
+
 def q_kll_value_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-tier p50/p95/p99 of event values built by MERGING per-hour KLL
     sketches (the re-aggregatable percentile: exact per-tier quantiles
@@ -3852,6 +3909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_day": q_histogram_day,
         "holt_forecast_12h": q_holt_forecast_12h,
         "ccf_click_purchase": q_ccf_click_purchase,
+        "mad_outliers_day": q_mad_outliers_day,
         "events_sessionize": q_events_sessionize,
         # driver-gate closers (S3/S5/S6, T3, O1, O3, M1/M2, M8, M9, M10/M11,
         # K7, A3-inverseExponential, exponential tier composability)
@@ -4111,6 +4169,7 @@ def oracle_sql() -> dict[str, str]:
         "histogram_day": _SQL_HISTOGRAM_DAY,
         "holt_forecast_12h": _SQL_HOLT_FORECAST_12H,
         "ccf_click_purchase": _SQL_CCF_CLICK_PURCHASE,
+        "mad_outliers_day": _SQL_MAD_OUTLIERS_DAY,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "corpus_pages": SQL_CORPUS_PAGES,
         "corpus_summarize_day": SQL_CORPUS_SUMMARIZE,

@@ -1177,3 +1177,49 @@ def test_ccf_vs_numpy_and_symmetry(spark):
         ccf(spark.createDataFrame(pdf), -1, x="x", y="y", series_keys=["g"])
     with pytest.raises(ValueError):
         ccf(spark.createDataFrame(pdf), 3, x="x", y="y")
+
+
+def test_mad_outliers_vs_numpy_and_plan(spark):
+    import numpy as np
+    import pandas as pd
+
+    from sentometrics_spark.aggregate.timeseries import mad_outliers
+
+    rng = np.random.RandomState(2)
+    v = rng.randn(100)
+    v[10], v[40] = 50.0, -50.0       # planted spikes mid-bucket
+    frames = [pd.DataFrame({
+        "g": "s", "ts": pd.date_range("2024-01-01", periods=100, freq="h"),
+        "value": v,
+    })]
+    # zero-MAD bucket: constant values -> NULL z, never flagged
+    frames.append(pd.DataFrame({
+        "g": "flat", "ts": pd.date_range("2024-01-01", periods=10, freq="h"),
+        "value": 7.0,
+    }))
+    pdf = pd.concat(frames, ignore_index=True)
+    out = mad_outliers(
+        spark.createDataFrame(pdf), series_keys=["g"], by="day"
+    ).toPandas()
+    assert sorted(out[out.is_outlier].value.tolist()) == [-50.0, 50.0]
+    flat = out[out.g == "flat"]
+    assert flat.robust_z.isna().all() and (~flat.is_outlier).all()
+    assert (flat.bucket_mad == 0).all() and (flat.bucket_median == 7.0).all()
+    # numpy agreement on one bucket
+    day0 = pd.Timestamp("2024-01-01")
+    x = pdf[(pdf.g == "s") & (pdf.ts.dt.floor("d") == day0)].value.to_numpy()
+    med, mad = np.median(x), np.median(np.abs(x - np.median(x)))
+    sub = out[(out.g == "s") & (out.bucket_ts == day0)].sort_values("ts")
+    assert abs(sub.bucket_median.iloc[0] - med) < 1e-12
+    assert abs(sub.bucket_mad.iloc[0] - mad) < 1e-12
+    assert abs(
+        sub.robust_z.iloc[0] - (x[0] - med) / (1.4826 * mad)
+    ) < 1e-12
+    assert (sub.n_obs == len(x)).all()
+    # plan: one Exchange, no join (both percentile windows share the
+    # materialized bucket partitioning)
+    p = (
+        mad_outliers(spark.createDataFrame(pdf), series_keys=["g"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert p.count("Exchange") == 1 and "Join" not in p, p

@@ -61,6 +61,7 @@ from sentometrics_spark.aggregate.timeseries import (
     topk_per_bucket,
 )
 from sentometrics_spark.textops.sampling import (
+    cap_per_group,
     pack_documents,
     sample_by_source_temperature,
     split_train_val_test,
@@ -137,6 +138,7 @@ __all__ = [
     "time_weighted_avg",
     "topk_per_bucket",
     # training-data composition
+    "cap_per_group",
     "pack_documents",
     "sample_by_source_temperature",
     "split_train_val_test",

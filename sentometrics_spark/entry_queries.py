@@ -3420,6 +3420,35 @@ SELECT event_id, strftime(d, '{TSFMT_DUCK}') AS bucket_ts,
 FROM a"""
 
 
+def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-monoculture per-domain cap: keep the 10 documents per source
+    with the smallest seeded hash — a deterministic uniform sample per
+    group (C4/Gopher-style per-domain contribution cap). md5 hash
+    variant so DuckDB replays the identical kept set."""
+    from sentometrics_spark.textops.sampling import cap_per_group
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = cap_per_group(
+        docs, cap=10, group_col="source", id_col="doc_id",
+        seed=13, hash_fn="md5",
+    )
+    return out.select("doc_id", "source")
+
+
+def _sql_cap_per_source() -> str:
+    from sentometrics_spark.textops.dedup import duck_hx
+
+    hx = duck_hx("'13:' || source || ':' || CAST(doc_id AS VARCHAR)")
+    return f"""WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {hx}, doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, source FROM r WHERE rk <= 10"""
+
+
 def q_kll_value_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-tier p50/p95/p99 of event values built by MERGING per-hour KLL
     sketches (the re-aggregatable percentile: exact per-tier quantiles
@@ -3910,6 +3939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_forecast_12h": q_holt_forecast_12h,
         "ccf_click_purchase": q_ccf_click_purchase,
         "mad_outliers_day": q_mad_outliers_day,
+        "cap_per_source": q_cap_per_source,
         "events_sessionize": q_events_sessionize,
         # driver-gate closers (S3/S5/S6, T3, O1, O3, M1/M2, M8, M9, M10/M11,
         # K7, A3-inverseExponential, exponential tier composability)
@@ -4170,6 +4200,7 @@ def oracle_sql() -> dict[str, str]:
         "holt_forecast_12h": _SQL_HOLT_FORECAST_12H,
         "ccf_click_purchase": _SQL_CCF_CLICK_PURCHASE,
         "mad_outliers_day": _SQL_MAD_OUTLIERS_DAY,
+        "cap_per_source": _sql_cap_per_source(),
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "corpus_pages": SQL_CORPUS_PAGES,
         "corpus_summarize_day": SQL_CORPUS_SUMMARIZE,

@@ -41,6 +41,7 @@ __all__ = [
     "pack_documents",
     "split_train_val_test",
     "vocab_top",
+    "cap_per_group",
 ]
 
 _HASH_MOD = 1 << 20
@@ -220,3 +221,69 @@ def vocab_top(
     top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(v)
     w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def cap_per_group(
+    docs: DataFrame,
+    cap: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 13,
+    hash_fn: str = "xxhash64",
+    prefilter: bool = False,
+) -> DataFrame:
+    """Deterministic per-group cap — keep at most ``cap`` documents per
+    group (domain, source, language): the anti-monoculture gate every
+    web-corpus mix applies so one mass-crawled host cannot dominate the
+    training distribution (C4 and Gopher both cap per-domain
+    contributions). Selection is a pure function of identity — each
+    kept set is the ``cap`` documents with the smallest
+    hash(seed:group:id), so re-runs, retries, and REORDERED inputs keep
+    exactly the same documents, and growing the corpus only ever evicts
+    by hash rank, never reshuffles survivors arbitrarily.
+
+    Scale shape: one hash shuffle on the group key; the per-group work is
+    a rank over hash order (uniform random permutation within the group,
+    so the cap is an unbiased uniform sample of the group). Hot domains
+    ARE the skewed key here — at Common-Crawl scale pre-filter with an
+    approximate per-group count and only rank groups that exceed the cap
+    (the ``prefilter`` flag), which turns the skewed sort into a
+    broadcast-filtered one over the minority of over-cap groups.
+
+    hash_fn='md5' makes the kept set replayable in DuckDB."""
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    h = hash64(
+        F.concat_ws(":", F.col(group_col), F.col(id_col).cast("string")),
+        seed=seed,
+        hash_fn=hash_fn,
+    )
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    if not prefilter:
+        return (
+            docs.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= cap)
+            .drop("__rk")
+        )
+    over = (
+        docs.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__gn"))
+        .filter(F.col("__gn") > cap)
+        .select(group_col)
+    )
+    # under-cap groups pass through untouched (no sort, no shuffle beyond
+    # the count); only the over-cap minority pays the per-group rank
+    flagged = docs.join(
+        F.broadcast(over.withColumn("__over", F.lit(True))),
+        group_col,
+        "left",
+    )
+    keep_small = flagged.filter(F.col("__over").isNull()).drop("__over")
+    capped = (
+        flagged.filter(F.col("__over").isNotNull())
+        .drop("__over")
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk")
+    )
+    return keep_small.unionByName(capped)

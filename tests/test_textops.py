@@ -814,3 +814,39 @@ def test_vocab_top_ranks_and_ties(spark):
     docs2 = spark.createDataFrame([(1, "x y x y")], "doc_id long, text string")
     r = {q["token"]: q["rank"] for q in sampling.vocab_top(docs2, v=2).collect()}
     assert r == {"x": 1, "y": 2}
+
+
+def test_cap_per_group_deterministic_and_prefilter(spark):
+    from sentometrics_spark.textops.sampling import cap_per_group
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 4}" if i < 80 else "tiny", f"doc {i}") for i in range(85)],
+        "doc_id long, source string, text string",
+    )
+    kept = cap_per_group(docs, cap=5, group_col="source").toPandas()
+    # every big group capped at 5; the 5-doc 'tiny' group survives whole
+    sizes = kept.groupby("source").size().to_dict()
+    assert sizes == {"s0": 5, "s1": 5, "s2": 5, "s3": 5, "tiny": 5}
+    # deterministic: same kept set on a REORDERED input
+    kept2 = cap_per_group(
+        docs.orderBy(F.desc("doc_id")), cap=5, group_col="source"
+    ).toPandas()
+    assert sorted(kept2.doc_id) == sorted(kept.doc_id)
+    # prefilter path selects the identical set
+    kept3 = cap_per_group(docs, cap=5, group_col="source", prefilter=True).toPandas()
+    assert sorted(kept3.doc_id) == sorted(kept.doc_id)
+    # growing the corpus only EVICTS by hash rank, never swaps survivors
+    # arbitrarily: survivors of the grown corpus that existed before are
+    # a subset of the original kept set
+    grown = docs.union(spark.createDataFrame(
+        [(1000 + i, f"s{i % 4}", f"new {i}") for i in range(40)],
+        "doc_id long, source string, text string",
+    ))
+    kept4 = cap_per_group(grown, cap=5, group_col="source").toPandas()
+    old_survivors = set(kept4.doc_id) & set(range(85))
+    assert old_survivors <= set(kept.doc_id)
+    # different seed -> different (still deterministic) sample
+    kept5 = cap_per_group(docs, cap=5, group_col="source", seed=99).toPandas()
+    assert sorted(kept5.doc_id) != sorted(kept.doc_id)
+    with pytest.raises(ValueError):
+        cap_per_group(docs, cap=0)

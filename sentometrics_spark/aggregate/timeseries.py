@@ -1074,7 +1074,8 @@ def bucket_trend(
     (epoch-microsecond x² is ~1e33 and eats all double precision; bucket-
     relative x² is ≤ 7.5e9 for a day bucket). All five sufficient
     statistics (n, Σx, Σy, Σxy, Σx²(, Σy²)) come from ONE groupBy with
-    map-side partials — no window sort, no second pass; slope/intercept/r²
+    map-side partials (NULL values are dropped first so n counts only
+    fitted points) — no window sort, no second pass; slope/intercept/r²
     are ratios of those sums, computed at value magnitude where the r6
     oracle rounding is stable (the TWA round-ratios rule). Degenerate
     buckets (n < 2 or zero x-variance, e.g. all rows at one timestamp)
@@ -1084,7 +1085,7 @@ def bucket_trend(
     b = F.date_trunc(by, F.col(on))
     x = (_us(F.col(on)) - _us(b)).cast("double") / F.lit(1e6)
     y = F.col(value).cast("double")
-    pre = df.select(
+    pre = df.filter(y.isNotNull()).select(
         *keys,
         b.alias("bucket_ts"),
         x.alias("__x"),
@@ -1182,7 +1183,10 @@ def acf(
         .groupBy(*keys, (F.col("__k0") + 1).alias("lag"))
         .agg(
             F.sum(F.col("__d") * F.col("__dlk")).alias("__num"),
-            F.count("__dlk").alias("n_pairs"),
+            # count the PRODUCT, not the lead: a pair whose left side is
+            # NULL contributes nothing to the numerator and must not
+            # inflate n_pairs either
+            F.count(F.col("__d") * F.col("__dlk")).alias("n_pairs"),
             F.first("__ss").alias("__ss"),
             F.first("__n").alias("n_obs"),
         )
@@ -1575,7 +1579,7 @@ def ccf(
         .groupBy(*keys, (F.col("__k0") - max_lag).alias("lag"))
         .agg(
             F.sum(F.col("__dx") * F.col("__dyk")).alias("__num"),
-            F.count("__dyk").alias("n_pairs"),
+            F.count(F.col("__dx") * F.col("__dyk")).alias("n_pairs"),
             F.first("__ssx").alias("__ssx"),
             F.first("__ssy").alias("__ssy"),
             F.first("__n").alias("n_obs"),

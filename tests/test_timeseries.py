@@ -1223,3 +1223,35 @@ def test_mad_outliers_vs_numpy_and_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert p.count("Exchange") == 1 and "Join" not in p, p
+
+
+def test_null_values_dont_skew_trend_acf_ccf(spark):
+    import pandas as pd
+
+    from sentometrics_spark.aggregate.timeseries import acf, bucket_trend, ccf
+
+    pdf = pd.DataFrame({
+        "g": "s",
+        "ts": pd.date_range("2024-01-01", periods=8, freq="min"),
+        "value": [1.0, None, 3.0, 4.0, None, 6.0, 7.0, 8.0],
+    })
+    df = spark.createDataFrame(pdf)
+    # trend: n_obs counts only the 6 fitted points and the fit equals
+    # the fit over the null-free subset
+    bt = bucket_trend(df, series_keys=["g"], by="hour").toPandas().iloc[0]
+    sub = pdf.dropna()
+    import numpy as np
+
+    x = (sub.ts - sub.ts.dt.floor("h")).dt.total_seconds().to_numpy()
+    sl, ic = np.polyfit(x, sub.value.to_numpy(), 1)
+    assert bt.n_obs == 6
+    assert abs(bt.slope_per_sec - sl) < 1e-9 and abs(bt.intercept - ic) < 1e-9
+    # acf: n_pairs counts only pairs with BOTH ends present
+    a = acf(df, 1, series_keys=["g"]).toPandas().iloc[0]
+    # positions with value: 0,2,3,5,6,7 -> lag-1 pairs with both ends:
+    # (2,3),(5,6),(6,7) = 3
+    assert a.n_pairs == 3
+    # ccf at lag 0 on (value, value): pairs = non-null count
+    c = ccf(df.withColumn("y2", F.col("value")), 0, x="value", y="y2",
+            series_keys=["g"]).toPandas().iloc[0]
+    assert c.n_pairs == 6 and abs(c.r - 1.0) < 1e-12

@@ -1443,7 +1443,8 @@ def holt_forecast(
     over a rolled-up tier:
 
         l_1 = x_1,  b_1 = x_2 − x_1   (statsmodels legacy-heuristic init;
-                                       a 1-point series gets b_1 = 0)
+                                       a 1-point series gets b_1 = 0;
+                                       NULL values are dropped first)
         l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
         b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
         ŷ(h) = l_n + h·b_n
@@ -1482,7 +1483,21 @@ def holt_forecast(
     )
 
     def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(on, kind="mergesort").reset_index(drop=True)
+        pdf = (
+            pdf[pdf[value].notna()]
+            .sort_values(on, kind="mergesort")
+            .reset_index(drop=True)
+        )
+        if not len(pdf):
+            return pd.DataFrame({
+                **{k: pd.Series([], dtype=pdf[k].dtype) for k in keys},
+                "h": pd.Series([], dtype="int32"),
+                "yhat": pd.Series([], dtype="float64"),
+                "level": pd.Series([], dtype="float64"),
+                "trend": pd.Series([], dtype="float64"),
+                "n_obs": pd.Series([], dtype="int64"),
+                "last_ts": pd.Series([], dtype=pdf[on].dtype),
+            })
         x = pdf[value].to_numpy(dtype=np.float64)
         n = len(x)
         l = x[0]
@@ -1639,7 +1654,7 @@ def mad_outliers(
     base = base.withColumn("__adev", F.abs(v - F.col("__med")))
     base = base.withColumn(
         "__mad", F.expr("percentile(__adev, 0.5)").over(wb)
-    ).withColumn("__n", F.count(F.lit(1)).over(wb))
+    ).withColumn("__n", F.count(v).over(wb))
     z = F.when(
         F.col("__mad") > 0,
         (v - F.col("__med")) / (F.lit(1.4826) * F.col("__mad")),

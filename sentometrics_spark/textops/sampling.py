@@ -269,15 +269,16 @@ def cap_per_group(
         docs.groupBy(group_col)
         .agg(F.count(F.lit(1)).alias("__gn"))
         .filter(F.col("__gn") > cap)
-        .select(group_col)
+        .select(F.col(group_col).alias("__og"))
     )
     # under-cap groups pass through untouched (no sort, no shuffle beyond
-    # the count); only the over-cap minority pays the per-group rank
+    # the count); only the over-cap minority pays the per-group rank.
+    # eqNullSafe so a NULL group is capped identically in both paths
     flagged = docs.join(
         F.broadcast(over.withColumn("__over", F.lit(True))),
-        group_col,
+        F.col(group_col).eqNullSafe(F.col("__og")),
         "left",
-    )
+    ).drop("__og")
     keep_small = flagged.filter(F.col("__over").isNull()).drop("__over")
     capped = (
         flagged.filter(F.col("__over").isNotNull())

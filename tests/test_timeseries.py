@@ -1255,3 +1255,31 @@ def test_null_values_dont_skew_trend_acf_ccf(spark):
     c = ccf(df.withColumn("y2", F.col("value")), 0, x="value", y="y2",
             series_keys=["g"]).toPandas().iloc[0]
     assert c.n_pairs == 6 and abs(c.r - 1.0) < 1e-12
+
+
+def test_holt_and_mad_null_values(spark):
+    import pandas as pd
+
+    from sentometrics_spark.aggregate.timeseries import holt_forecast, mad_outliers
+
+    pdf = pd.DataFrame({
+        "g": "s",
+        "ts": pd.date_range("2024-01-01", periods=6, freq="h"),
+        "value": [1.0, None, 3.0, None, 5.0, 7.0],
+    })
+    df = spark.createDataFrame(pdf)
+    out = holt_forecast(df, 0.5, 0.3, 2, series_keys=["g"]).toPandas()
+    # NULLs dropped: n_obs = 4 and no NaN leaks into the forecast
+    assert (out.n_obs == 4).all() and out.yhat.notna().all()
+    # all-null series vanish rather than emitting NaN rows
+    nul = pd.DataFrame({
+        "g": "n", "ts": pd.date_range("2024-01-01", periods=3, freq="h"),
+        "value": [None, None, None],
+    })
+    both = holt_forecast(
+        spark.createDataFrame(pd.concat([pdf, nul])), 0.5, 0.3, 2,
+        series_keys=["g"],
+    ).toPandas()
+    assert set(both.g) == {"s"}
+    m = mad_outliers(df, series_keys=["g"], by="day").toPandas()
+    assert (m.n_obs == 4).all()

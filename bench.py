@@ -287,6 +287,15 @@ def run_benchmarks(cpus: int, sf_dir: str, q1_only: bool = False) -> dict:
                 result["scaling"] = json.load(f)
         except (OSError, json.JSONDecodeError):
             pass
+    ev_cache = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling_events.json"
+    )
+    if os.path.isfile(ev_cache):
+        try:
+            with open(ev_cache) as f:
+                result["scaling_events"] = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            pass
     spark.stop()
     return result
 
@@ -368,6 +377,108 @@ def main() -> None:
         except OSError:
             pass
         print(json.dumps(result))
+        return
+
+    if "--scaling-events" in sys.argv:
+        # Second two-parallelism datapoint, over the EVENTS path: the
+        # ordered-funnel job (filter -> groupBy(user) -> JVM cascade fold)
+        # on a materialized 20M-event parquet corpus with disjoint user
+        # spaces — the canonical irregular-event shuffle shape of the new
+        # timeseries layer, complementing the sentiment-pipeline job in
+        # --scaling. Same protocol: fresh JVM per level, interleaved
+        # min-of-N.
+        n_low = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+        n_high = 4 * n_low
+        n_runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
+        rep = int(os.environ.get("SPARK_GRAFT_EV_REPLICATE", "2000"))
+        src = f"/tmp/bench_events_{os.path.basename(sf_dir.rstrip('/'))}_rep{rep}"
+        if not os.path.isdir(src):
+            from pyspark.sql import functions as F
+
+            spark = get_spark(8)
+            spark.sparkContext.setLogLevel("ERROR")
+            ev0 = spark.read.parquet(f"{sf_dir}/events.parquet")
+            reps_ev = spark.range(rep).select(F.col("id").alias("rep"))
+            (
+                ev0.repartition(64)
+                .crossJoin(F.broadcast(reps_ev))
+                .withColumn("user_id", F.col("user_id") + F.col("rep") * 1_000_000)
+                .withColumn("event_id", F.col("event_id") + F.col("rep") * 100_000_000)
+                .drop("rep")
+                .write.mode("overwrite").parquet(src)
+            )
+            spark.stop()
+        times: dict[int, list[float]] = {n_low: [], n_high: []}
+        rows = {n_low: 0, n_high: 0}
+        for _ in range(n_runs):
+            for c in (n_low, n_high):
+                out = subprocess.run(
+                    [sys.executable, __file__, "--once", "--funnel-scaling",
+                     f"--cpus={c}", f"--src={src}"],
+                    capture_output=True,
+                    text=True,
+                    env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+                )
+                lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+                if not lines:
+                    sys.stderr.write(out.stdout + out.stderr)
+                    raise SystemExit(1)
+                r = json.loads(lines[-1])
+                times[c].append(r["t_sec"])
+                rows[c] = r["n_events"]
+        t_low, t_high = min(times[n_low]), min(times[n_high])
+        eff = (t_low / t_high) / 4.0
+        result = {
+            "metric": f"events_scaling_efficiency_{n_low}_to_{n_high}",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "job": "funnel_stages_parquet_scan",
+            f"t_local{n_low}_sec": t_low,
+            f"t_local{n_high}_sec": t_high,
+            f"events_per_sec_local{n_low}": round(rows[n_low] / t_low, 1),
+            f"events_per_sec_local{n_high}": round(rows[n_high] / t_high, 1),
+            "all_times": {str(k): v for k, v in times.items()},
+            "runs": n_runs,
+            "n_events": rows[n_high],
+            "sf": sf_dir,
+            "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        try:
+            cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BENCH", "scaling_events.json")
+            os.makedirs(os.path.dirname(cache), exist_ok=True)
+            with open(cache, "w") as f:
+                json.dump(result, f)
+        except OSError:
+            pass
+        print(json.dumps(result))
+        return
+
+    if "--funnel-scaling" in sys.argv:
+        # child for --scaling-events: one timed funnel run on a parquet src
+        src = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--src=")][0]
+        cpus = int([a.split("=", 1)[1] for a in sys.argv if a.startswith("--cpus=")][0])
+        from sentometrics_spark.aggregate.timeseries import funnel_stages
+
+        spark = get_spark(cpus)
+        spark.sparkContext.setLogLevel("ERROR")
+        ev = spark.read.parquet(src)
+        n_events = ev.count()
+
+        def run():
+            return force(funnel_stages(
+                ev, ["view", "click", "purchase"], within_seconds=7 * 86400.0))
+
+        force(funnel_stages(ev.limit(20000), ["view", "click", "purchase"],
+                            within_seconds=7 * 86400.0))
+        best = float("inf")
+        for _ in range(int(os.environ.get("SPARK_GRAFT_SCALE_INNER", "2"))):
+            t0 = time.time()
+            run()
+            best = min(best, time.time() - t0)
+        print(json.dumps({"cpus": cpus, "t_sec": round(best, 3),
+                          "n_events": n_events}))
+        spark.stop()
         return
 
     if "--fused-scaling" in sys.argv:

@@ -1006,6 +1006,8 @@ def funnel_stages(
         raise ValueError("a funnel needs at least two steps")
     if len(set(steps)) != k:
         raise ValueError("steps must be distinct")
+    if within_seconds is not None and within_seconds < 0:
+        raise ValueError("within_seconds must be >= 0")
     keys = list(series_keys or [])
     idx = F.lit(None).cast("int")
     for j in range(k - 1, -1, -1):

@@ -37,10 +37,12 @@ from sentometrics_spark.aggregate.timeseries import (
     acf,
     bucket_histogram,
     bucket_trend,
+    burn_rate,
     ccf,
     cohort_retention,
     funnel_stages,
     holt_forecast,
+    holt_winters,
     kll_quantile_rollup,
     mad_outliers,
     kll_quantile_tier,
@@ -115,10 +117,12 @@ __all__ = [
     "acf",
     "bucket_histogram",
     "bucket_trend",
+    "burn_rate",
     "ccf",
     "cohort_retention",
     "funnel_stages",
     "holt_forecast",
+    "holt_winters",
     "kll_quantile_rollup",
     "mad_outliers",
     "kll_quantile_tier",

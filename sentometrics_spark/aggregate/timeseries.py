@@ -55,8 +55,10 @@ __all__ = [
     "kll_quantile_rollup",
     "bucket_histogram",
     "holt_forecast",
+    "holt_winters",
     "ccf",
     "mad_outliers",
+    "burn_rate",
 ]
 
 
@@ -1672,3 +1674,199 @@ def mad_outliers(
         ),
         F.col("__n").alias("n_obs"),
     )
+
+
+def holt_winters(
+    df: DataFrame,
+    alpha: float,
+    beta: float,
+    gamma: float,
+    period: int,
+    horizon: int,
+    on: str = "ts",
+    value: str = "value",
+    series_keys: list[str] | None = None,
+) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal exponential smoothing per series,
+    with an h-step-ahead forecast — completes the smoothing family
+    (``ewma_time_decay`` -> ``holt_forecast`` -> here) for tiers with a
+    repeating cycle (hour-of-day, day-of-week). The reference has no
+    forecasting at all (its across-time layer stops at weighted rolling
+    sums, /root/reference/R/sentomeasures_main.R:406-453).
+
+    Textbook recurrence (NIST/ESD convention, means-based init), with
+    m = ``period``:
+
+        l_m = mean(x_1..x_m)
+        b_m = (mean(x_{m+1}..x_{2m}) - mean(x_1..x_m)) / m
+        s_i = x_i - l_m                       for i = 1..m
+        for t = m+1..n:
+            l_t = alpha*(x_t - s_{t-m}) + (1-alpha)*(l_{t-1} + b_{t-1})
+            b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+            s_t = gamma*(x_t - l_t) + (1-gamma)*s_{t-m}
+        yhat(h) = l_n + h*b_n + s_{n-m+1+((h-1) mod m)}
+
+    Output: one row per (series, h) for h = 1..horizon with ``yhat``,
+    the final ``level``/``trend``, the ``season`` term applied at that
+    h, ``n_obs`` and ``last_ts``. Series with fewer than 2*period
+    non-NULL observations are dropped (two full cycles are required for
+    the init, as in statsmodels). The season index is POSITIONAL — run
+    on a gap-filled regular tier when calendar alignment matters.
+
+    Scale shape: identical to ``holt_forecast`` — the recurrence is
+    inherently sequential, so this is a per-series ``applyInPandas``
+    numpy kernel over an already-rolled-up tier (bounded per series by
+    retention); parallelism is the series dimension; ONE Exchange on the
+    series keys. Float ops are written in the exact textbook order above
+    so a row-by-row SQL replay (DuckDB recursive CTE carrying the last m
+    seasonals as a LIST) reproduces them bit-for-bit; feed the tier as
+    integer-valued doubles (e.g. micro-units) to make the two init means
+    summation-order-free across engines.
+    """
+    if not (0.0 < alpha <= 1.0) or not (0.0 <= beta <= 1.0) or not (
+        0.0 <= gamma <= 1.0
+    ):
+        raise ValueError("need 0 < alpha <= 1, 0 <= beta <= 1, 0 <= gamma <= 1")
+    if period < 2:
+        raise ValueError("period must be >= 2")
+    if horizon < 1:
+        raise ValueError("horizon must be >= 1")
+    keys = list(series_keys or [])
+    if not keys:
+        raise ValueError("holt_winters requires series_keys (per-series kernel)")
+    import numpy as np
+    import pandas as pd
+
+    m = int(period)
+    key_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.select(*keys).schema.fields
+    )
+    ts_type = df.schema[on].dataType.simpleString()
+    out_schema = (
+        f"{key_fields}, h int, yhat double, level double, trend double, "
+        f"season double, n_obs long, last_ts {ts_type}"
+    )
+
+    def _empty(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            **{k: pd.Series([], dtype=pdf[k].dtype) for k in keys},
+            "h": pd.Series([], dtype="int32"),
+            "yhat": pd.Series([], dtype="float64"),
+            "level": pd.Series([], dtype="float64"),
+            "trend": pd.Series([], dtype="float64"),
+            "season": pd.Series([], dtype="float64"),
+            "n_obs": pd.Series([], dtype="int64"),
+            "last_ts": pd.Series([], dtype=pdf[on].dtype),
+        })
+
+    def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = (
+            pdf[pdf[value].notna()]
+            .sort_values(on, kind="mergesort")
+            .reset_index(drop=True)
+        )
+        n = len(pdf)
+        if n < 2 * m:
+            return _empty(pdf)
+        x = pdf[value].to_numpy(dtype=np.float64)
+        mean1 = float(np.sum(x[:m])) / m
+        mean2 = float(np.sum(x[m:2 * m])) / m
+        l = mean1
+        b = (mean2 - mean1) / m
+        s = [x[i] - mean1 for i in range(m)]  # s[0] oldest of last m
+        for t in range(m, n):
+            s_old = s[0]
+            l_prev = l
+            l = alpha * (x[t] - s_old) + (1.0 - alpha) * (l_prev + b)
+            b = beta * (l - l_prev) + (1.0 - beta) * b
+            s = s[1:] + [gamma * (x[t] - l) + (1.0 - gamma) * s_old]
+        seasons = [s[(h - 1) % m] for h in range(1, horizon + 1)]
+        rows = {k: [pdf[k].iloc[0]] * horizon for k in keys}
+        rows["h"] = np.arange(1, horizon + 1, dtype=np.int32)
+        rows["yhat"] = [
+            l + h * b + seasons[h - 1] for h in range(1, horizon + 1)
+        ]
+        rows["level"] = [l] * horizon
+        rows["trend"] = [b] * horizon
+        rows["season"] = seasons
+        rows["n_obs"] = [n] * horizon
+        rows["last_ts"] = [pdf[on].iloc[n - 1]] * horizon
+        return pd.DataFrame(rows)
+
+    return (
+        df.select(*keys, on, value)
+        .groupBy(*keys)
+        .applyInPandas(_kernel, schema=out_schema)
+    )
+
+
+def burn_rate(
+    df: DataFrame,
+    slo: float,
+    short_buckets: int,
+    long_buckets: int,
+    on: str = "ts",
+    good: str = "good",
+    bad: str = "bad",
+    threshold: float | None = None,
+    series_keys: list[str] | None = None,
+) -> DataFrame:
+    """Multi-window SLO error-budget burn rate over a per-bucket
+    (good, bad) counts tier — the Google-SRE alerting primitive
+    (burn = observed bad ratio / allowed bad ratio, alert when BOTH a
+    short and a long trailing window burn faster than ``threshold``;
+    the short window gates alert reset, the long one gates flappiness).
+
+    For each bucket row: trailing sums of ``bad`` and ``good`` over the
+    last ``short_buckets`` / ``long_buckets`` rows (current inclusive),
+    bad_ratio = bad / (bad + good), burn = bad_ratio / (1 - slo).
+    Ratios are NULL while a window has zero events; ``alert`` (only when
+    ``threshold`` is given) is true when both burns exceed it. Windows
+    are POSITIONAL (rows, not time) — run on a gap-filled tier so a
+    silent hour counts as zero traffic, not a skipped row.
+
+    Scale shape: pure Catalyst — one hash Exchange on the series keys,
+    one sort, TWO row frames on the same window partitioning (no join,
+    no UDF); whole-stage codegen end to end. Counts are integers, so
+    the trailing sums are exact and order-free, and the derived ratios
+    are bit-reproducible across engines.
+    """
+    if not (0.0 < slo < 1.0):
+        raise ValueError("slo must be in (0, 1)")
+    if short_buckets < 1 or long_buckets < short_buckets:
+        raise ValueError("need 1 <= short_buckets <= long_buckets")
+    keys = list(series_keys or [])
+    order = Window.partitionBy(*keys).orderBy(F.col(on)) if keys else (
+        Window.partitionBy().orderBy(F.col(on))
+    )
+    w_s = order.rowsBetween(-(short_buckets - 1), 0)
+    w_l = order.rowsBetween(-(long_buckets - 1), 0)
+    g = F.col(good).cast("long")
+    e = F.col(bad).cast("long")
+    budget = F.lit(1.0) - F.lit(float(slo))
+
+    def _ratio(w):
+        tot = F.sum(g + e).over(w)
+        return F.when(
+            tot > 0, F.sum(e).over(w).cast("double") / tot.cast("double")
+        )
+
+    r_s, r_l = _ratio(w_s), _ratio(w_l)
+    out = df.select(
+        *df.columns,
+        (r_s / budget).alias("burn_short"),
+        (r_l / budget).alias("burn_long"),
+        r_s.alias("bad_ratio_short"),
+        r_l.alias("bad_ratio_long"),
+    )
+    if threshold is not None:
+        thr = F.lit(float(threshold))
+        out = out.withColumn(
+            "alert",
+            F.coalesce(
+                (F.col("burn_short") > thr) & (F.col("burn_long") > thr),
+                F.lit(False),
+            ),
+        )
+    return out

@@ -3449,6 +3449,171 @@ def _sql_cap_per_source() -> str:
 SELECT doc_id, source FROM r WHERE rk <= 10"""
 
 
+def q_holt_winters_24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive seasonal smoothing (alpha=0.3, beta=0.1,
+    gamma=0.2, period=24) of the hourly mean-value tier per event_type,
+    forecast 12 hours ahead. The tier is quantized to integer MICRO-UNITS
+    first so the two init means are summation-order-free on both engines
+    (integer-valued double sums are exact); the recurrence then carries
+    the last 24 seasonals, which the oracle replays row-by-row with a
+    recursive CTE whose state holds the seasonal window as a LIST."""
+    from sentometrics_spark.aggregate.timeseries import holt_winters
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tier = ev.filter(F.col("value").isNotNull()).groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("ts")
+    ).agg(
+        F.floor(F.avg("value") * 1000000.0 + 0.5 + 1e-9).alias("value")
+    )
+    out = holt_winters(
+        tier, alpha=0.3, beta=0.1, gamma=0.2, period=24, horizon=12,
+        series_keys=["event_type"],
+    )
+    out = _fmt_ts(out, "last_ts")
+    u = F.lit(1000000.0)
+    return out.select(
+        "event_type", "h",
+        _r6(F.col("yhat") / u).alias("yhat"),
+        _r6(F.col("level") / u).alias("level"),
+        _r6(F.col("trend") / u).alias("trend"),
+        _r6(F.col("season") / u).alias("season"),
+        "n_obs", "last_ts",
+    )
+
+
+_SQL_HOLT_WINTERS_24 = f"""WITH RECURSIVE t AS (
+  SELECT event_type, b AS ts,
+         floor(v * 1000000 + 0.5 + 1e-9) AS v,
+         row_number() OVER (PARTITION BY event_type ORDER BY b) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM (
+    SELECT event_type, date_trunc('hour', ts) AS b, avg(value) AS v
+    FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+  )
+), init AS (
+  SELECT event_type, any_value(n) AS n,
+         sum(v) FILTER (WHERE rn <= 24) / 24.0 AS l0,
+         (sum(v) FILTER (WHERE rn > 24 AND rn <= 48) / 24.0
+          - sum(v) FILTER (WHERE rn <= 24) / 24.0) / 24.0 AS b0,
+         list(v ORDER BY rn) FILTER (WHERE rn <= 24) AS xs
+  FROM t GROUP BY event_type HAVING any_value(n) >= 48
+), rec AS (
+  SELECT event_type, CAST(24 AS BIGINT) AS rn, n, l0 AS l, b0 AS b,
+         list_transform(xs, xi -> xi - l0) AS s
+  FROM init
+  UNION ALL
+  SELECT t.event_type, t.rn, t.n,
+         0.3 * (t.v - r.s[1]) + (1.0 - 0.3) * (r.l + r.b) AS l,
+         0.1 * ((0.3 * (t.v - r.s[1]) + (1.0 - 0.3) * (r.l + r.b)) - r.l)
+           + (1.0 - 0.1) * r.b AS b,
+         list_append(list_slice(r.s, 2, 24),
+           0.2 * (t.v - (0.3 * (t.v - r.s[1])
+                         + (1.0 - 0.3) * (r.l + r.b)))
+             + (1.0 - 0.2) * r.s[1]) AS s
+  FROM rec r JOIN t ON t.event_type = r.event_type AND t.rn = r.rn + 1
+), fin AS (
+  SELECT event_type, l, b, s, n FROM rec WHERE rn = n
+), last_ts AS (
+  SELECT event_type, max(ts) AS last_ts FROM t GROUP BY 1
+)
+SELECT fin.event_type, CAST(h AS INT) AS h,
+       floor(((fin.l + CAST(h AS DOUBLE) * fin.b
+               + fin.s[((h - 1) % 24) + 1]) / 1000000.0)
+             * 1000000 + 0.5 + 1e-9) / 1000000.0 AS yhat,
+       floor((fin.l / 1000000.0) * 1000000 + 0.5 + 1e-9)
+         / 1000000.0 AS level,
+       floor((fin.b / 1000000.0) * 1000000 + 0.5 + 1e-9)
+         / 1000000.0 AS trend,
+       floor((fin.s[((h - 1) % 24) + 1] / 1000000.0)
+             * 1000000 + 0.5 + 1e-9) / 1000000.0 AS season,
+       fin.n AS n_obs,
+       strftime(last_ts.last_ts, '{TSFMT_DUCK}') AS last_ts
+FROM fin JOIN last_ts ON fin.event_type = last_ts.event_type
+CROSS JOIN generate_series(1, 12) AS g(h)"""
+
+
+def q_burn_rate_6_24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn rate (slo=0.75, short=6h, long=24h,
+    threshold=1.0) per user-shard: the hourly tier counts 'error' events
+    as bad and everything else as good, then two trailing row frames on
+    one window partitioning derive the burn ratios — pure Catalyst, no
+    UDF. Counts are integers so the trailing sums are exact and the
+    ratios replay bit-identically in DuckDB (slo chosen so the error
+    budget 1-slo = 0.25 is exactly representable: DuckDB folds decimal
+    literals exactly while Spark subtracts doubles — any non-dyadic
+    budget differs by 1 ulp between engines at burn == 1 boundaries)."""
+    from sentometrics_spark.aggregate.timeseries import burn_rate
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tier = ev.groupBy(
+        (F.col("user_id") % 4).cast("int").alias("shard"),
+        F.date_trunc("hour", F.col("ts")).alias("ts"),
+    ).agg(
+        F.sum(F.when(F.col("event_type") != "error", 1).otherwise(0))
+        .cast("long").alias("good"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long").alias("bad"),
+    )
+    out = burn_rate(
+        tier, slo=0.75, short_buckets=6, long_buckets=24,
+        threshold=1.0, series_keys=["shard"],
+    )
+    out = _fmt_ts(out, "ts")
+    return out.select(
+        "shard", "ts", "good", "bad",
+        _r6("burn_short").alias("burn_short"),
+        _r6("burn_long").alias("burn_long"),
+        _r6("bad_ratio_short").alias("bad_ratio_short"),
+        _r6("bad_ratio_long").alias("bad_ratio_long"),
+        "alert",
+    )
+
+
+_SQL_BURN_RATE_6_24 = f"""WITH tier AS (
+  SELECT CAST(user_id % 4 AS INT) AS shard, date_trunc('hour', ts) AS ts,
+         CAST(count(*) FILTER (WHERE event_type <> 'error') AS BIGINT)
+           AS good,
+         CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+           AS bad
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT shard, ts, good, bad,
+         sum(bad) OVER ws AS bad_s, sum(good + bad) OVER ws AS tot_s,
+         sum(bad) OVER wl AS bad_l, sum(good + bad) OVER wl AS tot_l
+  FROM tier
+  WINDOW ws AS (PARTITION BY shard ORDER BY ts
+                ROWS BETWEEN 5 PRECEDING AND CURRENT ROW),
+         wl AS (PARTITION BY shard ORDER BY ts
+                ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+), r AS (
+  SELECT shard, ts, good, bad,
+         CASE WHEN tot_s > 0
+              THEN (CAST(bad_s AS DOUBLE) / CAST(tot_s AS DOUBLE))
+                   / (1.0 - 0.75) END AS burn_short,
+         CASE WHEN tot_l > 0
+              THEN (CAST(bad_l AS DOUBLE) / CAST(tot_l AS DOUBLE))
+                   / (1.0 - 0.75) END AS burn_long,
+         CASE WHEN tot_s > 0
+              THEN CAST(bad_s AS DOUBLE) / CAST(tot_s AS DOUBLE)
+              END AS bad_ratio_short,
+         CASE WHEN tot_l > 0
+              THEN CAST(bad_l AS DOUBLE) / CAST(tot_l AS DOUBLE)
+              END AS bad_ratio_long
+  FROM w
+)
+SELECT shard, strftime(ts, '{TSFMT_DUCK}') AS ts, good, bad,
+       floor(burn_short * 1000000 + 0.5 + 1e-9) / 1000000.0 AS burn_short,
+       floor(burn_long * 1000000 + 0.5 + 1e-9) / 1000000.0 AS burn_long,
+       floor(bad_ratio_short * 1000000 + 0.5 + 1e-9) / 1000000.0
+         AS bad_ratio_short,
+       floor(bad_ratio_long * 1000000 + 0.5 + 1e-9) / 1000000.0
+         AS bad_ratio_long,
+       coalesce(r.burn_short > 1.0 AND r.burn_long > 1.0, FALSE) AS alert
+FROM r"""
+
+
 def q_kll_value_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-tier p50/p95/p99 of event values built by MERGING per-hour KLL
     sketches (the re-aggregatable percentile: exact per-tier quantiles
@@ -3940,6 +4105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccf_click_purchase": q_ccf_click_purchase,
         "mad_outliers_day": q_mad_outliers_day,
         "cap_per_source": q_cap_per_source,
+        "holt_winters_24": q_holt_winters_24,
+        "burn_rate_6_24": q_burn_rate_6_24,
         "events_sessionize": q_events_sessionize,
         # driver-gate closers (S3/S5/S6, T3, O1, O3, M1/M2, M8, M9, M10/M11,
         # K7, A3-inverseExponential, exponential tier composability)
@@ -4201,6 +4368,8 @@ def oracle_sql() -> dict[str, str]:
         "ccf_click_purchase": _SQL_CCF_CLICK_PURCHASE,
         "mad_outliers_day": _SQL_MAD_OUTLIERS_DAY,
         "cap_per_source": _sql_cap_per_source(),
+        "holt_winters_24": _SQL_HOLT_WINTERS_24,
+        "burn_rate_6_24": _SQL_BURN_RATE_6_24,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "corpus_pages": SQL_CORPUS_PAGES,
         "corpus_summarize_day": SQL_CORPUS_SUMMARIZE,

@@ -1283,3 +1283,136 @@ def test_holt_and_mad_null_values(spark):
     assert set(both.g) == {"s"}
     m = mad_outliers(df, series_keys=["g"], by="day").toPandas()
     assert (m.n_obs == 4).all()
+
+
+def test_holt_winters_vs_python_replay(spark):
+    import numpy as np
+    import pandas as pd
+
+    from sentometrics_spark.aggregate.timeseries import holt_winters
+
+    rng = np.random.RandomState(11)
+    m, H = 6, 9
+    frames = []
+    for g, n in [("seas", 40), ("short", 11), ("exact2m", 12)]:
+        t = np.arange(n)
+        x = 10 + 0.3 * t + 4.0 * np.sin(2 * np.pi * t / m) + rng.randn(n) * 0.1
+        frames.append(pd.DataFrame({
+            "g": g, "ts": pd.date_range("2024-01-01", periods=n, freq="h"),
+            "value": x,
+        }))
+    # NULL values must be dropped before fit
+    frames[0].loc[3, "value"] = None
+    pdf = pd.concat(frames, ignore_index=True)
+    alpha, beta, gamma = 0.4, 0.2, 0.3
+    out = (
+        holt_winters(spark.createDataFrame(pdf), alpha, beta, gamma,
+                     period=m, horizon=H, series_keys=["g"])
+        .toPandas().set_index(["g", "h"]).sort_index()
+    )
+    # series with n < 2m after NULL drop are dropped entirely
+    assert "short" not in out.index.get_level_values(0)
+    for g in ("seas", "exact2m"):
+        x = (
+            pdf[(pdf.g == g) & pdf.value.notna()]
+            .sort_values("ts").value.to_numpy()
+        )
+        n = len(x)
+        mean1 = float(np.sum(x[:m])) / m
+        mean2 = float(np.sum(x[m:2 * m])) / m
+        l, b = mean1, (mean2 - mean1) / m
+        s = [x[i] - mean1 for i in range(m)]
+        for t in range(m, n):
+            so, lp = s[0], l
+            l = alpha * (x[t] - so) + (1.0 - alpha) * (lp + b)
+            b = beta * (l - lp) + (1.0 - beta) * b
+            s = s[1:] + [gamma * (x[t] - l) + (1.0 - gamma) * so]
+        for h in range(1, H + 1):
+            row = out.loc[(g, h)]
+            assert row.yhat == l + h * b + s[(h - 1) % m]
+            assert row.level == l and row.trend == b
+            assert row.season == s[(h - 1) % m]
+            assert row.n_obs == n
+    # forecast carries the seasonal cycle: season repeats with period m
+    seas = out.loc["seas"].season.to_numpy()
+    assert np.array_equal(seas[:H - m], seas[m:])
+    # and tracks the planted sinusoid's phase ordering within one cycle
+    assert seas.max() > 1.0 and seas.min() < -1.0
+    for bad in [(0.0, 0.2, 0.3), (0.4, 1.5, 0.3), (0.4, 0.2, -0.1)]:
+        with pytest.raises(ValueError):
+            holt_winters(spark.createDataFrame(pdf), *bad, period=m,
+                         horizon=H, series_keys=["g"])
+    with pytest.raises(ValueError):
+        holt_winters(spark.createDataFrame(pdf), 0.4, 0.2, 0.3, period=1,
+                     horizon=H, series_keys=["g"])
+    with pytest.raises(ValueError):
+        holt_winters(spark.createDataFrame(pdf), 0.4, 0.2, 0.3, period=m,
+                     horizon=0, series_keys=["g"])
+    with pytest.raises(ValueError):
+        holt_winters(spark.createDataFrame(pdf), 0.4, 0.2, 0.3, period=m,
+                     horizon=H)
+
+
+def test_burn_rate_vs_pandas_and_plan(spark):
+    import numpy as np
+    import pandas as pd
+
+    from sentometrics_spark.aggregate.timeseries import burn_rate
+
+    rng = np.random.RandomState(7)
+    frames = []
+    for svc in ("a", "b"):
+        n = 50
+        good = rng.randint(0, 20, n)
+        bad = rng.randint(0, 4, n)
+        # planted outage: all-bad burst mid-series
+        bad[20:24] += 30
+        # zero-traffic leading buckets -> NULL ratios until traffic
+        good[:3] = 0
+        bad[:3] = 0
+        frames.append(pd.DataFrame({
+            "svc": svc,
+            "ts": pd.date_range("2024-01-01", periods=n, freq="h"),
+            "good": good, "bad": bad,
+        }))
+    pdf = pd.concat(frames, ignore_index=True)
+    slo, ns, nl, thr = 0.9, 4, 12, 2.0
+    sdf = burn_rate(
+        spark.createDataFrame(pdf), slo=slo, short_buckets=ns,
+        long_buckets=nl, threshold=thr, series_keys=["svc"],
+    )
+    # capture before execution: the AQE-finalized string prints the
+    # shuffle-stage subtree twice (same plan_id), inflating the count
+    plan = sdf._jdf.queryExecution().executedPlan().toString()
+    out = sdf.toPandas().sort_values(["svc", "ts"]).reset_index(drop=True)
+    for svc in ("a", "b"):
+        p = pdf[pdf.svc == svc].reset_index(drop=True)
+        o = out[out.svc == svc].reset_index(drop=True)
+        for w, rcol, bcol in [(ns, "bad_ratio_short", "burn_short"),
+                              (nl, "bad_ratio_long", "burn_long")]:
+            tot = (p.good + p.bad).rolling(w, min_periods=1).sum()
+            badw = p.bad.rolling(w, min_periods=1).sum()
+            exp = np.where(tot > 0, badw / tot, np.nan)
+            got = o[rcol].to_numpy()
+            assert np.allclose(got, exp, equal_nan=True, rtol=0, atol=0)
+            assert np.allclose(
+                o[bcol].to_numpy(), exp / (1.0 - slo),
+                equal_nan=True, rtol=0, atol=0,
+            )
+        # alert only when BOTH windows burn above threshold; NULL -> False
+        exp_alert = (
+            (o.burn_short > thr) & (o.burn_long > thr)
+        ).fillna(False).to_numpy()
+        assert np.array_equal(o.alert.to_numpy(), exp_alert)
+        assert o.alert.iloc[20:24].all()       # outage fires
+        assert not o.alert.iloc[:3].any()      # zero-traffic never fires
+    # scale shape: pure Catalyst -- no join, ONE Exchange (both frames
+    # share the window partitioning), no Python UDF
+    assert "Join" not in plan and "Python" not in plan
+    assert plan.count("Exchange") == 1
+    with pytest.raises(ValueError):
+        burn_rate(spark.createDataFrame(pdf), slo=1.0, short_buckets=4,
+                  long_buckets=12, series_keys=["svc"])
+    with pytest.raises(ValueError):
+        burn_rate(spark.createDataFrame(pdf), slo=0.9, short_buckets=6,
+                  long_buckets=4, series_keys=["svc"])

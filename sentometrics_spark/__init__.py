@@ -61,6 +61,8 @@ from sentometrics_spark.aggregate.timeseries import (
     time_bucket,
     time_weighted_avg,
     topk_per_bucket,
+    topk_summary_rollup,
+    topk_summary_tier,
 )
 from sentometrics_spark.textops.sampling import (
     cap_per_group,
@@ -141,6 +143,8 @@ __all__ = [
     "time_bucket",
     "time_weighted_avg",
     "topk_per_bucket",
+    "topk_summary_rollup",
+    "topk_summary_tier",
     # training-data composition
     "cap_per_group",
     "pack_documents",

@@ -42,6 +42,8 @@ __all__ = [
     "state_durations",
     "detect_gaps",
     "topk_per_bucket",
+    "topk_summary_tier",
+    "topk_summary_rollup",
     "cusum_changepoints",
     "hll_distinct_tier",
     "hll_distinct_rollup",
@@ -1870,3 +1872,129 @@ def burn_rate(
             ),
         )
     return out
+
+
+def topk_summary_tier(
+    df: DataFrame,
+    k: int,
+    value_col: str = "value",
+    on: str = "ts",
+    by: str = "hour",
+    series_keys: list[str] | None = None,
+) -> DataFrame:
+    """Re-aggregatable top-k summary tier — the heavy-hitter companion to
+    the HLL/KLL/histogram tiers, and the piece a retention engine needs
+    to answer "top values last month" AFTER the raw hours are dropped.
+
+    Per (series, bucket): exact counts per value, keep the k largest
+    (ties broken by value ascending — fully deterministic, unlike
+    SpaceSaving whose state depends on stream order), and fold what was
+    dropped into two scalars that make the summary MERGEABLE WITH
+    BOUNDS: ``other_weight`` (total dropped count) and ``other_max``
+    (largest single dropped count — the most any unstored value can
+    have occurred in this bucket). ``n_rows`` = total rows, so
+    n_rows == sum(kept cnt) + other_weight exactly.
+
+    Scale shape: one groupBy (bucket, value) with map-side partials,
+    then the mad_outliers pattern — an ordered rank window and the
+    unordered bucket stats share ONE Exchange; no join, no UDF. The
+    shuffle carries (bucket, value) count partials, never raw rows.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    keys = list(series_keys or [])
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            *keys,
+            F.date_trunc(by, F.col(on)).alias("bucket_ts"),
+            F.col(value_col).alias("value"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wo = Window.partitionBy(*keys, "bucket_ts").orderBy(
+        F.desc("cnt"), F.asc("value")
+    )
+    wb = Window.partitionBy(*keys, "bucket_ts")
+    dropped = F.when(F.col("rank") > k, F.col("cnt"))
+    return (
+        counts.withColumn("rank", F.row_number().over(wo))
+        .withColumn("n_rows", F.sum("cnt").over(wb))
+        .withColumn(
+            "other_weight",
+            F.coalesce(F.sum(dropped).over(wb), F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "other_max",
+            F.coalesce(F.max(dropped).over(wb), F.lit(0)).cast("long"),
+        )
+        .filter(F.col("rank") <= k)
+    )
+
+
+def topk_summary_rollup(
+    df: DataFrame,
+    k: int,
+    to: str = "day",
+    series_keys: list[str] | None = None,
+) -> DataFrame:
+    """Roll a ``topk_summary_tier`` up a grain (hour -> day/week/month)
+    reading ONLY the summaries, with deterministic error bounds:
+
+        lb  = sum of this value's stored counts (exact where stored)
+        ub  = lb + sum(other_max) over the period's buckets where the
+              value was NOT stored (it can hide at most other_max times
+              in each — anything larger would have been kept)
+        missing_ub = sum(other_max) over ALL buckets — the ceiling for
+              a value stored NOWHERE; ``no_hidden_beats`` = lb >=
+              missing_ub certifies no unstored value can outrank this
+              row. ub == lb (exact) whenever the value was stored in
+              every bucket it could hide in.
+
+    Output: the ``k`` largest values per (series, period) by
+    (lb desc, value asc) with lb/ub/missing_ub/hours_present/n_buckets.
+    True period counts always lie in [lb, ub] (pinned in pytest).
+
+    Scale shape: two small aggregations over summary rows (k' per
+    bucket, never raw data) + a broadcast of the per-period bucket
+    stats; one rank window. Retention can delete raw events and hour
+    tiers and this still answers month-level top-k with guarantees.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    keys = list(series_keys or [])
+    d = F.date_trunc(to, F.col("bucket_ts"))
+    per_bucket = (
+        df.groupBy(*keys, "bucket_ts")
+        .agg(F.min("other_max").alias("om"))
+        .groupBy(*keys, d.alias("bucket_ts"))
+        .agg(
+            F.sum("om").alias("missing_ub"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+    )
+    per_value = df.groupBy(*keys, d.alias("bucket_ts"), "value").agg(
+        F.sum("cnt").alias("lb"),
+        F.sum("other_max").alias("present_om"),
+        F.count(F.lit(1)).alias("buckets_present"),
+    )
+    joined = per_value.join(
+        F.broadcast(per_bucket), keys + ["bucket_ts"]
+    ).select(
+        *keys,
+        "bucket_ts",
+        "value",
+        "lb",
+        (F.col("lb") + F.col("missing_ub") - F.col("present_om"))
+        .alias("ub"),
+        "missing_ub",
+        "buckets_present",
+        "n_buckets",
+        (F.col("lb") >= F.col("missing_ub")).alias("no_hidden_beats"),
+    )
+    wo = Window.partitionBy(*keys, "bucket_ts").orderBy(
+        F.desc("lb"), F.asc("value")
+    )
+    return joined.withColumn("rank", F.row_number().over(wo)).filter(
+        F.col("rank") <= k
+    )

@@ -3614,6 +3614,78 @@ SELECT shard, strftime(ts, '{TSFMT_DUCK}') AS ts, good, bad,
 FROM r"""
 
 
+def q_topk_summary_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable top-k summary tier: hour-grain top-3 event types
+    with other_weight/other_max side data, rolled to day-grain top-3
+    reading ONLY the summaries, with deterministic [lb, ub] bounds per
+    value. Everything is integer counts with (cnt DESC, value ASC)
+    tie-breaks, so the whole two-level pipeline is bit-reproducible and
+    the oracle replays it with plain window functions."""
+    from sentometrics_spark.aggregate.timeseries import (
+        topk_summary_rollup,
+        topk_summary_tier,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tier = topk_summary_tier(ev, k=3, value_col="event_type", by="hour")
+    day = topk_summary_rollup(tier, k=3, to="day")
+    day = _fmt_ts(day, "bucket_ts")
+    return day.select(
+        "bucket_ts", "value", "lb", "ub", "missing_ub",
+        "buckets_present", "n_buckets", "no_hidden_beats", "rank",
+    )
+
+
+_SQL_TOPK_SUMMARY_DAY = f"""WITH c AS (
+  SELECT date_trunc('hour', ts) AS b, event_type AS value,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT b, value, cnt,
+         row_number() OVER (PARTITION BY b
+                            ORDER BY cnt DESC, value ASC) AS rank
+  FROM c
+), s AS (
+  SELECT b,
+         CAST(coalesce(sum(cnt) FILTER (WHERE rank > 3), 0) AS BIGINT)
+           AS other_weight,
+         CAST(coalesce(max(cnt) FILTER (WHERE rank > 3), 0) AS BIGINT)
+           AS other_max
+  FROM r GROUP BY b
+), tier AS (
+  SELECT r.b, r.value, r.cnt, s.other_max
+  FROM r JOIN s USING (b) WHERE r.rank <= 3
+), hb AS (
+  SELECT b, min(other_max) AS om FROM tier GROUP BY b
+), pb AS (
+  SELECT date_trunc('day', b) AS d,
+         CAST(sum(om) AS BIGINT) AS missing_ub,
+         CAST(count(*) AS BIGINT) AS n_buckets
+  FROM hb GROUP BY 1
+), pv AS (
+  SELECT date_trunc('day', b) AS d, value,
+         CAST(sum(cnt) AS BIGINT) AS lb,
+         CAST(sum(other_max) AS BIGINT) AS present_om,
+         CAST(count(*) AS BIGINT) AS buckets_present
+  FROM tier GROUP BY 1, 2
+), j AS (
+  SELECT pv.d, pv.value, pv.lb,
+         pv.lb + pb.missing_ub - pv.present_om AS ub,
+         pb.missing_ub, pv.buckets_present, pb.n_buckets,
+         pv.lb >= pb.missing_ub AS no_hidden_beats
+  FROM pv JOIN pb ON pv.d = pb.d
+)
+SELECT strftime(d, '{TSFMT_DUCK}') AS bucket_ts, value, lb, ub,
+       missing_ub, buckets_present, n_buckets, no_hidden_beats,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY d
+                               ORDER BY lb DESC, value ASC) AS rank
+  FROM j
+) WHERE rank <= 3"""
+
+
 def q_kll_value_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-tier p50/p95/p99 of event values built by MERGING per-hour KLL
     sketches (the re-aggregatable percentile: exact per-tier quantiles
@@ -4107,6 +4179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_source": q_cap_per_source,
         "holt_winters_24": q_holt_winters_24,
         "burn_rate_6_24": q_burn_rate_6_24,
+        "topk_summary_day": q_topk_summary_day,
         "events_sessionize": q_events_sessionize,
         # driver-gate closers (S3/S5/S6, T3, O1, O3, M1/M2, M8, M9, M10/M11,
         # K7, A3-inverseExponential, exponential tier composability)
@@ -4370,6 +4443,7 @@ def oracle_sql() -> dict[str, str]:
         "cap_per_source": _sql_cap_per_source(),
         "holt_winters_24": _SQL_HOLT_WINTERS_24,
         "burn_rate_6_24": _SQL_BURN_RATE_6_24,
+        "topk_summary_day": _SQL_TOPK_SUMMARY_DAY,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "corpus_pages": SQL_CORPUS_PAGES,
         "corpus_summarize_day": SQL_CORPUS_SUMMARIZE,

@@ -1416,3 +1416,96 @@ def test_burn_rate_vs_pandas_and_plan(spark):
     with pytest.raises(ValueError):
         burn_rate(spark.createDataFrame(pdf), slo=0.9, short_buckets=6,
                   long_buckets=4, series_keys=["svc"])
+
+
+def test_topk_summary_tier_and_rollup_bounds(spark):
+    import numpy as np
+    import pandas as pd
+
+    from sentometrics_spark.aggregate.timeseries import (
+        topk_summary_rollup,
+        topk_summary_tier,
+    )
+
+    rng = np.random.RandomState(3)
+    # 3 days x 24 hours; zipf-ish tail + planted heavy hitters that
+    # dominate only SOME hours (so they get dropped elsewhere)
+    rows = []
+    base = pd.Timestamp("2024-01-01")
+    for day in range(3):
+        for hour in range(24):
+            ts = base + pd.Timedelta(days=day, hours=hour)
+            vals = rng.zipf(1.6, 120)
+            vals = vals[vals < 50]
+            if hour % 3 == 0:
+                vals = np.concatenate([vals, np.full(30, 1000 + day)])
+            rows.append(pd.DataFrame({"ts": ts, "value": vals}))
+    pdf = pd.concat(rows, ignore_index=True)
+    pdf["value"] = pdf["value"].astype("int64")
+    K = 5
+    tier_df = topk_summary_tier(
+        spark.createDataFrame(pdf), k=K, value_col="value", by="hour"
+    )
+    tier_plan = tier_df._jdf.queryExecution().executedPlan().toString()
+    tier = tier_df.toPandas()
+    # per-bucket invariants vs exact pandas counts
+    exact_hour = (
+        pdf.assign(b=pdf.ts.dt.floor("h"))
+        .groupby(["b", "value"]).size().rename("cnt").reset_index()
+    )
+    for b, grp in tier.groupby("bucket_ts"):
+        ex = exact_hour[exact_hour.b == b].sort_values(
+            ["cnt", "value"], ascending=[False, True]
+        ).reset_index(drop=True)
+        got = grp.sort_values("rank").reset_index(drop=True)
+        assert len(got) == min(K, len(ex))
+        # kept rows are the exact deterministic top-K
+        assert got.value.tolist() == ex.value.iloc[:len(got)].tolist()
+        assert got.cnt.tolist() == ex.cnt.iloc[:len(got)].tolist()
+        dropped = ex.cnt.iloc[len(got):]
+        assert got.other_weight.iloc[0] == int(dropped.sum())
+        assert got.other_max.iloc[0] == int(dropped.max()) if len(dropped) else got.other_max.iloc[0] == 0
+        assert got.n_rows.iloc[0] == int(ex.cnt.sum())
+    # rollup: every reported value's TRUE day count lies in [lb, ub]
+    day = topk_summary_rollup(
+        spark.createDataFrame(tier), k=K, to="day"
+    ).toPandas()
+    exact_day = (
+        pdf.assign(d=pdf.ts.dt.floor("d"))
+        .groupby(["d", "value"]).size().rename("n").reset_index()
+    )
+    assert len(day) == 3 * K
+    for _, r in day.iterrows():
+        true_n = int(exact_day[(exact_day.d == r.bucket_ts)
+                               & (exact_day.value == r.value)].n.sum())
+        assert r.lb <= true_n <= r.ub, (r.value, r.lb, true_n, r.ub)
+        # stored in every bucket of the day -> exact
+        if r.buckets_present == r.n_buckets:
+            assert r.lb == r.ub == true_n
+        assert r.no_hidden_beats == (r.lb >= r.missing_ub)
+    # the planted heavy hitters (absent from 2/3 of the hours) still make
+    # the day's top-K from summaries alone, with an honest ub > lb
+    for d_i in range(3):
+        dts = base + pd.Timedelta(days=d_i)
+        p = day[(day.bucket_ts == dts) & (day.value == 1000 + d_i)]
+        assert len(p) == 1 and p.lb.iloc[0] == 8 * 30
+        assert p.ub.iloc[0] > p.lb.iloc[0]
+        assert p.buckets_present.iloc[0] == 8
+        # the ever-present zipf mode is rank 1 with an EXACT count
+        top = day[(day.bucket_ts == dts) & (day["rank"] == 1)].iloc[0]
+        assert top.value == 1 and top.lb == top.ub
+    # determinism: re-run bit-identical
+    day2 = topk_summary_rollup(
+        spark.createDataFrame(tier), k=K, to="day"
+    ).toPandas()
+    c = sorted(day.columns)
+    assert day[c].sort_values(c).reset_index(drop=True).equals(
+        day2[c].sort_values(c).reset_index(drop=True))
+    # scale shape: no join anywhere in the tier plan; the rank window
+    # and the bucket-stat windows share one Exchange after the count agg
+    assert "Join" not in tier_plan and "Python" not in tier_plan
+    assert tier_plan.count("Exchange hashpartitioning") == 2
+    with pytest.raises(ValueError):
+        topk_summary_tier(spark.createDataFrame(pdf), k=0)
+    with pytest.raises(ValueError):
+        topk_summary_rollup(spark.createDataFrame(tier), k=0)

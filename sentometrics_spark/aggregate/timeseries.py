@@ -1947,9 +1947,12 @@ def topk_summary_rollup(
               in each — anything larger would have been kept)
         missing_ub = sum(other_max) over ALL buckets — the ceiling for
               a value stored NOWHERE; ``no_hidden_beats`` = lb >=
-              missing_ub certifies no unstored value can outrank this
-              row. ub == lb (exact) whenever the value was stored in
-              every bucket it could hide in.
+              missing_ub certifies no unstored value can have a
+              STRICTLY larger period count than this row (at exact
+              equality an unstored value could still tie and win the
+              value-ascending tiebreak — use lb > missing_ub for the
+              airtight rank certificate). ub == lb (exact) whenever the
+              value was stored in every bucket it could hide in.
 
     Output: the ``k`` largest values per (series, period) by
     (lb desc, value asc) with lb/ub/missing_ub/hours_present/n_buckets.

@@ -219,11 +219,16 @@ def time_weighted_avg(
     bounded (series, bucket) key set.
     """
     keys = list(series_keys or [])
-    # materialize bucket_ts BEFORE the window so it partitions on an
+    # NULL-value observations are dropped up front (as-if-absent): the
+    # previous value then holds through their timestamps, instead of a
+    # null segment whose duration would silently deflate the denominator.
+    # bucket_ts is materialized BEFORE the window so it partitions on an
     # attribute, not an expression — the downstream groupBy on the same
     # attributes then reuses the window's hash partitioning (one Exchange
     # total instead of two; plan-asserted in tests)
-    base = df.withColumn("bucket_ts", F.date_trunc(by, F.col(on)))
+    base = df.filter(F.col(value).isNotNull()).withColumn(
+        "bucket_ts", F.date_trunc(by, F.col(on))
+    )
     order = [F.col(on)] + ([F.col(tiebreak)] if tiebreak else [])
     w = Window.partitionBy(*keys, "bucket_ts").orderBy(*order)
     bucket_end_us = _us(F.col("bucket_ts") + F.expr(f"interval 1 {by}"))
@@ -254,8 +259,10 @@ def ohlc(
     Pure groupBy with min_by/max_by on the (ts [, tiebreak]) ordering key —
     map-side partials, one bounded-key shuffle, whole-stage codegen.
     ``tiebreak`` makes open/close deterministic when timestamps collide
-    within a bucket."""
+    within a bucket. NULL-value observations are dropped (as-if-absent)
+    so open/close can never be NULL while high/low skip the same row."""
     keys = list(series_keys or [])
+    df = df.filter(F.col(value).isNotNull())
     ord_key = (
         F.struct(F.col(on), F.col(tiebreak)) if tiebreak else F.col(on)
     )
@@ -294,8 +301,11 @@ def counter_rate(
     time_weighted_avg. (Deliberately simpler than PromQL's lookahead
     extrapolation: increases are attributed to the bucket of the LATER
     endpoint, making buckets exactly additive — Σ bucket increases ==
-    whole-series increase, which the tests pin.)"""
+    whole-series increase, which the tests pin.) NULL counter samples
+    are dropped up front (as-if-absent) so the delta chain bridges them
+    instead of losing two deltas per NULL."""
     keys = list(series_keys or [])
+    df = df.filter(F.col(value).isNotNull())
     order = [F.col(on)] + ([F.col(tiebreak)] if tiebreak else [])
     w = Window.partitionBy(*keys).orderBy(*order)
     prev = F.lag(F.col(value)).over(w)
@@ -601,8 +611,12 @@ def ewma_time_decay(
     t_us = _us(F.col(on))
     delta_s = (t_us - F.min(t_us).over(w_all)).cast("double") / F.lit(1e6)
     wexp = F.exp(delta_s * F.lit(lam))
+    # NULL-value rows contribute NO weight (pandas ewm skip-NaN
+    # semantics: as if the observation were absent) but still receive
+    # the smoothed value of the history before them; a series head of
+    # only NULLs yields NULL.
     num = F.sum(F.col(value) * wexp).over(w_run)
-    den = F.sum(wexp).over(w_run)
+    den = F.sum(F.when(F.col(value).isNotNull(), wexp)).over(w_run)
     return df.withColumn(out_col, num / den)
 
 
@@ -789,6 +803,11 @@ def cusum_changepoints(
             "cusum_changepoints requires series_keys: a keyless CUSUM is "
             "one global window partition (a single task holds every row)"
         )
+    # NULL-value rows are dropped before fitting (the holt/mad drop-
+    # then-fit doctrine): a NULL has no deviation, and keeping the row
+    # would let row_number() advance while the prefix sum stands still,
+    # silently corrupting every later statistic.
+    df = df.filter(F.col(value).isNotNull())
     order = [F.col(on)] + ([F.col(tiebreak)] if tiebreak else [])
     w_run = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -2700,7 +2700,8 @@ _SQL_EWMA_1D = f"""WITH b AS (
 ), s AS (
   SELECT event_id, user_id, ts,
          SUM(value * exp(dt * {_EWMA_LAM})) OVER w AS num,
-         SUM(exp(dt * {_EWMA_LAM})) OVER w AS den
+         SUM(CASE WHEN value IS NOT NULL
+                  THEN exp(dt * {_EWMA_LAM}) END) OVER w AS den
   FROM b
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -2842,7 +2843,7 @@ _SQL_CUSUM_USER_VALUE = f"""WITH b AS (
          CAST(row_number() OVER (PARTITION BY user_id
                                  ORDER BY ts, event_id) AS DOUBLE) AS i,
          CAST(COUNT(*) OVER (PARTITION BY user_id) AS DOUBLE) AS n
-  FROM events
+  FROM events WHERE value IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ),

@@ -1509,3 +1509,110 @@ def test_topk_summary_tier_and_rollup_bounds(spark):
         topk_summary_tier(spark.createDataFrame(pdf), k=0)
     with pytest.raises(ValueError):
         topk_summary_rollup(spark.createDataFrame(tier), k=0)
+
+
+def test_ewma_and_cusum_null_values(spark):
+    import numpy as np
+    import pandas as pd
+
+    from sentometrics_spark.aggregate.timeseries import (
+        cusum_changepoints,
+        ewma_time_decay,
+    )
+
+    rng = np.random.RandomState(9)
+    n = 40
+    pdf = pd.DataFrame({
+        "k": "s",
+        "eid": np.arange(n),
+        "ts": pd.date_range("2024-01-01", periods=n, freq="137s"),
+        "value": rng.randn(n),
+    })
+    pdf.loc[[0, 7, 21], "value"] = None   # incl. a NULL series head
+    sdf = spark.createDataFrame(pdf)
+    # EWMA: NULL rows carry no weight (as if absent) but still emit the
+    # smoothed history; a NULL head emits NULL. pandas ewm skips NaNs
+    # the same way.
+    out = (
+        ewma_time_decay(sdf, halflife_seconds=600.0, series_keys=["k"],
+                        tiebreak="eid")
+        .toPandas().sort_values("eid").ewma.values
+    )
+    exp = (
+        pdf["value"]
+        .ewm(halflife=pd.Timedelta(seconds=600),
+             times=pd.DatetimeIndex(pdf["ts"]))
+        .mean().values
+    )
+    assert np.isnan(out[0]) and np.isnan(exp[0])
+    assert np.allclose(out[1:], exp[1:], rtol=1e-9, atol=1e-12)
+    # CUSUM: NULL rows are dropped before fitting (drop-then-fit), so
+    # the output equals the run on the pre-filtered frame and the NULL
+    # rows are absent from it.
+    got = (
+        cusum_changepoints(sdf, threshold_sigmas=4.0, series_keys=["k"],
+                           tiebreak="eid")
+        .toPandas().sort_values("eid").reset_index(drop=True)
+    )
+    clean = (
+        cusum_changepoints(
+            spark.createDataFrame(pdf[pdf.value.notna()]),
+            threshold_sigmas=4.0, series_keys=["k"], tiebreak="eid")
+        .toPandas().sort_values("eid").reset_index(drop=True)
+    )
+    assert len(got) == n - 3 and got.eid.tolist() == clean.eid.tolist()
+    assert (got.cusum_up == clean.cusum_up).all()
+    assert (got.cusum_down == clean.cusum_down).all()
+
+
+def test_twa_ohlc_counter_rate_null_values(spark):
+    import numpy as np
+    import pandas as pd
+
+    from sentometrics_spark.aggregate.timeseries import (
+        counter_rate,
+        ohlc,
+        time_weighted_avg,
+    )
+
+    ts = pd.date_range("2024-01-01", periods=8, freq="10min")
+    pdf = pd.DataFrame({
+        "k": "s", "eid": range(8), "ts": ts,
+        "value": [1.0, None, 3.0, 5.0, None, 4.0, None, 2.0],
+    })
+    sdf = spark.createDataFrame(pdf)
+    clean = spark.createDataFrame(pdf[pdf.value.notna()])
+    # all three treat NULL observations as-if-absent: output equals the
+    # run on the pre-filtered frame (n_obs counts real observations)
+    for op, kw in [
+        (time_weighted_avg, dict(series_keys=["k"], by="hour",
+                                 tiebreak="eid")),
+        (ohlc, dict(series_keys=["k"], by="hour", tiebreak="eid")),
+        (counter_rate, dict(series_keys=["k"], by="hour",
+                            tiebreak="eid")),
+    ]:
+        a = op(sdf, **kw).toPandas().sort_values("bucket_ts")
+        b = op(clean, **kw).toPandas().sort_values("bucket_ts")
+        c = sorted(a.columns)
+        pd.testing.assert_frame_equal(
+            a[c].reset_index(drop=True), b[c].reset_index(drop=True)
+        )
+    out = time_weighted_avg(
+        sdf, series_keys=["k"], by="hour", tiebreak="eid"
+    ).toPandas().sort_values("bucket_ts")
+    # non-null obs at minutes 0,20,30,50 (hour 0) and 70 (hour 1): LOCF
+    # bridges the nulls — 1 holds 0-20, 3 holds 20-30, 5 holds 30-50,
+    # 4 holds 50-60 within hour 0
+    assert out.n_obs.tolist() == [4, 1]
+    assert out.twa.iloc[0] == (1*20 + 3*10 + 5*20 + 4*10) / 60.0
+    got = (
+        ohlc(sdf, series_keys=["k"], by="hour", tiebreak="eid")
+        .toPandas().sort_values("bucket_ts")
+    )
+    assert got.open.tolist() == [1.0, 2.0] and got.close.tolist() == [4.0, 2.0]
+    assert got.high.tolist() == [5.0, 2.0] and got.low.tolist() == [1.0, 2.0]
+    cr = counter_rate(
+        sdf, series_keys=["k"], by="hour", tiebreak="eid"
+    ).toPandas().sort_values("bucket_ts")
+    # deltas bridge nulls: +2 +2 (reset to 4: +4) (reset to 2: +2) = 10
+    assert cr.increase.sum() == 10.0 and cr.n_resets.sum() == 2

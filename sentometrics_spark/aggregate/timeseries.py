@@ -504,8 +504,10 @@ def bucket_percentiles(
         agg = F.expr(f"percentile({value}, {qarr})")
     else:
         agg = F.expr(f"approx_percentile({value}, {qarr}, {accuracy})")
+    # n_obs counts the observations the percentile actually used
+    # (percentile/approx_percentile skip NULL values)
     out = df.groupBy(*keys, F.date_trunc(by, F.col(on)).alias("bucket_ts")).agg(
-        agg.alias("__qs"), F.count(F.lit(1)).alias("n_obs")
+        agg.alias("__qs"), F.count(F.col(value)).alias("n_obs")
     )
     cols = [
         F.col("__qs")[i].alias(f"p{str(q).replace('0.', '').ljust(2, '0')}")

@@ -3982,7 +3982,7 @@ _SQL_PERCENTILES_HOURLY = f"""SELECT event_type,
        floor(quantile_cont(value, 0.5) * 1000000 + 0.5 + 1e-9) / 1000000.0 AS p50,
        floor(quantile_cont(value, 0.95) * 1000000 + 0.5 + 1e-9) / 1000000.0 AS p95,
        floor(quantile_cont(value, 0.99) * 1000000 + 0.5 + 1e-9) / 1000000.0 AS p99,
-       COUNT(*) AS n_obs
+       COUNT(value) AS n_obs
 FROM events GROUP BY 1, 2"""
 
 

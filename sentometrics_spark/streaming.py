@@ -56,7 +56,7 @@ def stream_to_hour_tier(
     """Start the micro-batch query appending hour-tier partials."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.rdd.isEmpty():
+        if batch_df.isEmpty():
             return
         sent = compute_sentiment_udf(batch_df, lexicons, how_within, mode="unigram")
         partials = base_tier(sent, how=how_docs, do_ignore_zeros=do_ignore_zeros, by="hour")
@@ -111,7 +111,7 @@ def stream_refresh_tiers(
     """
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.rdd.isEmpty():
+        if batch_df.isEmpty():
             return
         sent = compute_sentiment_udf(batch_df, lexicons, how_within, mode="unigram")
         partials = base_tier(sent, how=how_docs, do_ignore_zeros=do_ignore_zeros, by="hour")
@@ -404,7 +404,7 @@ def stream_events_tier(
     """
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.rdd.isEmpty():
+        if batch_df.isEmpty():
             return
         (
             tier_fn(batch_df)

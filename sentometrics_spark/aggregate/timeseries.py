@@ -433,6 +433,15 @@ def interval_join(
 
     ``how='left'`` keeps unmatched points with NULL payload (dedup-free:
     the left join is against the matched set, not the exploded buckets).
+    The join-back key is a surrogate row id, NOT the point columns — an
+    equi-join on every points column would drop any point carrying a NULL
+    attribute (NULL != NULL never matches its own matched copy) and
+    cross-multiply duplicate point rows. The surrogate id is
+    ``monotonically_increasing_id`` stamped on the scan before the plan
+    branches; both join sides derive from the same deterministic scan with
+    the same partitioning, so the ids agree across the two subtree
+    evaluations (the standard self-join-back contract — feed this operator
+    a deterministic source, not e.g. an unordered ``sample()``).
     """
     if how not in ("inner", "left"):
         raise ValueError("how must be inner|left")
@@ -461,17 +470,20 @@ def interval_join(
     iv = intervals.select(
         *by, F.col(start), F.col(end), *[F.col(c) for c in payload]
     ).withColumn("__bucket", F.explode(guarded))
-    pts = points.withColumn("__bucket", F.date_trunc(bucket, F.col(on)))
+    pts0 = points
+    if how == "left":
+        pts0 = points.withColumn("__pid", F.monotonically_increasing_id())
+    pts = pts0.withColumn("__bucket", F.date_trunc(bucket, F.col(on)))
     matched = pts.join(iv, on=by + ["__bucket"], how="inner").filter(
         (F.col(on) >= F.col(start)) & (F.col(on) <= F.col(end))
     ).drop("__bucket")
     if how == "inner":
         return matched
-    return points.join(
-        matched.select(*points.columns, start, end, *payload),
-        on=points.columns,
+    return pts0.join(
+        matched.select("__pid", start, end, *payload),
+        on="__pid",
         how="left",
-    )
+    ).drop("__pid")
 
 
 def bucket_percentiles(

@@ -293,6 +293,33 @@ def test_interval_join_semantics_and_plan(spark):
     assert "NestedLoop" not in plan and "Cartesian" not in plan
 
 
+def test_interval_join_left_null_attrs_and_duplicate_points(spark):
+    """how='left' joins back on a surrogate row id, NOT the point columns:
+    a NULL attribute must not orphan its own matched copy (NULL != NULL
+    under an equi-join), and duplicate point rows must map 1:1 to their
+    matches, never cross-multiply (2 identical points x 2 matched copies
+    used to yield 4 rows)."""
+    from sentometrics_spark.aggregate.timeseries import interval_join
+
+    pts = spark.createDataFrame(
+        [(1, _t(10), 10, None),      # NULL attr, matched by 'a'
+         (1, _t(20), 11, "x"),       # duplicate row 1/2
+         (1, _t(20), 11, "x"),       # duplicate row 2/2
+         (1, _t(500), 12, None)],    # NULL attr, unmatched
+        "k int, ts timestamp, pid int, attr string",
+    )
+    iv = spark.createDataFrame(
+        [(1, _t(0), _t(90), "a")],
+        "k int, start_ts timestamp, end_ts timestamp, tag string",
+    )
+    out = interval_join(pts, iv, by=["k"], how="left").collect()
+    # one output row per point row: 2 singles + 2 duplicates
+    assert len(out) == 4
+    got = sorted((r["pid"], r["tag"]) for r in out)
+    assert got == [(10, "a"), (11, "a"), (11, "a"), (12, None)]
+    assert "__pid" not in interval_join(pts, iv, by=["k"], how="left").columns
+
+
 def test_interval_join_guards(spark):
     from sentometrics_spark.aggregate.timeseries import interval_join
     from py4j.protocol import Py4JJavaError

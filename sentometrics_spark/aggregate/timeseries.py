@@ -838,8 +838,14 @@ def cusum_changepoints(
     tot_x = F.last(cum_x).over(w_all)
     tot_x2 = F.last(cum_x2).over(w_all)
     mu = tot_x / n
+    # try_divide: an n=1 series has divisor (n-1) = 0 — under ANSI mode a
+    # plain division THROWS (killing the whole job on one degenerate
+    # series); NULL here flows into the n>=2 gate below instead
     sigma = F.sqrt(
-        F.greatest(F.lit(0.0), (tot_x2 - tot_x * tot_x / n) / (n - F.lit(1.0)))
+        F.greatest(
+            F.lit(0.0),
+            F.try_divide(tot_x2 - tot_x * tot_x / n, n - F.lit(1.0)),
+        )
     )
     # prefix sum of deviations: Σx_j − i·(μ + drift·σ) — one running sum
     # (cum_x) reused, the per-row index comes from the same sort
@@ -850,11 +856,16 @@ def cusum_changepoints(
     h = F.greatest(F.lit(0.0), F.max(s_dn).over(w_run)) - s_dn
     r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5) + F.lit(1e-9)) / F.lit(1e6)
     thr = r6(F.lit(float(threshold_sigmas)) * sigma)
+    # a 1-observation series has no variance estimate: (n-1) = 0 makes
+    # sigma sqrt(0/0) = NaN (Spark orders NaN greatest, so the statistics
+    # would silently read NaN, not NULL). Gate on n >= 2: NULL statistics,
+    # explicitly-false flags.
+    ok = n >= F.lit(2.0)
     return (
-        df.withColumn("cusum_up", r6(g))
-        .withColumn("cusum_down", r6(h))
-        .withColumn("shift_up", r6(g) > thr)
-        .withColumn("shift_down", r6(h) > thr)
+        df.withColumn("cusum_up", F.when(ok, r6(g)))
+        .withColumn("cusum_down", F.when(ok, r6(h)))
+        .withColumn("shift_up", F.when(ok, r6(g) > thr).otherwise(F.lit(False)))
+        .withColumn("shift_down", F.when(ok, r6(h) > thr).otherwise(F.lit(False)))
     )
 
 

@@ -2865,7 +2865,7 @@ s AS (
   FROM m
 ),
 g AS (
-  SELECT event_id, user_id, ts, sigma,
+  SELECT event_id, user_id, ts, sigma, n,
          floor((s_up - least(0.0, min(s_up) OVER r)) * 1000000 + 0.5 + 1e-9)
            / 1000000.0 AS cusum_up,
          floor((greatest(0.0, max(s_dn) OVER r) - s_dn) * 1000000 + 0.5 + 1e-9)
@@ -2874,12 +2874,17 @@ g AS (
   WINDOW r AS (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
+-- single-observation series (n < 2) have no variance estimate: the engine
+-- gates them to NULL statistics + false flags rather than NaN
 SELECT event_id, user_id, strftime(ts, '{TSFMT_DUCK}') AS ts,
-       cusum_up, cusum_down,
-       cusum_up > floor(5.0 * sigma * 1000000 + 0.5 + 1e-9) / 1000000.0
-         AS shift_up,
-       cusum_down > floor(5.0 * sigma * 1000000 + 0.5 + 1e-9) / 1000000.0
-         AS shift_down
+       CASE WHEN n >= 2 THEN cusum_up END AS cusum_up,
+       CASE WHEN n >= 2 THEN cusum_down END AS cusum_down,
+       CASE WHEN n >= 2 THEN
+         cusum_up > floor(5.0 * sigma * 1000000 + 0.5 + 1e-9) / 1000000.0
+       ELSE FALSE END AS shift_up,
+       CASE WHEN n >= 2 THEN
+         cusum_down > floor(5.0 * sigma * 1000000 + 0.5 + 1e-9) / 1000000.0
+       ELSE FALSE END AS shift_down
 FROM g"""
 
 
@@ -3800,8 +3805,10 @@ c AS (
 SELECT doc_id, source, shard, n_tokens,
        cum - n_tokens AS start_offset,
        (cum - n_tokens) // 2048 AS pack_first,
-       (cum - 1) // 2048 AS pack_last,
-       (cum - 1) // 2048 - (cum - n_tokens) // 2048 + 1 AS n_packs
+       -- zero-token docs clamp to the n_packs = 1 convention (engine mirror)
+       greatest((cum - n_tokens) // 2048, (cum - 1) // 2048) AS pack_last,
+       greatest((cum - n_tokens) // 2048, (cum - 1) // 2048)
+         - (cum - n_tokens) // 2048 + 1 AS n_packs
 FROM c"""
 
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _tokens(col: str = "text"):
@@ -670,6 +671,7 @@ def simhash(
 def simhash_near_pairs(
     df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, bands: int = 4,
     bits: int = 64, hash_fn: str = "xxhash64", max_bucket_size: int = 256,
+    star_edges: str = "filter",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the hash into ``bands`` chunks
     (pigeonhole: hamming <= bands-1 guarantees a shared band), bucket the
@@ -681,13 +683,29 @@ def simhash_near_pairs(
     (band, chunk) bucket, and an uncapped expansion materializes O(m^2)
     rows and dominates the job. Buckets up to ``max_bucket_size`` emit all
     within-bucket pairs (exact); bigger buckets emit only
-    (keep_id=min(id), member) star pairs — O(m) rows — which still link
-    every near-identical member into the keeper's connected component for
-    downstream keep-one resolution (docs in a degenerate bucket share a
-    band chunk because they are near-identical, so the popcount filter
-    passes the star edges it would have passed transitively). The plan is
-    one bounded-key groupBy Exchange plus the final distinct — no
-    self-join, no cartesian."""
+    (keep_id=min(id), member) star pairs — O(m) rows. The star reduction
+    is a RECALL APPROXIMATION, not an equivalence: Hamming closeness is
+    not transitive, so two members each > ``max_hamming`` bits from the
+    keeper but <= ``max_hamming`` from each other lose their pair under
+    the default ``star_edges='filter'``. For keep-one dedup feed
+    ``star_edges='link'`` into :func:`connected_components` instead: star
+    edges then BYPASS the popcount filter and are emitted as cluster-link
+    hints (flagged ``via_star=true``, ``hamming`` reported as measured),
+    which links every member of a degenerate bucket into the keeper's
+    component — the right contract when an over-cap bucket means
+    mass-duplicated boilerplate.
+
+    Scale shape: over-cap buckets never materialize a member array at all
+    — bucket size and the keeper come from window aggregates over the
+    banded table, and star pairs are emitted ROW-WISE, so no single row
+    ever holds more than ``max_bucket_size`` members (the small-bucket
+    ``collect_list`` runs on rows already filtered to sz <=
+    ``max_bucket_size``). Both the small-pair and star branches consume
+    the same (band, chunk) hash Exchange, which the physical planner
+    dedupes as a ReusedExchange — one shuffle of the banded table total,
+    no self-join, no cartesian (plan-tested)."""
+    if star_edges not in ("filter", "link"):
+        raise ValueError("star_edges must be filter|link")
     sh = simhash(df, id_col, bits=bits, hash_fn=hash_fn)
     width = bits // bands
     mask = (1 << width) - 1
@@ -698,18 +716,21 @@ def simhash_near_pairs(
         )
         for b in range(bands)
     ]
-    banded = sh.select(id_col, "simhash", F.explode(F.array(*band_structs)).alias("bs")).select(
-        id_col, "simhash", F.col("bs.band").alias("band"), F.col("bs.chunk").alias("chunk")
+    banded = sh.select(
+        F.col(id_col).alias("id"),
+        F.col("simhash").alias("h"),
+        F.explode(F.array(*band_structs)).alias("bs"),
+    ).select("id", "h", F.col("bs.band").alias("band"), F.col("bs.chunk").alias("chunk"))
+    w = Window.partitionBy("band", "chunk")
+    ranked = banded.withColumn("__sz", F.count(F.lit(1)).over(w)).withColumn(
+        "__keep", F.min(F.struct(F.col("id"), F.col("h"))).over(w)
     )
-    buckets = (
-        banded.groupBy("band", "chunk")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("h")))
-            ).alias("members"),
-            F.count(F.lit(1)).alias("bucket_size"),
+    small = (
+        ranked.filter(
+            (F.col("__sz") > 1) & (F.col("__sz") <= max_bucket_size)
         )
-        .filter(F.col("bucket_size") > 1)
+        .groupBy("band", "chunk")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "h"))).alias("members"))
     )
     all_pairs = F.filter(
         F.flatten(
@@ -728,32 +749,40 @@ def simhash_near_pairs(
         ),
         lambda p: p["id_a"] < p["id_b"],
     )
-    # members is sorted by id, so element_at(1) is the keeper (min id) and
-    # every star pair is already ordered id_a < id_b. ONE conditional
-    # expression per bucket row — a filter+union of small/big branches
-    # would re-compute the signature+banding subtree per branch (two
-    # scans, two Exchanges).
-    keep = F.element_at("members", 1)
-    star_pairs = F.transform(
-        F.filter("members", lambda m: m["id"] != keep["id"]),
-        lambda m: F.struct(
-            keep["id"].alias("id_a"),
-            m["id"].alias("id_b"),
-            keep["h"].alias("h_a"),
-            m["h"].alias("h_b"),
-        ),
-    )
-    pairs = F.when(F.col("bucket_size") <= max_bucket_size, all_pairs).otherwise(
-        star_pairs
-    )
-    cand = (
-        buckets.select(F.explode(pairs).alias("p"))
+    small_pairs = (
+        small.select(F.explode(all_pairs).alias("p"))
         .select("p.id_a", "p.id_b", "p.h_a", "p.h_b")
-        .distinct()
+        .withColumn("via_star", F.lit(False))
     )
-    return cand.withColumn(
-        "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    ).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+    # window min(struct(id, h)) = the min-id keeper; id != keeper.id keeps
+    # pairs ordered id_a < id_b by construction
+    star_pairs = ranked.filter(
+        (F.col("__sz") > max_bucket_size) & (F.col("id") != F.col("__keep.id"))
+    ).select(
+        F.col("__keep.id").alias("id_a"),
+        F.col("id").alias("id_b"),
+        F.col("__keep.h").alias("h_a"),
+        F.col("h").alias("h_b"),
+        F.lit(True).alias("via_star"),
+    )
+    cand = small_pairs.unionByName(star_pairs)
+    if star_edges == "filter":
+        return (
+            cand.select("id_a", "id_b", "h_a", "h_b")
+            .distinct()
+            .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming")
+        )
+    # link mode: a pair can surface as an exact pair in one band and a star
+    # edge in another — bool_or keeps it linked (max recall for CC)
+    return (
+        cand.groupBy("id_a", "id_b", "h_a", "h_b")
+        .agg(F.max("via_star").alias("via_star"))
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter((F.col("hamming") <= max_hamming) | F.col("via_star"))
+        .select("id_a", "id_b", "hamming", "via_star")
+    )
 
 
 def connected_components(

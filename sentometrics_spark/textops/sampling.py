@@ -99,6 +99,15 @@ def sample_by_source_temperature(
         r[source_col]: r["n"]
         for r in docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    # fail fast on NULL sources: they have no tempered quota (and None vs
+    # str is unorderable in the sorted threshold fold) — the caller must
+    # impute a bucket (e.g. coalesce to 'unknown') before mixing
+    if None in counts:
+        raise ValueError(
+            f"{counts[None]} document(s) have NULL {source_col!r}; "
+            "temperature mixing needs every document in a source bucket — "
+            "impute one (e.g. coalesce to 'unknown') first"
+        )
     thresholds = temperature_rates(counts, tau, target_frac)
     thr: Column = F.lit(None).cast("long")
     for s, t in thresholds.items():
@@ -111,7 +120,9 @@ def sample_by_source_temperature(
         ),
         F.lit(_HASH_MOD),
     )
-    return docs.withColumn("selected", h < thr)
+    # a source unseen at fit time has no threshold: NOT selected (false),
+    # never a NULL flag a downstream filter would silently drop
+    return docs.withColumn("selected", F.coalesce(h < thr, F.lit(False)))
 
 
 def pack_documents(
@@ -147,14 +158,20 @@ def pack_documents(
     )
     cum = F.sum(ntok).over(w)
     start = (cum - ntok).alias("start_offset")
+    first = F.floor((cum - ntok) / budget).cast("long")
+    # a zero-token document has an empty interval: floor((cum-1)/budget)
+    # would put pack_last BEFORE pack_first (and at -1 at stream start) —
+    # clamp to the n_packs = 1 convention (it "touches" the pack its
+    # start offset falls in) so pack_first <= pack_last always holds
+    last = F.greatest(first, F.floor((cum - 1) / budget).cast("long"))
     return docs.select(
         F.col(id_col),
         F.col(source_col),
         shard.alias("shard"),
         ntok.alias("n_tokens"),
         start,
-        F.floor((cum - ntok) / budget).cast("long").alias("pack_first"),
-        F.floor((cum - 1) / budget).cast("long").alias("pack_last"),
+        first.alias("pack_first"),
+        last.alias("pack_last"),
     ).withColumn("n_packs", F.col("pack_last") - F.col("pack_first") + F.lit(1))
 
 

@@ -225,7 +225,7 @@ def test_lm_cross_entropy_matches_round3_ranking(spark):
     assert inline[99] > inline[0]
 
 
-def test_simhash_pairs_plan_no_self_join(spark):
+def test_simhash_pairs_plan_no_self_join(spark, tmp_path):
     docs = spark.createDataFrame(
         [(i, "spark fast query engine row " + "x" * (i % 5)) for i in range(30)],
         "doc_id long, text string",
@@ -236,14 +236,34 @@ def test_simhash_pairs_plan_no_self_join(spark):
     ):
         p = _plan_of(df)
         assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
-        # the old simhash formulation self-joined the banded table; the
-        # capped one is a single groupBy expansion — no join operator at all
+        # neither candidate generator self-joins the banded/signature
+        # table — no join operator at all
         assert "Join" not in p, p
-        # the cap is ONE conditional pair expression, not a small/big
-        # filter+union (which re-computed the signature kernel per branch:
-        # two scans, two extra Exchanges)
-        assert len(re.findall(r"^\(\d+\) MapInPandas", p, flags=re.M)) <= 1, p
-        assert len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M)) == 2, p
+    p = _plan_of(dedup.minhash_dedup_candidates(docs, k=8, bands=4))
+    assert len(re.findall(r"^\(\d+\) MapInPandas", p, flags=re.M)) <= 1, p
+    assert len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M)) == 2, p
+
+    # the round-5 two-phase form: small-pair and star branches both consume
+    # the SAME (band, chunk) window Exchange; at runtime AQE dedupes the
+    # second as a ReusedExchange, so the banded table shuffles ONCE and the
+    # signature kernel (MapInPandas) runs ONCE — while no single row ever
+    # materializes more than max_bucket_size members (over-cap buckets take
+    # the row-wise star path, no collect_list).
+    path = str(tmp_path / "docs.parquet")
+    docs.write.mode("overwrite").parquet(path)
+    df = dedup.simhash_near_pairs(
+        spark.read.parquet(path), id_col="doc_id"
+    )
+    df.collect()
+    # AdaptiveSparkPlan's toString prints the final plan then the initial
+    # plan — assert on the executed (final) section only
+    final = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "ReusedExchange" in final, final
+    assert final.count("MapInPandas") == 1, final
+    assert "Join " not in final and "Cartesian" not in final, final
 
 
 # ------------------------------------------------------- warm start in scale

@@ -50,6 +50,7 @@ __all__ = [
     "time_bucket",
     "cohort_retention",
     "funnel_stages",
+    "funnel_overflow",
     "bucket_trend",
     "acf",
     "seasonal_decompose",
@@ -1023,6 +1024,7 @@ def funnel_stages(
     user: str = "user_id",
     step_col: str = "event_type",
     series_keys: list[str] | None = None,
+    max_events_per_user: int | None = 10_000_000,
 ) -> DataFrame:
     """Ordered-funnel analysis (the ClickHouse ``windowFunnel`` shape):
     how far each user progressed through ``steps`` in order, optionally
@@ -1048,7 +1050,17 @@ def funnel_stages(
     per-user funnel events, the same contract as sessionization — and a
     single JVM ``aggregate`` fold walks the cascade; no window function,
     no join, no Python. Events are folded in (ts, step-index) order so
-    equal-timestamp cascades resolve exactly like the SQL ``>=``."""
+    equal-timestamp cascades resolve exactly like the SQL ``>=``.
+
+    ``max_events_per_user`` is the defensive valve on that contract: the
+    per-user ``collect_list`` row is the one thing here that scales with a
+    single key, and at crawl scale one pathological bot key can OOM its
+    task. Users whose step-event count exceeds the cap are DROPPED from
+    the output (not truncated — a truncated cascade would emit a
+    plausible-but-wrong stage) and are auditable via
+    :func:`funnel_overflow`; the count rides the same (keys, user)
+    Exchange as the aggregation (an unordered count window before the
+    groupBy), so the plan stays one shuffle. ``None`` disables the cap."""
     k = len(steps)
     if k < 2:
         raise ValueError("a funnel needs at least two steps")
@@ -1065,6 +1077,15 @@ def funnel_stages(
         F.col(user).alias("__u"),
         F.struct(_us(F.col(on)).alias("us"), idx.alias("idx")).alias("__e"),
     )
+    if max_events_per_user is not None:
+        if max_events_per_user < 1:
+            raise ValueError("max_events_per_user must be >= 1 (or None)")
+        wc = Window.partitionBy(*keys, "__u")
+        ev = (
+            ev.withColumn("__n", F.count(F.lit(1)).over(wc))
+            .filter(F.col("__n") <= max_events_per_user)
+            .drop("__n")
+        )
     lst = F.sort_array(F.collect_list("__e"))
 
     def _upd(acc, e):
@@ -1104,6 +1125,32 @@ def funnel_stages(
         F.timestamp_micros(
             F.when(stage > 0, F.element_at("__acc", stage))
         ).alias("reached_ts"),
+    )
+
+
+def funnel_overflow(
+    df: DataFrame,
+    steps: list[str],
+    max_events_per_user: int = 10_000_000,
+    on: str = "ts",
+    user: str = "user_id",
+    step_col: str = "event_type",
+    series_keys: list[str] | None = None,
+) -> DataFrame:
+    """The audit counter for :func:`funnel_stages`'s defensive cap: the
+    users whose step-event count exceeds ``max_events_per_user`` (and were
+    therefore dropped from the funnel), with their counts. Run it with the
+    same arguments as the funnel; a non-empty result is the drop-and-log
+    signal — at web scale these keys are bots/monitors to exclude
+    upstream. Plain groupBy-count (map-side partial combine), no list
+    materialization, so it is safe to run on exactly the keys the funnel
+    cannot hold."""
+    keys = list(series_keys or [])
+    return (
+        df.filter(F.col(step_col).isin(list(steps)))
+        .groupBy(*keys, F.col(user).alias(user))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("n_events") > max_events_per_user)
     )
 
 

@@ -224,6 +224,7 @@ def stream_sessionize(
     events_stream: DataFrame,
     gap_min: int = 30,
     watermark_delay: str = "0 seconds",
+    max_events_per_user_batch: int | None = 1_000_000,
 ):
     """Stateful gap-based sessionization over a STREAM: the custom-stateful
     counterpart of the batch lag+cumsum plan (entry_queries.q_events_sessionize).
@@ -236,9 +237,21 @@ def stream_sessionize(
     watermark delay) can extend it. Late data inside the delay folds into
     the open session exactly; state is O(open sessions per user), bounded
     by the gap and the delay, never O(events).
+
+    ``max_events_per_user_batch`` is the defensive valve on the per-(user,
+    micro-batch) group: one pathological bot key emitting unbounded events
+    would otherwise concentrate a whole micro-batch's rows in one task's
+    pandas frame. Above the cap, only the EARLIEST cap events of the batch
+    are folded (earliest-first keeps session starts exact; a bot hot
+    enough to hit the cap has one ever-extending session whose tail
+    metrics are approximate anyway) and the drop is logged to the executor
+    log with the user key and count — the drop-and-log contract. ``None``
+    disables the cap.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    if max_events_per_user_batch is not None and max_events_per_user_batch < 1:
+        raise ValueError("max_events_per_user_batch must be >= 1 (or None)")
     # state keeps event-time in MICROSECONDS (events carry us precision;
     # the watermark API is ms, converted at the comparison boundary)
     gap_us = gap_min * 60_000_000
@@ -260,6 +273,20 @@ def stream_sessionize(
                 ts_us = (batch["ts"].astype("datetime64[ns]").astype("int64") // 1_000).to_numpy()
                 vals = batch["value"].to_numpy()
                 order = ts_us.argsort(kind="stable")
+                if (
+                    max_events_per_user_batch is not None
+                    and len(order) > max_events_per_user_batch
+                ):
+                    import sys as _sys
+
+                    print(
+                        f"stream_sessionize: user {user!r} sent {len(order)} "
+                        f"events in one micro-batch; folding the earliest "
+                        f"{max_events_per_user_batch} and dropping "
+                        f"{len(order) - max_events_per_user_batch}",
+                        file=_sys.stderr,
+                    )
+                    order = order[:max_events_per_user_batch]
                 for i in order:
                     t, v = int(ts_us[i]), float(vals[i])
                     hit = None

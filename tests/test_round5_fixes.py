@@ -168,6 +168,97 @@ def test_sample_temperature_selected_never_null(spark):
     assert got.filter(F.col("selected").isNull()).count() == 0
 
 
+def test_funnel_cap_drops_hot_key_and_overflow_reports(spark):
+    """VERDICT r4: the per-user collect_list is the one per-key-scaling
+    row in the funnel — a bot key must not OOM a task. Above the cap the
+    user is dropped (not truncated: a truncated cascade would report a
+    plausible-but-wrong stage) and funnel_overflow surfaces the key."""
+    import re
+    from sentometrics_spark.aggregate.timeseries import (
+        funnel_overflow, funnel_stages,
+    )
+
+    rows = [(1, _t(0), "view"), (1, _t(1), "click"), (1, _t(2), "buy")]
+    rows += [(2, _t(i), "view") for i in range(50)]   # the bot
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    steps = ["view", "click", "buy"]
+
+    capped = funnel_stages(ev, steps, max_events_per_user=10)
+    # the cap count rides the aggregation's own (user) Exchange — the
+    # plan still shuffles the step events exactly once (inspect before
+    # execution finalizes the adaptive plan)
+    p = capped._sc._jvm.PythonSQLUtils.explainString(
+        capped._jdf.queryExecution(), "formatted"
+    )
+    assert len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M)) == 1, p
+    assert "Join" not in p, p
+    got = {r.user_id: r.stage for r in capped.collect()}
+    assert got == {1: 3}                               # bot dropped
+    over = funnel_overflow(ev, steps, max_events_per_user=10).collect()
+    assert [(r.user_id, r.n_events) for r in over] == [(2, 50)]
+    # cap disabled (or generous): bot folds normally at stage 1
+    got_all = {r.user_id: r.stage
+               for r in funnel_stages(ev, steps, max_events_per_user=None).collect()}
+    assert got_all == {1: 3, 2: 1}
+    assert got_all == {r.user_id: r.stage
+                       for r in funnel_stages(ev, steps).collect()}
+    with pytest.raises(ValueError, match="max_events_per_user"):
+        funnel_stages(ev, steps, max_events_per_user=0)
+
+
+def test_stream_sessionize_batch_cap_engages(spark, tmp_path):
+    """One micro-batch with a 30-event hot key and cap=5 folds only the
+    earliest 5 events (session start exact, drop logged executor-side)."""
+    import pandas as pd
+    from sentometrics_spark import streaming
+
+    base = pd.Timestamp("2024-03-01")
+    hot = pd.DataFrame({
+        "user_id": [7] * 30,
+        "ts": [base + pd.Timedelta(minutes=i) for i in range(30)],
+        "value": [1.0] * 30,
+    })
+    sent = pd.DataFrame({"user_id": [999999],
+                         "ts": [base + pd.Timedelta(days=30)],
+                         "value": [0.0]})
+    src = tmp_path / "cap_src"
+    src.mkdir()
+    kw = {"coerce_timestamps": "us", "allow_truncated_timestamps": True}
+    hot.to_parquet(src / "f1.parquet", index=False, **kw)
+    sent.to_parquet(src / "f2.parquet", index=False, **kw)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    out = streaming.stream_sessionize(
+        stream, gap_min=30, max_events_per_user_batch=5
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cap_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cap_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [
+        (r.n_events, r.session_start, r.session_end)
+        for r in spark.sql(
+            "SELECT * FROM cap_sessions WHERE user_id = 7"
+        ).collect()
+    ]
+    assert len(got) == 1
+    n_events, s_start, s_end = got[0]
+    assert n_events == 5
+    assert s_start == base.to_pydatetime()
+    assert s_end == (base + pd.Timedelta(minutes=4)).to_pydatetime()
+    with pytest.raises(ValueError, match="max_events_per_user_batch"):
+        streaming.stream_sessionize(stream, max_events_per_user_batch=0)
+
+
 def test_pack_documents_zero_token_span_consistent(spark):
     """ADVICE r4: a zero-token document used to get pack_last < pack_first
     (n_packs = 0, pack_last = -1 at stream start). Convention: it touches

@@ -2962,22 +2962,25 @@ def q_funnel_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_FUNNEL_WEEK = f"""WITH t1 AS (
-  SELECT user_id, min(ts) AS t1 FROM events
+def _sql_funnel_week(src: str = "events", pre: str = "") -> str:
+    # shared cascade CTEs for the plain and per-user-capped funnel rows;
+    # `pre` prepends extra CTEs defining `src`
+    return f"""WITH {pre}t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM {src}
   WHERE event_type = 'view' GROUP BY 1
 ),
 t2 AS (
-  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+  SELECT e.user_id, min(e.ts) AS t2 FROM {src} e
   JOIN t1 ON e.user_id = t1.user_id
   WHERE e.event_type = 'click' AND e.ts >= t1.t1 GROUP BY 1
 ),
 t3 AS (
-  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+  SELECT e.user_id, min(e.ts) AS t3 FROM {src} e
   JOIN t2 ON e.user_id = t2.user_id
   WHERE e.event_type = 'purchase' AND e.ts >= t2.t2 GROUP BY 1
 ),
 u AS (
-  SELECT DISTINCT user_id FROM events
+  SELECT DISTINCT user_id FROM {src}
   WHERE event_type IN ('view', 'click', 'purchase')
 ),
 s AS (
@@ -2999,6 +3002,58 @@ SELECT user_id, CAST(stage AS BIGINT) AS stage,
        strftime(CASE stage WHEN 3 THEN t3 WHEN 2 THEN t2 WHEN 1 THEN t1 END,
                 '{TSFMT_DUCK}') AS reached_ts
 FROM s"""
+
+
+_SQL_FUNNEL_WEEK = _sql_funnel_week()
+
+_SQL_FUNNEL_WEEK_CAP40 = _sql_funnel_week(
+    src="evcap",
+    pre="""keep AS (
+  SELECT user_id FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+  GROUP BY 1 HAVING count(*) <= 40
+),
+evcap AS (SELECT e.* FROM events e JOIN keep USING (user_id)),
+""",
+)
+
+
+def q_funnel_week_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 defensive-cap row: same funnel as funnel_week but with
+    max_events_per_user=40 ENGAGED on real data (66 of 150 users at
+    sf0.01 exceed it) — over-cap users are dropped, not truncated, so
+    the oracle is the plain cascade over the kept users only."""
+    from sentometrics_spark.aggregate.timeseries import funnel_stages
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = funnel_stages(
+        ev, ["view", "click", "purchase"], within_seconds=7 * 86400.0,
+        max_events_per_user=40,
+    )
+    return out.select(
+        "user_id", "stage",
+        F.date_format("first_ts", TSFMT_SPARK).alias("first_ts"),
+        F.date_format("reached_ts", TSFMT_SPARK).alias("reached_ts"),
+    )
+
+
+def q_funnel_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit counter of the defensive cap: the users funnel_week_cap
+    dropped, with their step-event counts (drop-and-log evidence)."""
+    from sentometrics_spark.aggregate.timeseries import funnel_overflow
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = funnel_overflow(
+        ev, ["view", "click", "purchase"], max_events_per_user=40
+    )
+    return out.select("user_id", "n_events")
+
+
+_SQL_FUNNEL_OVERFLOW = """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+FROM events WHERE event_type IN ('view', 'click', 'purchase')
+GROUP BY 1 HAVING count(*) > 40"""
 
 
 def q_trend_day_type(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3915,6 +3970,61 @@ FROM events e JOIN iv
   ON e.user_id = iv.user_id AND e.ts >= iv.start_ts AND e.ts <= iv.end_ts"""
 
 
+def q_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """how='left' regression row (ADVICE r4): the points side carries a
+    NULL-able attribute column AND planted duplicate rows; the
+    surrogate-key join-back must keep every point row (unmatched -> NULL
+    payload) without dropping NULL-attribute points (NULL != NULL under
+    the old all-columns equi-join) or cross-multiplying duplicates. The
+    oracle is DuckDB's plain LEFT range join, which has per-row semantics
+    by construction."""
+    from sentometrics_spark.aggregate.timeseries import interval_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts0 = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts",
+        F.when(F.col("value") > 0.5, F.lit("hi")).alias("attr"),
+    )
+    # deterministic planted duplicates
+    pts = pts0.unionByName(pts0.filter(F.col("event_id") % 97 == 0))
+    iv = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("interval 30 minutes")).alias("end_ts"),
+        F.col("event_id").alias("iv_id"),
+    )
+    out = interval_join(pts, iv, on="ts", by=["user_id"], bucket="hour", how="left")
+    out = _fmt_ts(out, "ts")
+    return out.select(
+        "event_id", "user_id", "ts", "attr",
+        F.date_format("start_ts", TSFMT_SPARK).alias("start_ts"),
+        F.date_format("end_ts", TSFMT_SPARK).alias("end_ts"),
+        "iv_id",
+    )
+
+
+_SQL_INTERVAL_JOIN_LEFT = f"""WITH pts0 AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN value > 0.5 THEN 'hi' END AS attr
+  FROM events WHERE event_type = 'click'
+),
+pts AS (
+  SELECT * FROM pts0
+  UNION ALL SELECT * FROM pts0 WHERE event_id % 97 = 0
+),
+iv AS (
+  SELECT user_id, ts AS start_ts, ts + INTERVAL 30 MINUTE AS end_ts,
+         event_id AS iv_id
+  FROM events WHERE event_type = 'view'
+)
+SELECT p.event_id, p.user_id, strftime(p.ts, '{TSFMT_DUCK}') AS ts, p.attr,
+       strftime(i.start_ts, '{TSFMT_DUCK}') AS start_ts,
+       strftime(i.end_ts, '{TSFMT_DUCK}') AS end_ts, i.iv_id
+FROM pts p LEFT JOIN iv i
+  ON p.user_id = i.user_id AND p.ts >= i.start_ts AND p.ts <= i.end_ts"""
+
+
 
 def q_split_tvt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test assignment (md5 variant so
@@ -4249,6 +4359,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_cross_entropy": q_lm_cross_entropy,
         "dsir_importance": q_dsir_importance,
         "decontaminate_benchmark": q_decontaminate,
+        # round-5 hardening rows: left range join (NULL attrs + planted
+        # duplicates through the surrogate-key join-back), funnel with the
+        # defensive per-user cap ENGAGED, and its drop-and-log audit side
+        "interval_join_left": q_interval_join_left,
+        "funnel_week_cap40": q_funnel_week_cap,
+        "funnel_overflow_cap40": q_funnel_overflow,
     }
     return q
 
@@ -4414,6 +4530,10 @@ def oracle_sql() -> dict[str, str]:
         "lm_cross_entropy": _SQL_LM_CROSS_ENTROPY,
         "dsir_importance": _sql_dsir_importance(),
         "decontaminate_benchmark": _sql_decontaminate(),
+        # round-5 hardening rows
+        "interval_join_left": _SQL_INTERVAL_JOIN_LEFT,
+        "funnel_week_cap40": _SQL_FUNNEL_WEEK_CAP40,
+        "funnel_overflow_cap40": _SQL_FUNNEL_OVERFLOW,
         # tier composability: the oracle aggregates documents directly at day
         "tier_day_from_hour": agg_docs_sql("proportional", "day"),
         **_panel_oracles(),

@@ -181,6 +181,28 @@ def test_near_dup_and_ann_plans_never_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in p, p
 
 
+def test_attributions_docs_broadcasts_small_sides(spark):
+    """R8 per-document attribution is the one user-facing join family in
+    the model layer: doc-level sentiment x realized weights (both O(docs))
+    against the coef grid and the kernel positions (both O(measures x lag)
+    — tiny at any scale). The tiny sides must BROADCAST: the coef pivot as
+    a BroadcastHashJoin, the kernel-position fan-out as a
+    BroadcastNestedLoopJoin on a literal-true condition (the sanctioned
+    crossJoin of an O(lag)-row table — never a CartesianProduct, which
+    would mean two unbroadcast sides)."""
+    from sentometrics_spark import entry_queries as eq
+
+    df = eq.queries()["attrib_docs_latest"](spark, SF_DIR)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    # every nested-loop join is the broadcast kernel fan-out
+    assert len(re.findall(r"NestedLoopJoin", p)) == len(
+        re.findall(r"BroadcastNestedLoopJoin", p)
+    ), p
+    assert "BroadcastNestedLoopJoin" in p, p
+
+
 def test_round4_timeseries_plan_shapes(spark):
     """bucket_trend is ONE Exchange (a single groupBy carrying the five
     sufficient statistics — no window, no join); acf re-uses the series

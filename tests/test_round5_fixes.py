@@ -104,6 +104,27 @@ def test_simhash_degenerate_bucket_row_bounded(spark):
     assert dedup.simhash_near_pairs(docs).count() == 1225
 
 
+def test_simhash_planted_1e5_member_bucket(spark):
+    """VERDICT r4 'done' criterion: a planted 10^5-member degenerate
+    bucket. Every (band, chunk) bucket holds all 100k docs (identical
+    text), far above the default cap of 256 — the old formulation built
+    ONE collect_list row holding all 100k members (~tens of MB in a
+    single aggregation buffer); the two-phase form emits the 99,999 star
+    pairs row-wise and the small-branch collect_list sees zero rows, so
+    the largest materialized row is a single pair."""
+    docs = spark.range(100_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("mass duplicated boilerplate page body").alias("text"),
+    )
+    out = dedup.simhash_near_pairs(docs, id_col="doc_id")
+    assert out.count() == 99_999
+    agg = out.agg(
+        F.min("id_a"), F.max("id_a"), F.max("id_b"), F.max("hamming")
+    ).collect()[0]
+    # all star pairs anchor at the min-id keeper, hamming 0
+    assert tuple(agg) == (0, 0, 99_999, 0)
+
+
 # ------------------------------------------------------------ cusum n == 1
 
 

@@ -1024,7 +1024,7 @@ def funnel_stages(
     user: str = "user_id",
     step_col: str = "event_type",
     series_keys: list[str] | None = None,
-    max_events_per_user: int | None = 10_000_000,
+    max_events_per_user: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel analysis (the ClickHouse ``windowFunnel`` shape):
     how far each user progressed through ``steps`` in order, optionally
@@ -1058,9 +1058,16 @@ def funnel_stages(
     task. Users whose step-event count exceeds the cap are DROPPED from
     the output (not truncated — a truncated cascade would emit a
     plausible-but-wrong stage) and are auditable via
-    :func:`funnel_overflow`; the count rides the same (keys, user)
-    Exchange as the aggregation (an unordered count window before the
-    groupBy), so the plan stays one shuffle. ``None`` disables the cap."""
+    :func:`funnel_overflow`. It is OPT-IN (default None) because an exact
+    guard is not free — both implementations were measured on the
+    200M-event / 3M-user scaling corpus at local[8]: a count window on the
+    aggregation's own Exchange adds a per-partition sort of every event
+    (+~60-80%, 12.0 s -> 19.2 s); a count-agg + broadcast anti-join avoids
+    the sort but pays a second scan-and-count pass (+~130%, 27.9 s). The
+    window form (the cheaper one) is what ``max_events_per_user`` enables;
+    run the funnel uncapped on curated streams, capped on untrusted ones,
+    and use :func:`funnel_overflow` (one cheap count pass) as the
+    pre-flight bot audit either way."""
     k = len(steps)
     if k < 2:
         raise ValueError("a funnel needs at least two steps")

@@ -205,14 +205,24 @@ def test_funnel_cap_drops_hot_key_and_overflow_reports(spark):
     steps = ["view", "click", "buy"]
 
     capped = funnel_stages(ev, steps, max_events_per_user=10)
-    # the cap count rides the aggregation's own (user) Exchange — the
-    # plan still shuffles the step events exactly once (inspect before
-    # execution finalizes the adaptive plan)
+    # the opt-in guard is a count window riding the aggregation's OWN
+    # (user) Exchange: still one shuffle, no join — the cost is the
+    # per-partition sort the window needs (measured and documented; both
+    # guard variants were benchmarked at 200M events and this one is the
+    # cheaper). Inspect before execution finalizes the adaptive plan.
     p = capped._sc._jvm.PythonSQLUtils.explainString(
         capped._jdf.queryExecution(), "formatted"
     )
     assert len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M)) == 1, p
     assert "Join" not in p, p
+    # default (None): the original single-Exchange sort-free fold
+    p0 = funnel_stages(ev, steps)
+    p0s = p0._sc._jvm.PythonSQLUtils.explainString(
+        p0._jdf.queryExecution(), "formatted"
+    )
+    assert len(re.findall(r"^\(\d+\) Exchange", p0s, flags=re.M)) == 1, p0s
+    assert "Join" not in p0s, p0s
+    assert not re.search(r"^\(\d+\) Sort", p0s, flags=re.M), p0s
     got = {r.user_id: r.stage for r in capped.collect()}
     assert got == {1: 3}                               # bot dropped
     over = funnel_overflow(ev, steps, max_events_per_user=10).collect()

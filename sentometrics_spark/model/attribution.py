@@ -119,7 +119,17 @@ def attributions_docs(
     """Per-document attribution (attributions_docs,
     /root/reference/R/attribution.R:2-27): coef x kernel weight x document
     weight x document sentiment, rolled to each prediction date the
-    document's bucket feeds."""
+    document's bucket feeds.
+
+    The output groups by (pred_ts, url), so the timeweight dimension is
+    fully summed out — the coef x kernel product contracts driver-free
+    into one tiny (lexicon, feature, lag_index) -> cw = sum_tw coef*kw
+    table before touching the doc-sized side. One broadcast equi-join
+    then explodes each doc row into its `lag` target positions: exploded
+    rows are O(docs x lag), independent of the number of timeweight
+    schemes, and the plan has no nested-loop join at all (the previous
+    per-timeweight union re-scanned the doc subtree T times and fanned
+    out docs x T x lag rows through a BroadcastNestedLoopJoin)."""
     from sentometrics_spark.aggregate.doc_agg import bucket_col
 
     spark = sentiment.sparkSession
@@ -133,31 +143,27 @@ def attributions_docs(
     idx = _indexed(filled_docagg).select(
         *MEASURE_KEYS, doc_join_ts.alias("bucket_ts"), "rn"
     )
+    # contract timeweight out: cw(lexicon, feature, lag_index). A
+    # (lex, feat, tw) absent from coefs contributes nothing (the previous
+    # pivot coalesced it to 0); a (lex, feat) absent entirely yields no cw
+    # row, so its docs drop — same as the previous inner pivot join.
     kdf = kernel_df(spark, kernels, lag)
+    cw = (
+        kdf.join(coefs, ["timeweight"])
+        .groupBy(*MEASURE_KEYS, "lag_index")
+        .agg(F.sum(F.col("coef") * F.col("kw")).alias("cw"))
+    )
     s = sentiment.withColumn("bucket_ts", bucket_col(F.col("warc_ts"), by))
-    docpart = (
+    parts = (
         s.join(weights, ["url", "bucket_ts", *MEASURE_KEYS])
         .join(idx, ["bucket_ts", *MEASURE_KEYS])
-        .join(F.broadcast(coefs.groupBy(*MEASURE_KEYS).pivot("timeweight").agg(F.first("coef"))), MEASURE_KEYS, "inner")
+        # broadcast equi-join fans each doc row out to its lag positions:
+        # doc bucket at rn feeds prediction at rn + (lag-1-lag_index)
+        .join(F.broadcast(cw), MEASURE_KEYS, "inner")
+        .withColumn("tgt_rn", F.col("rn") + (F.lit(lag - 1) - F.col("lag_index")))
+        .withColumn("part", F.col("cw") * F.col("weight") * F.col("score"))
+        .select("url", *MEASURE_KEYS, "tgt_rn", "part")
     )
-    # explode kernel positions: doc bucket at rn feeds prediction at
-    # rn + (lag-1-lag_index)
-    tws = list(kernels)
-    parts = None
-    for tw in tws:
-        p = (
-            docpart.join(F.broadcast(kdf.filter(F.col("timeweight") == tw)), F.lit(True))
-            .withColumn("tgt_rn", F.col("rn") + (F.lit(lag - 1) - F.col("lag_index")))
-            .withColumn(
-                "part",
-                F.coalesce(F.col(f"`{tw}`"), F.lit(0.0))
-                * F.col("kw")
-                * F.col("weight")
-                * F.col("score"),
-            )
-            .select("url", *MEASURE_KEYS, "tgt_rn", "part")
-        )
-        parts = p if parts is None else parts.unionByName(p)
     tgt = _indexed(filled_docagg).select(
         *MEASURE_KEYS, F.col("rn").alias("tgt_rn"), F.col("bucket_ts").alias("pred_ts")
     ).dropDuplicates(["tgt_rn", *MEASURE_KEYS])

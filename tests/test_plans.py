@@ -184,23 +184,27 @@ def test_near_dup_and_ann_plans_never_cartesian(spark):
 def test_attributions_docs_broadcasts_small_sides(spark):
     """R8 per-document attribution is the one user-facing join family in
     the model layer: doc-level sentiment x realized weights (both O(docs))
-    against the coef grid and the kernel positions (both O(measures x lag)
-    — tiny at any scale). The tiny sides must BROADCAST: the coef pivot as
-    a BroadcastHashJoin, the kernel-position fan-out as a
-    BroadcastNestedLoopJoin on a literal-true condition (the sanctioned
-    crossJoin of an O(lag)-row table — never a CartesianProduct, which
-    would mean two unbroadcast sides)."""
+    against the contracted coef-x-kernel table cw(lexicon, feature,
+    lag_index) — O(measures x lag), tiny at any scale. The timeweight
+    dimension is summed out of the (pred_ts, url) output, so cw joins as
+    ONE broadcast EQUI-join fanning each doc row to its lag positions:
+    no nested-loop join anywhere in the plan (the pre-round-5 form paid a
+    BroadcastNestedLoopJoin per timeweight and docs x T x lag exploded
+    rows), and never a CartesianProduct (two unbroadcast sides)."""
     from sentometrics_spark import entry_queries as eq
 
     df = eq.queries()["attrib_docs_latest"](spark, SF_DIR)
     p = plan_of(df)
     assert "CartesianProduct" not in p, p
     assert "BroadcastHashJoin" in p, p
-    # every nested-loop join is the broadcast kernel fan-out
-    assert len(re.findall(r"NestedLoopJoin", p)) == len(
-        re.findall(r"BroadcastNestedLoopJoin", p)
-    ), p
-    assert "BroadcastNestedLoopJoin" in p, p
+    # the only nested-loop joins left are broadcast, and they are the
+    # measures_fill grid spine (distinct measure keys x bucket sequence,
+    # both tiny) — one per panel scan (the idx and tgt branches each
+    # re-scan filled_docagg). The attribution's own kernel fan-out is the
+    # broadcast EQUI-join on cw: 0 NLJs of its own.
+    tree_nodes = re.findall(r"^\s*[:+ |-]*\+- (\w*NestedLoopJoin)", p, flags=re.M)
+    assert all(n == "BroadcastNestedLoopJoin" for n in tree_nodes), p
+    assert len(tree_nodes) == 2, p
 
 
 def test_round4_timeseries_plan_shapes(spark):

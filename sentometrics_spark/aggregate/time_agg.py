@@ -9,11 +9,25 @@ Reference semantics:
     (RcppRoll::roll_sum right-aligned, na.rm=TRUE, first lag-1 rows dropped)
   - compute_stats  /root/reference/R/utils.R:371-387
 
-The rolling weighted sum is expressed as a single Window operator per
-series: sum_k B[lag-1-k] * lag(value, k) — one sort per (lexicon, feature)
-partition, no extra shuffle per kernel, all kernels evaluated in the same
-window pass. For very large lags a kernel-join formulation would be
-preferred; lags here are <= O(100) so lag-column expansion wins.
+The rolling weighted sum has two physical strategies (same semantics,
+``aggregate_time(strategy=)``):
+
+  - ``window`` — a single Window operator per series:
+    sum_k B[lag-1-k] * lag(value, k). One sort per (lexicon, feature)
+    partition, no extra shuffle per kernel, all kernels evaluated in the
+    same window pass. The plan carries O(lag x n_kernels) expression
+    nodes, so it wins for lags <= O(100) but degrades past that (the
+    generated aggregation code approaches the JVM's 64KB method limit and
+    falls out of whole-stage codegen; plan compile time grows with the
+    tree).
+  - ``join`` — one row_number window, then each observation is fanned out
+    to the <= lag target positions it feeds via a broadcast
+    (timeweight, offset, weight) table (O(n_kernels x lag) rows) and
+    re-aggregated per (series, timeweight, target). Bounded plan size at
+    ANY lag; costs one extra panel-altitude shuffle (the groupBy) vs the
+    window form. The fan-out mirrors attributions_docs' kernel join.
+
+``auto`` (default) picks window for lag <= 128, join beyond.
 """
 
 from __future__ import annotations
@@ -153,6 +167,7 @@ def aggregate_time(
     lag: int,
     series_keys: list[str] | None = None,
     check_lag: bool = True,
+    strategy: str = "auto",
 ) -> DataFrame:
     """K6: right-aligned rolling weighted sum per kernel; rows with fewer
     than ``lag`` predecessors are dropped. Input: (bucket_ts, *keys, value).
@@ -161,7 +176,15 @@ def aggregate_time(
     check_lag: like the reference, error out when the window exceeds the
     number of observations per measure (/root/reference/R/sentomeasures_main.R:431-432)
     instead of silently returning an empty panel. Costs one count job;
-    disable for fully-lazy pipelines."""
+    disable for fully-lazy pipelines.
+
+    strategy: 'window' (lag-column expansion, one pass, plan grows with
+    lag), 'join' (broadcast kernel-position fan-out + re-aggregate,
+    bounded plan at any lag), or 'auto' (window for lag <= 128).
+    Both are positional (row-based) over the filled spine and produce
+    identical values up to float summation order."""
+    if strategy not in ("auto", "window", "join"):
+        raise ValueError(f"unknown aggregate_time strategy: {strategy!r}")
     keys = series_keys if series_keys is not None else SERIES_KEYS
     if check_lag and lag > 1:
         m = measures.select("bucket_ts").distinct().count()
@@ -170,6 +193,8 @@ def aggregate_time(
                 f"rolling time aggregation window (= {lag}) is too large for "
                 f"number of observations per measure (= {m})"
             )
+    if strategy == "join" or (strategy == "auto" and lag > 128):
+        return _aggregate_time_join(measures, kernels, lag, keys)
     if lag == 1:
         # all kernels are the scalar weight B[0]
         sel = []
@@ -198,6 +223,49 @@ def aggregate_time(
         "bucket_ts",
         *keys,
         F.expr(f"stack({len(names)}, {stack}) AS (timeweight, value)"),
+    )
+
+
+def _aggregate_time_join(
+    measures: DataFrame,
+    kernels: dict[str, np.ndarray],
+    lag: int,
+    keys: list[str],
+) -> DataFrame:
+    """Kernel-join formulation of the K6 rolling weighted sum, for lags
+    too large for lag-column expansion: index each series once
+    (row_number), fan every observation out to the targets it feeds via a
+    broadcast (timeweight, offset, weight) table, re-aggregate per
+    (series, timeweight, target), and resolve targets back to timestamps
+    on the panel spine. Exploded rows are O(panel x n_kernels x lag) but
+    never materialize wide; the plan size is independent of lag."""
+    spark = measures.sparkSession
+    w = Window.partitionBy(*keys).orderBy("bucket_ts")
+    idx = measures.select(
+        "bucket_ts", *keys, "value", F.row_number().over(w).alias("__rn")
+    )
+    # src at rn feeds tgt = rn + d for d in [0, lag); the value sitting
+    # d behind the target carries kernel weight B[lag-1-d] — identical
+    # positional semantics to the window form's lag(value, k) * B[lag-1-k]
+    pos = spark.createDataFrame(
+        [
+            (name, d, float(ker[lag - 1 - d]))
+            for name, ker in kernels.items()
+            for d in range(lag)
+        ],
+        "timeweight string, __d int, __w double",
+    )
+    contrib = (
+        idx.crossJoin(F.broadcast(pos))
+        .withColumn("__tgt", F.col("__rn") + F.col("__d"))
+        .groupBy(*keys, "timeweight", "__tgt")
+        .agg(F.sum(F.col("__w") * F.col("value")).alias("value"))
+    )
+    tgt = idx.select(*keys, F.col("__rn").alias("__tgt"), "bucket_ts")
+    return (
+        contrib.join(tgt, [*keys, "__tgt"])
+        .filter(F.col("__tgt") >= lag)
+        .select("bucket_ts", *keys, "timeweight", "value")
     )
 
 

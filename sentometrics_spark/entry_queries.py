@@ -371,7 +371,7 @@ def _agg_docs_query(how: str, by: str):
     return q
 
 
-def _measures_query(by: str, lag: int, kspecs: tuple[TimeKernelSpec, ...], fill: str, doc_how: str = "equal_weight"):
+def _measures_query(by: str, lag: int, kspecs: tuple[TimeKernelSpec, ...], fill: str, doc_how: str = "equal_weight", strategy: str = "auto"):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         pages = build_pages(spark, sf_dir, with_html=False)
@@ -379,7 +379,7 @@ def _measures_query(by: str, lag: int, kspecs: tuple[TimeKernelSpec, ...], fill:
         m = aggregate_docs(sent, by=by, how=doc_how, do_ignore_zeros=True, keep_partials=False)
         filled = measures_fill(m.select("bucket_ts", "lexicon", "feature", "value"), by=by, fill=fill)
         kernels = setup_time_weights(kspecs, lag)
-        rolled = aggregate_time(filled, kernels, lag, check_lag=False)
+        rolled = aggregate_time(filled, kernels, lag, check_lag=False, strategy=strategy)
         return _fmt_ts(rolled, "bucket_ts").select(
             "bucket_ts", "lexicon", "feature", "timeweight", _r6("value").alias("value")
         )
@@ -4249,6 +4249,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_hour_equal": _agg_docs_query("equal_weight", "hour"),
         # full measures pipeline (K1-K6)
         "measures_day_almon_lag7": _measures_query("day", 7, _ALMON2, "zero"),
+        # same semantics, the large-lag physical strategy (broadcast
+        # kernel-position fan-out instead of lag-column expansion) —
+        # same oracle SQL pins value-identity between the two plans
+        "measures_day_almon_lag7_joinstrat": _measures_query(
+            "day", 7, _ALMON2, "zero", strategy="join"
+        ),
         "measures_day_linear_lag7_latest": _measures_query("day", 7, _LIN, "latest"),
         "measures_week_beta_lag4": _measures_query("week", 4, _BETA, "zero", doc_how="proportional"),
         "measures_hour_exp_lag24": _measures_query("hour", 24, _EXPK, "zero"),
@@ -4598,6 +4604,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_month_exponential": agg_docs_sql("exponential", "month"),
         "agg_hour_equal": agg_docs_sql("equal_weight", "hour"),
         "measures_day_almon_lag7": measures_sql("day", 7, _kernels_for(_ALMON2, 7), "zero"),
+        "measures_day_almon_lag7_joinstrat": measures_sql("day", 7, _kernels_for(_ALMON2, 7), "zero"),
         "measures_day_linear_lag7_latest": measures_sql("day", 7, _kernels_for(_LIN, 7), "latest"),
         "measures_week_beta_lag4": measures_sql("week", 4, _kernels_for(_BETA, 4), "zero", doc_how="proportional"),
         "measures_hour_exp_lag24": measures_sql("hour", 24, _kernels_for(_EXPK, 24), "zero"),

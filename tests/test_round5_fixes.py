@@ -316,3 +316,66 @@ def test_pack_documents_zero_token_span_consistent(spark):
     # offset 3 inside pack 0; doc 3 straddles packs 0-1
     assert (rows[2].pack_first, rows[2].pack_last) == (0, 0)
     assert (rows[3].pack_first, rows[3].pack_last, rows[3].n_packs) == (0, 1, 2)
+
+
+# ------------------------------------------- aggregate_time join strategy
+
+
+def test_aggregate_time_join_strategy_matches_window(spark):
+    """The kernel-join formulation (bounded plan size for very large
+    lags) is value-identical to the lag-column window form up to float
+    summation order, and 'auto' dispatches to it past lag 128 — the plan
+    then carries the broadcast position fan-out instead of an O(lag)
+    expression tree."""
+    import numpy as np
+
+    from sentometrics_spark.aggregate.time_agg import aggregate_time
+
+    rng = np.random.default_rng(7)
+    n = 40
+    rows = [
+        (datetime(2024, 1, 1) + timedelta(days=i), lx, ft, float(v))
+        for lx in ("LA", "LB")
+        for ft in ("f1",)
+        for i, v in enumerate(rng.normal(size=n))
+    ]
+    panel = spark.createDataFrame(
+        rows, "bucket_ts timestamp, lexicon string, feature string, value double"
+    )
+    kernels = {
+        "lin": np.linspace(0.1, 1.0, 7),
+        "exp": np.exp(-0.3 * np.arange(7))[::-1].copy(),
+    }
+    key = lambda r: (r["bucket_ts"], r["lexicon"], r["feature"], r["timeweight"])
+    w = {key(r): r["value"] for r in aggregate_time(
+        panel, kernels, 7, strategy="window").collect()}
+    j = {key(r): r["value"] for r in aggregate_time(
+        panel, kernels, 7, strategy="join").collect()}
+    assert set(w) == set(j) and len(w) == 2 * 2 * (n - 7 + 1)
+    for k in w:
+        assert abs(w[k] - j[k]) < 1e-12, (k, w[k], j[k])
+
+    # large lag: numpy oracle (the window form would compile an
+    # O(lag x kernels) expression tree here; the join plan is flat)
+    big = 300
+    series = rng.normal(size=400)
+    rows = [
+        (datetime(2024, 1, 1) + timedelta(hours=i), "L", "f", float(v))
+        for i, v in enumerate(series)
+    ]
+    panel2 = spark.createDataFrame(
+        rows, "bucket_ts timestamp, lexicon string, feature string, value double"
+    )
+    ker = rng.uniform(size=big)
+    out = aggregate_time(panel2, {"k": ker}, big, strategy="auto")
+    import re as _re
+    p = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastNestedLoopJoin" in p, p  # auto picked the join form
+    got = {r["bucket_ts"]: r["value"] for r in out.collect()}
+    assert len(got) == 400 - big + 1
+    for t_idx in (big - 1, 350, 399):
+        ts = datetime(2024, 1, 1) + timedelta(hours=t_idx)
+        expect = float(np.dot(series[t_idx - big + 1: t_idx + 1], ker))
+        assert abs(got[ts] - expect) < 1e-9 * max(1.0, abs(expect))

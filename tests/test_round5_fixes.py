@@ -324,9 +324,10 @@ def test_pack_documents_zero_token_span_consistent(spark):
 def test_aggregate_time_join_strategy_matches_window(spark):
     """The kernel-join formulation (bounded plan size for very large
     lags) is value-identical to the lag-column window form up to float
-    summation order, and 'auto' dispatches to it past lag 128 — the plan
+    summation order, and 'auto' dispatches to it past lag 512 — the plan
     then carries the broadcast position fan-out instead of an O(lag)
-    expression tree."""
+    expression tree (whose balanced-tree sum plans at any practical lag
+    but costs ~12 s of driver-side analysis per 1000 lag positions)."""
     import numpy as np
 
     from sentometrics_spark.aggregate.time_agg import aggregate_time
@@ -355,10 +356,10 @@ def test_aggregate_time_join_strategy_matches_window(spark):
     for k in w:
         assert abs(w[k] - j[k]) < 1e-12, (k, w[k], j[k])
 
-    # large lag: numpy oracle (the window form would compile an
-    # O(lag x kernels) expression tree here; the join plan is flat)
-    big = 300
-    series = rng.normal(size=400)
+    # large lag: numpy oracle (the window form would spend O(lag)
+    # driver-side plan analysis here; the join plan is flat)
+    big = 600
+    series = rng.normal(size=700)
     rows = [
         (datetime(2024, 1, 1) + timedelta(hours=i), "L", "f", float(v))
         for i, v in enumerate(series)
@@ -374,8 +375,8 @@ def test_aggregate_time_join_strategy_matches_window(spark):
     )
     assert "BroadcastNestedLoopJoin" in p, p  # auto picked the join form
     got = {r["bucket_ts"]: r["value"] for r in out.collect()}
-    assert len(got) == 400 - big + 1
-    for t_idx in (big - 1, 350, 399):
+    assert len(got) == 700 - big + 1
+    for t_idx in (big - 1, 650, 699):
         ts = datetime(2024, 1, 1) + timedelta(hours=t_idx)
         expect = float(np.dot(series[t_idx - big + 1: t_idx + 1], ker))
         assert abs(got[ts] - expect) < 1e-9 * max(1.0, abs(expect))

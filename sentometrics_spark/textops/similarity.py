@@ -85,22 +85,30 @@ def lsh_topk(
     the query in ANY of n_tables sign-hyperplane tables; exact cosine on
     candidates only. Join key is (table, bucket) — a bounded hash shuffle,
     never a crossJoin."""
-    cand_tables = []
-    for t in range(n_tables):
-        planes = random_hyperplanes(dim, bits, seed + t)
-        e = emb.withColumn("bucket", _bucket_expr(vec_col, planes)).withColumn(
-            "tbl", F.lit(t)
-        )
-        q = queries.withColumn("bucket", _bucket_expr(q_vec_col, planes)).withColumn(
-            "tbl", F.lit(t)
-        )
-        cand_tables.append(
-            e.join(F.broadcast(q), ["tbl", "bucket"]).select(id_col, q_id_col, vec_col, q_vec_col)
-        )
-    cands = cand_tables[0]
-    for c in cand_tables[1:]:
-        cands = cands.unionByName(c)
-    cands = cands.dropDuplicates([q_id_col, id_col])
+    # ONE corpus scan for all tables: every table's bucket id is computed
+    # in the same pass and posexploded to (tbl, bucket) rows, so the plan
+    # has a single broadcast join on (tbl, bucket) instead of n_tables
+    # scan+join+union rounds (same buckets, same candidates, bit-for-bit)
+    all_planes = [random_hyperplanes(dim, bits, seed + t) for t in range(n_tables)]
+    e = emb.select(
+        id_col,
+        vec_col,
+        F.posexplode(
+            F.array(*[_bucket_expr(vec_col, p) for p in all_planes])
+        ).alias("tbl", "bucket"),
+    )
+    q = queries.select(
+        q_id_col,
+        q_vec_col,
+        F.posexplode(
+            F.array(*[_bucket_expr(q_vec_col, p) for p in all_planes])
+        ).alias("tbl", "bucket"),
+    )
+    cands = (
+        e.join(F.broadcast(q), ["tbl", "bucket"])
+        .select(id_col, q_id_col, vec_col, q_vec_col)
+        .dropDuplicates([q_id_col, id_col])
+    )
     scored = cands.select(
         q_id_col,
         id_col,
@@ -165,22 +173,25 @@ def embedding_near_dup_lsh(
     Bucket width is tunable: more bits = smaller buckets = cheaper join,
     lower per-table recall."""
     norm_emb = _unit_vectors(emb, id_col, vec_col)
-    cand_tables = []
-    for t in range(n_tables):
-        planes = random_hyperplanes(dim, bits, seed + t)
-        bucketed = norm_emb.select(
-            "id", "v", _bucket_expr("v", planes).alias("bucket"), F.lit(t).alias("tbl")
-        )
-        ln = bucketed.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket", "tbl")
-        rn = bucketed.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket", "tbl")
-        cand_tables.append(
-            ln.join(rn, ["tbl", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "va", "vb")
-        )
-    cands = cand_tables[0]
-    for c in cand_tables[1:]:
-        cands = cands.unionByName(c)
-    cands = cands.dropDuplicates(["id_a", "id_b"])
+    # ONE corpus scan for all tables (posexplode of every table's bucket
+    # id), then a single self-join on (tbl, bucket) — not n_tables
+    # scan+join+union rounds; same buckets and candidate pairs
+    all_planes = [random_hyperplanes(dim, bits, seed + t) for t in range(n_tables)]
+    bucketed = norm_emb.select(
+        "id",
+        "v",
+        F.posexplode(
+            F.array(*[_bucket_expr("v", p) for p in all_planes])
+        ).alias("tbl", "bucket"),
+    )
+    ln = bucketed.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket", "tbl")
+    rn = bucketed.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket", "tbl")
+    cands = (
+        ln.join(rn, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
     cos = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )

@@ -336,6 +336,7 @@ def run_benchmarks(cpus: int, sf_dir: str, q1_only: bool = False) -> dict:
         ("scaling", "scaling.json"),
         ("scaling_events", "scaling_events.json"),
         ("scaling_acf", "scaling_acf.json"),
+        ("scaling_attrib", "scaling_attrib.json"),
     ):
         cache = os.path.join(bench_dir, fname)
         if os.path.isfile(cache):
@@ -514,6 +515,92 @@ def main() -> None:
         print(json.dumps(result))
         return
 
+    if "--scaling-attrib" in sys.argv:
+        # Fourth two-parallelism datapoint: the JOIN-HEAVY shape —
+        # attributions_docs' doc-sized SortMergeJoins (sentiment x
+        # realized weights x panel index) + broadcast kernel fan-out +
+        # final (pred_ts, url) aggregation. Complements the map-only
+        # pipeline (--scaling), the per-key groupBy fold
+        # (--scaling-events) and the per-series window (--scaling-acf):
+        # with this, all four canonical Exchange patterns of the engine
+        # have a north-rule datapoint. The sentiment table is synthesized
+        # deterministically (5M docs x 4 measures over 365 daily buckets)
+        # and materialized to parquet so both levels scan files; the job
+        # is attribution ONLY — scoring cost is the --scaling probe's
+        # subject, not this one's.
+        n_low = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+        n_high = 4 * n_low
+        n_runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
+        n_docs_synth = int(os.environ.get("SPARK_GRAFT_ATTRIB_DOCS", "2500000"))
+        src = f"/tmp/bench_attrib_sent_{n_docs_synth}"
+        if not os.path.isdir(src):
+            from pyspark.sql import functions as F
+
+            spark = get_spark(8)
+            spark.sparkContext.setLogLevel("ERROR")
+            (
+                spark.range(n_docs_synth * 4)
+                .select(
+                    F.concat(F.lit("u"), (F.col("id") / 4).cast("long")).alias("url"),
+                    F.timestamp_seconds(
+                        F.lit(1704067200)  # 2024-01-01
+                        + ((F.col("id") / 4).cast("long") % 365) * 86400
+                        + ((F.col("id") / 4).cast("long") % 24) * 3600
+                    ).alias("warc_ts"),
+                    F.when((F.col("id") % 4) < 2, "LEXA").otherwise("LEXB").alias("lexicon"),
+                    F.when((F.col("id") % 2) == 0, "f1").otherwise("f2").alias("feature"),
+                    F.sin(F.col("id") * 0.001).alias("score"),
+                )
+                .repartition(64)
+                .write.mode("overwrite").parquet(src)
+            )
+            spark.stop()
+        times: dict[int, list[float]] = {n_low: [], n_high: []}
+        rows = {n_low: 0, n_high: 0}
+        for _ in range(n_runs):
+            for c in (n_low, n_high):
+                out = subprocess.run(
+                    [sys.executable, __file__, "--once", "--attrib-scaling",
+                     f"--cpus={c}", f"--src={src}"],
+                    capture_output=True,
+                    text=True,
+                    env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+                )
+                lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+                if not lines:
+                    sys.stderr.write(out.stdout + out.stderr)
+                    raise SystemExit(1)
+                r = json.loads(lines[-1])
+                times[c].append(r["t_sec"])
+                rows[c] = r["n_rows"]
+        t_low, t_high = min(times[n_low]), min(times[n_high])
+        eff = (t_low / t_high) / 4.0
+        result = {
+            "metric": f"attrib_scaling_efficiency_{n_low}_to_{n_high}",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "job": "attributions_docs_parquet_scan",
+            f"t_local{n_low}_sec": t_low,
+            f"t_local{n_high}_sec": t_high,
+            f"rows_per_sec_local{n_low}": round(rows[n_low] / t_low, 1),
+            f"rows_per_sec_local{n_high}": round(rows[n_high] / t_high, 1),
+            "all_times": {str(k): v for k, v in times.items()},
+            "runs": n_runs,
+            "n_rows": rows[n_high],
+            "n_docs": n_docs_synth,
+            "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        try:
+            cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BENCH", "scaling_attrib.json")
+            os.makedirs(os.path.dirname(cache), exist_ok=True)
+            with open(cache, "w") as f:
+                json.dump(result, f)
+        except OSError:
+            pass
+        print(json.dumps(result))
+        return
+
     if "--scaling-acf" in sys.argv:
         # Third two-parallelism datapoint: the WINDOW-HEAVY shape — per-
         # series ordered windows (the acf lead-array plan: one Exchange +
@@ -614,6 +701,64 @@ def main() -> None:
             best = min(best, time.time() - t0)
         print(json.dumps({"cpus": cpus, "t_sec": round(best, 3),
                           "n_events": n_events}))
+        spark.stop()
+        return
+
+    if "--attrib-scaling" in sys.argv:
+        # child for --scaling-attrib: one timed attributions_docs run on a
+        # synthesized-sentiment parquet src. The panel, kernels and coefs
+        # are tiny fixed inputs; the timed work is the doc-sized join
+        # family + the broadcast kernel fan-out + the final aggregation.
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from sentometrics_spark.aggregate.doc_agg import doc_weights
+        from sentometrics_spark.aggregate.kernels import setup_time_weights
+        from sentometrics_spark.config import TimeKernelSpec
+        from sentometrics_spark.model.attribution import attributions_docs, coef_df
+
+        src = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--src=")][0]
+        cpus = int([a.split("=", 1)[1] for a in sys.argv if a.startswith("--cpus=")][0])
+        spark = get_spark(cpus)
+        spark.sparkContext.setLogLevel("ERROR")
+        sent = spark.read.parquet(src)
+        n_rows = sent.count()
+        lag = 7
+        filled = spark.range(365 * 4).select(
+            F.timestamp_seconds(F.lit(1704067200) + (F.col("id") / 4).cast("long") * 86400).alias("bucket_ts"),
+            F.when((F.col("id") % 4) < 2, "LEXA").otherwise("LEXB").alias("lexicon"),
+            F.when((F.col("id") % 2) == 0, "f1").otherwise("f2").alias("feature"),
+            F.cos(F.col("id") * 0.01).alias("value"),
+        )
+        kernels = setup_time_weights((TimeKernelSpec("almon", orders_alm=(1, 2)),), lag)
+        coefs = pd.Series({
+            f"{lx}--{ft}--{tw}": 0.1 * (i + 1)
+            for i, (lx, ft, tw) in enumerate(
+                (lx, ft, tw)
+                for lx in ("LEXA", "LEXB") for ft in ("f1", "f2") for tw in kernels
+            )
+        })
+        cdf = coef_df(spark, coefs)
+
+        def run():
+            # weights=None: derive realized weights inline (the scale path
+            # when attribWeights$W is not pre-materialized) — the weight
+            # window shares the scoring rows' shuffle instead of paying a
+            # doc x doc SortMergeJoin (stored-W form measured 0.55-0.65
+            # 2->8 on this probe; see PLANS.md)
+            return force(attributions_docs(
+                sent, None, filled, cdf, kernels, lag, "day",
+                how="equal_weight"))
+
+        # warm-up on a slice
+        force(attributions_docs(sent.limit(20000), None, filled, cdf,
+                                kernels, lag, "day", how="equal_weight"))
+        best = float("inf")
+        for _ in range(int(os.environ.get("SPARK_GRAFT_SCALE_INNER", "2"))):
+            t0 = time.time()
+            run()
+            best = min(best, time.time() - t0)
+        print(json.dumps({"cpus": cpus, "t_sec": round(best, 3), "n_rows": n_rows}))
         spark.stop()
         return
 

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 BUCKET_FNS = {"hour", "day", "week", "month", "year"}
 
@@ -239,9 +240,29 @@ def doc_weights(
     """attribWeights$W analogue: the realized per-document weight for each
     (bucket, lexicon, feature) measure (/root/reference/R/sentomeasures_main.R:393-395).
     Window-normalized: w = num / sum(num) over the bucket's non-null set."""
-    from pyspark.sql.window import Window
-
     s = sentiment.withColumn("bucket_ts", bucket_col(F.col("warc_ts"), by))
+    return with_doc_weights(s, how, do_ignore_zeros, alpha).select(
+        "url", "bucket_ts", *MEASURE_KEYS, "weight"
+    )
+
+
+def with_doc_weights(
+    sentiment_bucketed: DataFrame,
+    how: str = "equal_weight",
+    do_ignore_zeros: bool = True,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """The doc_weights values APPENDED to a (already bucket_ts-stamped)
+    sentiment frame — same weights, but the score column stays on the
+    row, so a consumer that needs weight x score (attribution) does not
+    re-join two doc-sized tables on (url, bucket_ts, measure keys).
+
+    The per-(bucket, measure) weight-sum denominator is PANEL-sized, so
+    it is computed as a map-side partial aggregation and broadcast back —
+    no doc-wide shuffle at all (a window over (bucket_ts, measure keys)
+    would sort every sentiment row; same panel-altitude broadcast
+    assumption as measures_fill's grid spine)."""
+    s = sentiment_bucketed
     if how in ("exponential", "inverseExponential"):
         doc_wc = (
             s.select("url", "bucket_ts", "word_count")
@@ -249,16 +270,13 @@ def doc_weights(
             .groupBy("bucket_ts")
             .agg(F.sum("word_count").cast("double").alias("__bucket_wc"))
         )
-        s = s.join(doc_wc, "bucket_ts")
+        s = s.join(F.broadcast(doc_wc), "bucket_ts")
     score = _ignore_zeros(F.col("score")) if do_ignore_zeros else F.col("score")
     num = F.when(score.isNotNull(), _weight_numerator(how, alpha))
-    w = Window.partitionBy("bucket_ts", *MEASURE_KEYS)
-    return s.select(
-        "url",
-        "bucket_ts",
-        *MEASURE_KEYS,
-        # try_divide: an exactly-zero weight sum (e.g. exponential's
-        # num = c*(wc/W - 1) when one doc carries the whole bucket) must
-        # yield null weights, not an ANSI DIVIDE_BY_ZERO abort
-        F.try_divide(num, F.sum(num).over(w)).alias("weight"),
+    den = s.groupBy("bucket_ts", *MEASURE_KEYS).agg(F.sum(num).alias("__den"))
+    out = (
+        s.join(F.broadcast(den), ["bucket_ts", *MEASURE_KEYS])
+        .withColumn("weight", F.try_divide(num, F.col("__den")))
+        .drop("__den")
     )
+    return out.drop("__bucket_wc") if "__bucket_wc" in out.columns else out

@@ -95,9 +95,11 @@ def attributions_lags(
         .join(F.broadcast(coefs), MEASURE_KEYS + ["timeweight"])
         .withColumn("part", F.col("coef") * F.col("kw") * F.col("value"))
     )
-    tgt = idx.select(
-        *MEASURE_KEYS, F.col("rn").alias("tgt_rn"), F.col("bucket_ts").alias("pred_ts")
-    ).dropDuplicates(["tgt_rn", *MEASURE_KEYS])
+    tgt = F.broadcast(
+        idx.select(
+            *MEASURE_KEYS, F.col("rn").alias("tgt_rn"), F.col("bucket_ts").alias("pred_ts")
+        ).dropDuplicates(["tgt_rn", *MEASURE_KEYS])
+    )
     out = (
         contrib.join(tgt, ["tgt_rn", *MEASURE_KEYS])
         .filter(F.col("tgt_rn") >= lag)
@@ -109,12 +111,16 @@ def attributions_lags(
 
 def attributions_docs(
     sentiment: DataFrame,
-    weights: DataFrame,
+    weights: DataFrame | None,
     filled_docagg: DataFrame,
     coefs: DataFrame,
     kernels: dict[str, np.ndarray],
     lag: int,
     by: str,
+    how: str = "equal_weight",
+    do_ignore_zeros: bool = True,
+    alpha: float = 0.1,
+    common_spine: bool = True,
 ) -> DataFrame:
     """Per-document attribution (attributions_docs,
     /root/reference/R/attribution.R:2-27): coef x kernel weight x document
@@ -129,7 +135,26 @@ def attributions_docs(
     rows are O(docs x lag), independent of the number of timeweight
     schemes, and the plan has no nested-loop join at all (the previous
     per-timeweight union re-scanned the doc subtree T times and fanned
-    out docs x T x lag rows through a BroadcastNestedLoopJoin)."""
+    out docs x T x lag rows through a BroadcastNestedLoopJoin).
+
+    weights: a stored attribWeights$W table (reference parity — joined to
+    the sentiment on (url, bucket_ts, measure keys), a doc-sized
+    SortMergeJoin), or None to derive the realized weights INLINE from
+    the sentiment itself via the doc_weights window (``how`` /
+    ``do_ignore_zeros`` / ``alpha`` as in
+    :func:`~sentometrics_spark.aggregate.doc_agg.doc_weights`). The
+    inline form is the scale path when W is not pre-materialized: the
+    weights derive from the sentiment rows themselves (panel-sized
+    denominator aggregate broadcast back), removing the doc x doc join
+    (same values either way).
+
+    common_spine (default True): when every measure shares one bucket
+    spine — true for ANY panel built by measures_fill — the measure
+    dimension is contracted out per (url, rn) BEFORE the lag fan-out
+    (lag plain-double partial sums), so the heavy aggregation consumes
+    doc-sized rows and no exchange carries string measure keys or
+    docs x lag exploded rows. Pass False for irregular per-measure
+    spines to use the general per-measure join path."""
     from sentometrics_spark.aggregate.doc_agg import bucket_col
 
     spark = sentiment.sparkSession
@@ -140,8 +165,18 @@ def attributions_docs(
     # prediction its bucket's value reaches, directly or carried.
     has_src = "src_ts" in filled_docagg.columns
     doc_join_ts = F.col("src_ts") if has_src else F.col("bucket_ts")
-    idx = _indexed(filled_docagg).select(
-        *MEASURE_KEYS, doc_join_ts.alias("bucket_ts"), "rn"
+    # the panel index joins are BROADCAST explicitly: filled_docagg is
+    # #buckets x #measures rows (the same panel-altitude assumption as
+    # measures_fill's broadcast grid spine), but its size estimate after
+    # window + spine-explode is unknown to Catalyst, which otherwise
+    # plans SortMergeJoins — shuffling the doc-sized (and worse, the
+    # exploded docs x lag) side against a KB-sized spine. Measured on the
+    # 10M-row scaling probe: the tgt SMJ alone re-shuffled all exploded
+    # rows.
+    idx = F.broadcast(
+        _indexed(filled_docagg).select(
+            *MEASURE_KEYS, doc_join_ts.alias("bucket_ts"), "rn"
+        )
     )
     # contract timeweight out: cw(lexicon, feature, lag_index). A
     # (lex, feat, tw) absent from coefs contributes nothing (the previous
@@ -154,9 +189,64 @@ def attributions_docs(
         .agg(F.sum(F.col("coef") * F.col("kw")).alias("cw"))
     )
     s = sentiment.withColumn("bucket_ts", bucket_col(F.col("warc_ts"), by))
+    if weights is None:
+        from sentometrics_spark.aggregate.doc_agg import with_doc_weights
+
+        sw = with_doc_weights(s, how, do_ignore_zeros, alpha)
+    else:
+        sw = s.join(weights, ["url", "bucket_ts", *MEASURE_KEYS])
+    if common_spine:
+        # contract MEASURES out before any fan-out: per (url, rn) the
+        # measure sum folds into lag plain-double columns
+        #   __c[i] = sum_lf weight*score*cw(lf, i)
+        # so the heavy aggregation consumes the doc-sized table (no
+        # docs x lag explosion, no string measure keys in the exchange)
+        # and the lag fan-out happens AFTER it, on docs-sized output.
+        # Requires the rn -> bucket_ts map to be measure-independent —
+        # guaranteed for any panel built by measures_fill (one common
+        # spine crossJoined to the measure dims); pass
+        # common_spine=False for irregular per-measure spines.
+        cw_arr = cw.groupBy(*MEASURE_KEYS).agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("lag_index", "cw"))),
+                lambda s_: s_["cw"],
+            ).alias("cw_arr")
+        )
+        base = sw.join(idx, ["bucket_ts", *MEASURE_KEYS]).join(
+            F.broadcast(cw_arr), MEASURE_KEYS, "inner"
+        )
+        sums = [
+            F.sum(F.col("weight") * F.col("score") * F.col("cw_arr")[i]).alias(f"__c{i}")
+            for i in range(lag)
+        ]
+        docvec = base.groupBy("url", "rn").agg(*sums)
+        parts = (
+            docvec.select(
+                "url",
+                "rn",
+                F.posexplode(
+                    F.array(*[F.col(f"__c{i}") for i in range(lag)])
+                ).alias("lag_index", "part"),
+            )
+            .withColumn("tgt_rn", F.col("rn") + (F.lit(lag - 1) - F.col("lag_index")))
+            .select("url", "tgt_rn", "part")
+        )
+        tgt = F.broadcast(
+            _indexed(filled_docagg)
+            .select(F.col("rn").alias("tgt_rn"), F.col("bucket_ts").alias("pred_ts"))
+            .dropDuplicates(["tgt_rn", "pred_ts"])
+        )
+        return (
+            parts.join(tgt, ["tgt_rn"])
+            .filter(F.col("tgt_rn") >= lag)
+            # a url can hold several rn slots (multi-slot src_ts routing
+            # under fill='latest'), and distinct (rn, lag_index) pairs can
+            # land on the same prediction — the final fold stays
+            .groupBy("pred_ts", "url")
+            .agg(F.sum("part").alias("attrib"))
+        )
     parts = (
-        s.join(weights, ["url", "bucket_ts", *MEASURE_KEYS])
-        .join(idx, ["bucket_ts", *MEASURE_KEYS])
+        sw.join(idx, ["bucket_ts", *MEASURE_KEYS])
         # broadcast equi-join fans each doc row out to its lag positions:
         # doc bucket at rn feeds prediction at rn + (lag-1-lag_index)
         .join(F.broadcast(cw), MEASURE_KEYS, "inner")
@@ -164,9 +254,11 @@ def attributions_docs(
         .withColumn("part", F.col("cw") * F.col("weight") * F.col("score"))
         .select("url", *MEASURE_KEYS, "tgt_rn", "part")
     )
-    tgt = _indexed(filled_docagg).select(
-        *MEASURE_KEYS, F.col("rn").alias("tgt_rn"), F.col("bucket_ts").alias("pred_ts")
-    ).dropDuplicates(["tgt_rn", *MEASURE_KEYS])
+    tgt = F.broadcast(
+        _indexed(filled_docagg).select(
+            *MEASURE_KEYS, F.col("rn").alias("tgt_rn"), F.col("bucket_ts").alias("pred_ts")
+        ).dropDuplicates(["tgt_rn", *MEASURE_KEYS])
+    )
     return (
         parts.join(tgt, ["tgt_rn", *MEASURE_KEYS])
         .filter(F.col("tgt_rn") >= lag)

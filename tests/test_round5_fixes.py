@@ -380,3 +380,71 @@ def test_aggregate_time_join_strategy_matches_window(spark):
         ts = datetime(2024, 1, 1) + timedelta(hours=t_idx)
         expect = float(np.dot(series[t_idx - big + 1: t_idx + 1], ker))
         assert abs(got[ts] - expect) < 1e-9 * max(1.0, abs(expect))
+
+
+# ----------------------------------------- attributions_docs inline weights
+
+
+def test_attributions_docs_inline_weights_match_stored(spark):
+    """weights=None derives the realized doc weights inside the job (the
+    doc_weights window rides the scoring rows' own shuffle) instead of
+    joining a stored attribWeights$W table back on (url, bucket_ts,
+    measure keys). Values must be identical for every how."""
+    import numpy as np
+    import pandas as pd
+
+    from sentometrics_spark.aggregate.doc_agg import doc_weights
+    from sentometrics_spark.aggregate.kernels import setup_time_weights
+    from sentometrics_spark.aggregate.time_agg import measures_fill
+    from sentometrics_spark.config import TimeKernelSpec
+    from sentometrics_spark.model.attribution import attributions_docs, coef_df
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (f"u{i}", datetime(2024, 1, 1 + i % 9), lx, ft, float(rng.normal()),
+         50 + (i % 7) * 10)
+        for i in range(60)
+        for lx in ("LA", "LB")
+        for ft in ("f1",)
+    ]
+    sent = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, lexicon string, feature string, "
+        "score double, word_count long",
+    )
+    agg = (
+        sent.groupBy(F.date_trunc("day", "warc_ts").alias("bucket_ts"),
+                     "lexicon", "feature")
+        .agg(F.avg("score").alias("value"))
+    )
+    filled = measures_fill(agg, by="day", fill="zero")
+    lag = 3
+    kernels = setup_time_weights((TimeKernelSpec("linear"),), lag)
+    coefs = pd.Series({
+        f"{lx}--f1--{tw}": 0.2 + 0.1 * i
+        for i, (lx, tw) in enumerate((lx, tw) for lx in ("LA", "LB") for tw in kernels)
+    })
+    cdf = coef_df(spark, coefs)
+    for how in ("equal_weight", "proportional"):
+        variants = {
+            "stored": attributions_docs(
+                sent, doc_weights(sent, by="day", how=how),
+                filled, cdf, kernels, lag, "day",
+            ),
+            "inline": attributions_docs(
+                sent, None, filled, cdf, kernels, lag, "day", how=how
+            ),
+            "general": attributions_docs(
+                sent, None, filled, cdf, kernels, lag, "day", how=how,
+                common_spine=False,
+            ),
+        }
+        got = {
+            name: {(r.pred_ts, r.url): r.attrib for r in df.collect()}
+            for name, df in variants.items()
+        }
+        ref = got["stored"]
+        for name in ("inline", "general"):
+            assert set(ref) == set(got[name]), (how, name)
+            for k in ref:
+                assert abs(ref[k] - got[name][k]) < 1e-12, (how, name, k)

@@ -544,6 +544,51 @@ SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
 FROM p WHERE c >= 0.7"""
 
 
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level (substring) dedup: merged token spans of word 8-grams
+    occurring >= 2 times across the corpus (ExactSubstr shape, Lee et
+    al. arXiv:2107.06499 — textops/dedup.py repeated_spans). The real
+    documents table carries repeated boilerplate passages, so the flags
+    are exercised on real data (47 spans at sf0.01)."""
+    from sentometrics_spark.textops.dedup import repeated_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repeated_spans(docs.select("doc_id", "text"), n=8, min_repeats=2).select(
+        F.col("doc_id").cast("long"), "span_start", "span_end"
+    )
+
+
+SQL_REPEATED_SPANS = """WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, CAST(gs.i AS BIGINT) AS pos,
+         array_to_string(t[gs.i + 1 : gs.i + 8], ' ') AS g
+  FROM toks,
+       LATERAL (SELECT unnest(range(0, greatest(len(t) - 8 + 1, 0))) AS i) gs
+),
+rep AS (SELECT g FROM pos GROUP BY g HAVING count(*) >= 2),
+fl AS (SELECT p.doc_id, p.pos FROM pos p JOIN rep USING (g)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR pos > max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS ni
+  FROM fl
+),
+g2 AS (
+  SELECT doc_id, pos,
+         sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 8 AS BIGINT) AS span_end
+FROM g2 GROUP BY doc_id, island"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs at threshold 0.8 (the shingle
     self-join path; hot-shingle cap inactive at this df scale so the
@@ -4344,6 +4389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine_top5": q_knn_cosine,
         "embed_neardup_pairs": q_embed_neardup,
         "ngram_jaccard_pairs": q_ngram_jaccard,
+        "repeated_spans_n8": q_repeated_spans,
         "text_quality": q_text_quality,
         "gopher_quality": q_gopher_quality,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -4613,6 +4659,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine_top5": SQL_KNN_COSINE,
         "embed_neardup_pairs": SQL_EMBED_NEARDUP,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
+        "repeated_spans_n8": SQL_REPEATED_SPANS,
         "text_quality": SQL_TEXT_QUALITY,
         "events_hourly": SQL_EVENTS_HOURLY,
         "tier_store_roundtrip": agg_docs_sql("proportional", "day"),

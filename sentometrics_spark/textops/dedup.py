@@ -992,3 +992,99 @@ def bloom_dedup(
         hash64(F.col(text_col), hash_fn=bloom["hash_fn"]).alias("content_hash"),
     )
     return bloom_contains(hashed, bloom)
+
+
+def repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 20,
+    min_repeats: int = 2,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Span-level (substring) deduplication: the ExactSubstr shape of Lee
+    et al., "Deduplicating Training Data Makes Language Models Better"
+    (arXiv:2107.06499) — any word n-gram occurring >= min_repeats times
+    across the corpus (within-document repeats count too) marks its token
+    span, and overlapping-or-adjacent marked spans merge per document.
+    Complements the document-level operators above: exact/minhash/simhash
+    kill whole near-duplicate documents, this finds the duplicated
+    PASSAGES (boilerplate, licenses, templated paragraphs) inside
+    otherwise-unique documents.
+
+    Output: one row per merged span — (id, span_start, span_end), token
+    indices into the whitespace tokenization, end exclusive.
+
+    Plan: n-gram positions are generated JVM-side (O(tokens) rows per
+    doc), a global groupBy(gram-hash) count keeps only repeated grams, a
+    hash-partitioned join flags positions, and the per-doc merge is one
+    sort window (gaps-and-islands via running max of span end). Every
+    stage is a bounded-key shuffle — no crossJoin, no Python. The gram
+    key is hashed (``hash_fn``, as elsewhere in this module) so shuffles
+    carry longs, not n-word strings; the output is hash-independent
+    modulo collisions."""
+    toks = _tokens(text_col)
+    gram_hashes = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: hash64(F.concat_ws(" ", F.slice(toks, i + 1, n)), hash_fn=hash_fn),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    pos = df.select(F.col(id_col), F.posexplode(gram_hashes).alias("pos", "g"))
+    rep = (
+        pos.groupBy("g")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= min_repeats)
+        .select("g")
+    )
+    flagged = pos.join(rep, "g").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + n).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_new = F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+    island = F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        flagged.withColumn("__island", island)
+        .groupBy(id_col, "__island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + n).cast("long").alias("span_end"),
+        )
+        .drop("__island")
+    )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply :func:`repeated_spans` output: drop every token inside a
+    flagged span and rebuild the text (single-space joined, matching the
+    operator's whitespace tokenization). Adds ``text_clean`` and
+    ``n_removed_tokens``; documents without spans pass through intact.
+    The span table is doc-keyed and far smaller than the corpus, so the
+    join shuffles only (id, spans) rows."""
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toks = _tokens(text_col)
+    spans_arr = F.coalesce(F.col("__spans"), F.array().cast(
+        "array<struct<span_start:bigint,span_end:bigint>>"
+    ))
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            spans_arr,
+            lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+        ),
+    )
+    return (
+        df.join(sp, id_col, "left")
+        .withColumn("text_clean", F.concat_ws(" ", kept))
+        .withColumn("n_removed_tokens", (F.size(toks) - F.size(kept)).cast("long"))
+        .drop("__spans")
+    )

@@ -448,3 +448,42 @@ def test_attributions_docs_inline_weights_match_stored(spark):
             assert set(ref) == set(got[name]), (how, name)
             for k in ref:
                 assert abs(ref[k] - got[name][k]) < 1e-12, (how, name, k)
+
+
+# -------------------------------------------------- span-level (substring) dedup
+
+
+def test_repeated_spans_and_removal(spark):
+    """ExactSubstr-style span dedup (Lee et al. arXiv:2107.06499): a
+    boilerplate passage shared by two documents is flagged in BOTH as one
+    merged span (overlapping n-gram positions fold via gaps-and-islands);
+    within-document repetition flags the whole run; unique documents and
+    sub-n documents emit nothing; removal keeps non-flagged tokens and
+    single-space-rejoins."""
+    from sentometrics_spark.textops.dedup import remove_repeated_spans, repeated_spans
+
+    boiler = "all rights reserved contact us for licensing terms today"
+    docs = spark.createDataFrame(
+        [
+            (1, "unique words alpha beta " + boiler + " gamma delta epsilon"),
+            (2, "other prose here " + boiler + " trailing tail content"),
+            (3, "totally unrelated text with no duplication at all present"),
+            (4, "repeat me repeat me repeat me repeat me repeat me repeat me"),
+            (5, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    sp = repeated_spans(docs, n=5, min_repeats=2)
+    got = sorted(tuple(r) for r in sp.collect())
+    # boiler = 9 tokens -> 5 overlapping 5-gram positions merged into one
+    # span of 9 tokens; doc 4's self-repetition covers all 12 tokens
+    assert got == [(1, 4, 13), (2, 3, 12), (4, 0, 12)]
+    out = {
+        r.doc_id: (r.text_clean, r.n_removed_tokens)
+        for r in remove_repeated_spans(docs, sp).collect()
+    }
+    assert out[1] == ("unique words alpha beta gamma delta epsilon", 9)
+    assert out[2] == ("other prose here trailing tail content", 9)
+    assert out[3] == ("totally unrelated text with no duplication at all present", 0)
+    assert out[4] == ("", 12)
+    assert out[5] == ("short doc", 0)

@@ -93,6 +93,7 @@ def run_benchmarks(cpus: int, sf_dir: str, q1_only: bool = False) -> dict:
     from sentometrics_spark.textops.dedup import minhash_lsh_buckets as _minhash_buckets
     from sentometrics_spark.textops.textstats import gopher_quality as _gopher
     from sentometrics_spark.textops.dedup import simhash_near_pairs as _simhash_pairs
+    from sentometrics_spark.textops.dedup import repeated_spans as _repeated_spans
     from sentometrics_spark.textops.textstats import lm_cross_entropy as _lm_ce
     from sentometrics_spark.aggregate.timeseries import asof_join as _asof_join
     from sentometrics_spark.aggregate.timeseries import ewma_time_decay as _ewma
@@ -284,6 +285,15 @@ def run_benchmarks(cpus: int, sf_dir: str, q1_only: bool = False) -> dict:
             # number; the tiny coef/kernel sides broadcast (plan-tested in
             # tests/test_plans.py).
             ("q17_attrib_docs", _attrib_docs_bench),
+            # q18 (new in round 5): span-level substring dedup
+            # (ExactSubstr) on the replicated corpus — 40x replication
+            # makes EVERY 8-gram repeated, so all ~60M gram positions
+            # flag and every document merges to one full-length span:
+            # the worst-case stress for the count+join+islands pipeline
+            ("q18_repeated_spans", lambda: force(
+                _repeated_spans(
+                    pages.select(F.col("url").alias("doc_id"), "text"),
+                    n=8, min_repeats=2))),
         ]
 
     n_points = 0

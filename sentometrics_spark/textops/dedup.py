@@ -1084,7 +1084,18 @@ def remove_repeated_spans(
     )
     return (
         df.join(sp, id_col, "left")
-        .withColumn("text_clean", F.concat_ws(" ", kept))
-        .withColumn("n_removed_tokens", (F.size(toks) - F.size(kept)).cast("long"))
+        # NULL text is as-if-absent (module NULL convention): no spans
+        # were ever flagged for it, text_clean stays NULL (not ""), and
+        # the removed count is 0
+        .withColumn(
+            "text_clean",
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("string")).otherwise(
+                F.concat_ws(" ", kept)
+            ),
+        )
+        .withColumn(
+            "n_removed_tokens",
+            F.coalesce((F.size(toks) - F.size(kept)).cast("long"), F.lit(0)),
+        )
         .drop("__spans")
     )

@@ -470,6 +470,7 @@ def test_repeated_spans_and_removal(spark):
             (3, "totally unrelated text with no duplication at all present"),
             (4, "repeat me repeat me repeat me repeat me repeat me repeat me"),
             (5, "short doc"),
+            (6, None),
         ],
         "doc_id long, text string",
     )
@@ -487,3 +488,5 @@ def test_repeated_spans_and_removal(spark):
     assert out[3] == ("totally unrelated text with no duplication at all present", 0)
     assert out[4] == ("", 12)
     assert out[5] == ("short doc", 0)
+    # NULL text: as-if-absent — no spans, text_clean stays NULL, count 0
+    assert out[6] == (None, 0)

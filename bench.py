@@ -534,7 +534,8 @@ def main() -> None:
         # (--scaling-events) and the per-series window (--scaling-acf):
         # with this, all four canonical Exchange patterns of the engine
         # have a north-rule datapoint. The sentiment table is synthesized
-        # deterministically (5M docs x 4 measures over 365 daily buckets)
+        # deterministically (SPARK_GRAFT_ATTRIB_DOCS docs x 4 measures over
+        # 365 daily buckets; default 2.5M docs = 10M rows)
         # and materialized to parquet so both levels scan files; the job
         # is attribution ONLY — scoring cost is the --scaling probe's
         # subject, not this one's.

@@ -273,10 +273,24 @@ def with_doc_weights(
         s = s.join(F.broadcast(doc_wc), "bucket_ts")
     score = _ignore_zeros(F.col("score")) if do_ignore_zeros else F.col("score")
     num = F.when(score.isNotNull(), _weight_numerator(how, alpha))
-    den = s.groupBy("bucket_ts", *MEASURE_KEYS).agg(F.sum(num).alias("__den"))
+    keys = ["bucket_ts", *MEASURE_KEYS]
+    # groupBy keeps NULL-key groups and the join back is NULL-SAFE, so a
+    # row with a NULL bucket or measure key still normalizes within its
+    # own (NULL, ...) group — exactly the Window.partitionBy semantics
+    # this formulation replaced (a plain equi-join would silently drop
+    # those rows: NULL never equi-matches)
+    den = (
+        s.groupBy(*keys)
+        .agg(F.sum(num).alias("__den"))
+        .select(*[F.col(k).alias(f"__k_{i}") for i, k in enumerate(keys)], "__den")
+    )
+    cond = None
+    for i, k in enumerate(keys):
+        c = F.col(k).eqNullSafe(F.col(f"__k_{i}"))
+        cond = c if cond is None else cond & c
     out = (
-        s.join(F.broadcast(den), ["bucket_ts", *MEASURE_KEYS])
+        s.join(F.broadcast(den), cond)
         .withColumn("weight", F.try_divide(num, F.col("__den")))
-        .drop("__den")
+        .drop("__den", *[f"__k_{i}" for i in range(len(keys))])
     )
     return out.drop("__bucket_wc") if "__bucket_wc" in out.columns else out

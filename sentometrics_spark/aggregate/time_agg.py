@@ -274,7 +274,11 @@ def _aggregate_time_join(
         idx.crossJoin(F.broadcast(pos))
         .withColumn("__tgt", F.col("__rn") + F.col("__d"))
         .groupBy(*keys, "timeweight", "__tgt")
-        .agg(F.sum(F.col("__w") * F.col("value")).alias("value"))
+        # NULL parity with the window form: there each lag slot is
+        # coalesced to 0.0, so a window of all-NULL values yields 0.0 —
+        # sum() alone would yield NULL for an all-NULL group (partially
+        # NULL windows already agree: a skipped NULL term == a 0 term)
+        .agg(F.coalesce(F.sum(F.col("__w") * F.col("value")), F.lit(0.0)).alias("value"))
     )
     tgt = idx.select(*keys, F.col("__rn").alias("__tgt"), "bucket_ts")
     return (

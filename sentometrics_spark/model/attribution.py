@@ -231,10 +231,28 @@ def attributions_docs(
             .withColumn("tgt_rn", F.col("rn") + (F.lit(lag - 1) - F.col("lag_index")))
             .select("url", "tgt_rn", "part")
         )
+        # executor-side guard (the interval_join pattern — assert_true
+        # gates the value so pruning can't drop it): the fast path is
+        # only sound when rn -> bucket_ts is measure-independent; an
+        # irregular per-measure spine fails LOUDLY instead of silently
+        # mixing prediction dates
         tgt = F.broadcast(
             _indexed(filled_docagg)
-            .select(F.col("rn").alias("tgt_rn"), F.col("bucket_ts").alias("pred_ts"))
-            .dropDuplicates(["tgt_rn", "pred_ts"])
+            .groupBy(F.col("rn").alias("tgt_rn"))
+            .agg(F.collect_set("bucket_ts").alias("__ts"))
+            .select(
+                "tgt_rn",
+                F.when(
+                    F.assert_true(
+                        F.size("__ts") == 1,
+                        "attributions_docs(common_spine=True) requires every "
+                        "measure to share one bucket spine (any measures_fill "
+                        "panel does); pass common_spine=False for irregular "
+                        "per-measure spines",
+                    ).isNull(),
+                    F.element_at("__ts", 1),
+                ).alias("pred_ts"),
+            )
         )
         return (
             parts.join(tgt, ["tgt_rn"])

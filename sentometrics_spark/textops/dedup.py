@@ -1067,11 +1067,15 @@ def remove_repeated_spans(
     operator's whitespace tokenization). Adds ``text_clean`` and
     ``n_removed_tokens``; documents without spans pass through intact.
     The span table is doc-keyed and far smaller than the corpus, so the
-    join shuffles only (id, spans) rows."""
+    join shuffles only (id, spans) rows.
+
+    Reconstruction splits the ORIGINAL text (case preserved) — span
+    indices align because repeated_spans' lowercasing changes token
+    contents for gram matching, never token boundaries."""
     sp = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )
-    toks = _tokens(text_col)
+    toks = F.split(F.col(text_col), " ")
     spans_arr = F.coalesce(F.col("__spans"), F.array().cast(
         "array<struct<span_start:bigint,span_end:bigint>>"
     ))

@@ -490,3 +490,113 @@ def test_repeated_spans_and_removal(spark):
     assert out[5] == ("short doc", 0)
     # NULL text: as-if-absent — no spans, text_clean stays NULL, count 0
     assert out[6] == (None, 0)
+
+
+# ------------------------------------------------- review-pass regressions
+
+
+def test_remove_repeated_spans_preserves_case(spark):
+    """Reconstruction must split the ORIGINAL text: gram matching
+    lowercases, but token boundaries are case-independent, so span
+    indices transfer and untouched documents keep their casing."""
+    from sentometrics_spark.textops.dedup import remove_repeated_spans, repeated_spans
+
+    boiler = "All Rights Reserved Contact Us"
+    docs = spark.createDataFrame(
+        [
+            (1, "Alpha Beta " + boiler + " Gamma"),
+            (2, "Delta Epsilon " + boiler.upper() + " Zeta"),
+            (3, "Mixed Case Unique Text Entirely Here"),
+        ],
+        "doc_id long, text string",
+    )
+    sp = repeated_spans(docs, n=3, min_repeats=2)
+    # matching is case-insensitive: boiler flags in both docs
+    assert {r.doc_id for r in sp.collect()} == {1, 2}
+    out = {r.doc_id: r.text_clean for r in remove_repeated_spans(docs, sp).collect()}
+    assert out[1] == "Alpha Beta Gamma"
+    assert out[2] == "Delta Epsilon Zeta"
+    assert out[3] == "Mixed Case Unique Text Entirely Here"
+
+
+def test_aggregate_time_join_null_window_matches_window_strategy(spark):
+    """An all-NULL lag window yields 0.0 under BOTH strategies (the
+    window form coalesces each lag slot; the join form coalesces the
+    group sum). Partially-NULL windows agree structurally (skipped NULL
+    term == zero term)."""
+    from sentometrics_spark.aggregate.time_agg import aggregate_time
+
+    rows = [
+        (datetime(2024, 1, 1 + i), "L", "f", None if i < 4 else float(i))
+        for i in range(8)
+    ]
+    panel = spark.createDataFrame(
+        rows, "bucket_ts timestamp, lexicon string, feature string, value double"
+    )
+    kernels = {"k": __import__("numpy").linspace(1.0, 3.0, 3)}
+    w = {r.bucket_ts: r.value for r in aggregate_time(
+        panel, kernels, 3, strategy="window", check_lag=False).collect()}
+    j = {r.bucket_ts: r.value for r in aggregate_time(
+        panel, kernels, 3, strategy="join", check_lag=False).collect()}
+    assert set(w) == set(j) and len(w) == 6
+    # target at index 2: window entirely NULL -> 0.0 in both
+    assert w[datetime(2024, 1, 3)] == 0.0 and j[datetime(2024, 1, 3)] == 0.0
+    for k in w:
+        assert abs(w[k] - j[k]) < 1e-12, (k, w[k], j[k])
+
+
+def test_attributions_docs_common_spine_guard_fails_loudly(spark):
+    """An irregular per-measure spine under the default fast path raises
+    (executor-side assert) instead of silently mixing prediction dates;
+    common_spine=False handles the same input."""
+    import numpy as np
+    import pandas as pd
+
+    from sentometrics_spark.aggregate.kernels import setup_time_weights
+    from sentometrics_spark.config import TimeKernelSpec
+    from sentometrics_spark.model.attribution import attributions_docs, coef_df
+
+    sent = spark.createDataFrame(
+        [(f"u{i}", datetime(2024, 1, 1 + i % 6), "LA", "f1", 0.5, 10) for i in range(12)],
+        "url string, warc_ts timestamp, lexicon string, feature string, score double, word_count long",
+    )
+    # measure LB's spine starts 2 days later -> rn->bucket_ts differs
+    irregular = spark.createDataFrame(
+        [(datetime(2024, 1, 1 + i), "LA", "f1", 0.1 * i) for i in range(6)]
+        + [(datetime(2024, 1, 3 + i), "LB", "f1", 0.2 * i) for i in range(6)],
+        "bucket_ts timestamp, lexicon string, feature string, value double",
+    )
+    lag = 2
+    kernels = setup_time_weights((TimeKernelSpec("equal_weight"),), lag)
+    cdf = coef_df(spark, pd.Series({
+        f"{lx}--f1--{tw}": 0.3 for lx in ("LA", "LB") for tw in kernels
+    }))
+    bad = attributions_docs(sent, None, irregular, cdf, kernels, lag, "day")
+    with pytest.raises(Exception, match="common_spine"):
+        bad.collect()
+    ok = attributions_docs(
+        sent, None, irregular, cdf, kernels, lag, "day", common_spine=False
+    )
+    assert ok.count() > 0
+
+
+def test_doc_weights_null_bucket_rows_survive(spark):
+    """A NULL warc_ts (hence NULL bucket) row normalizes within its own
+    NULL group instead of vanishing through the denominator join — the
+    Window.partitionBy semantics the aggregate-and-broadcast form
+    replaced."""
+    from sentometrics_spark.aggregate.doc_agg import doc_weights
+
+    sent = spark.createDataFrame(
+        [
+            ("a", datetime(2024, 1, 1), "LA", "f1", 1.0, 5),
+            ("b", datetime(2024, 1, 1), "LA", "f1", 2.0, 5),
+            ("c", None, "LA", "f1", 3.0, 5),
+            ("d", None, "LA", "f1", 4.0, 5),
+        ],
+        "url string, warc_ts timestamp, lexicon string, feature string, score double, word_count long",
+    )
+    w = {r.url: (r.bucket_ts, r.weight) for r in doc_weights(sent, by="day").collect()}
+    assert set(w) == {"a", "b", "c", "d"}
+    assert w["c"][0] is None and abs(w["c"][1] - 0.5) < 1e-12
+    assert abs(w["a"][1] - 0.5) < 1e-12

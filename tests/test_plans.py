@@ -250,3 +250,42 @@ def test_round4_timeseries_plan_shapes(spark):
             plan_of(acf(ev, 3, series_keys=["g"])),
         ):
             assert name not in q, name
+
+
+def test_repeated_spans_plan_bounded(spark):
+    """Span-level dedup stays bounded-key end to end: no CartesianProduct
+    and no NestedLoopJoin anywhere (gram positions explode JVM-side, the
+    repeated-gram filter is a hash-partitioned equi-join, the per-doc
+    merge one sort window). The gram count table is corpus-sized, so it
+    is NOT broadcast — the join must be a shuffle hash/merge join."""
+    from sentometrics_spark.textops.dedup import repeated_spans
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    p = plan_of(repeated_spans(docs, n=8, min_repeats=2))
+    assert "CartesianProduct" not in p, p
+    assert "NestedLoopJoin" not in p, p
+    assert "Generate" in p, p  # the posexplode of gram positions
+
+
+def test_lsh_topk_single_corpus_scan(spark):
+    """The round-5 LSH rewrite computes EVERY hash table's bucket in one
+    pass (posexplode over the per-table bucket expressions): the plan
+    scans the embeddings relation once per join side — not once per
+    table — and the query side joins by broadcast."""
+    from pyspark.sql import functions as F
+
+    from sentometrics_spark.textops.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = emb.limit(3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    p = plan_of(lsh_topk(emb, q, k=5, bits=8, n_tables=4, dim=64))
+    # corpus side scanned once + query side (built from the same parquet)
+    # once: 2 scan NODES total regardless of n_tables=4 (formatted mode
+    # prints each node twice — count the detail headers)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, flags=re.M)) == 2, p
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p

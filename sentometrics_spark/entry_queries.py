@@ -589,6 +589,56 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM g2 GROUP BY doc_id, island"""
 
 
+def q_contaminated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark decontamination (textops/dedup.py
+    contaminated_spans): docs from src0/src1 play the eval benchmark;
+    every 8-gram of a remaining doc that verbatim-reproduces a benchmark
+    gram flags its token span, merged per document — the localizing
+    complement of the doc-level `decontaminate` row."""
+    from sentometrics_spark.textops.dedup import contaminated_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("source").isin("src0", "src1"))
+    train = docs.filter(~F.col("source").isin("src0", "src1"))
+    return contaminated_spans(train, bench, n=8).select(
+        F.col("doc_id").cast("long"), "span_start", "span_end"
+    )
+
+
+SQL_CONTAMINATED_SPANS = """WITH toks AS (
+  SELECT doc_id, source, string_split(lower(text), ' ') AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, source, CAST(gs.i AS BIGINT) AS pos,
+         array_to_string(t[gs.i + 1 : gs.i + 8], ' ') AS g
+  FROM toks,
+       LATERAL (SELECT unnest(range(0, greatest(len(t) - 8 + 1, 0))) AS i) gs
+),
+bg AS (SELECT DISTINCT g FROM pos WHERE source IN ('src0', 'src1')),
+fl AS (
+  SELECT p.doc_id, p.pos FROM pos p JOIN bg USING (g)
+  WHERE p.source NOT IN ('src0', 'src1')
+),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR pos > max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS ni
+  FROM fl
+),
+g2 AS (
+  SELECT doc_id, pos,
+         sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 8 AS BIGINT) AS span_end
+FROM g2 GROUP BY doc_id, island"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs at threshold 0.8 (the shingle
     self-join path; hot-shingle cap inactive at this df scale so the
@@ -4390,6 +4440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup_pairs": q_embed_neardup,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "repeated_spans_n8": q_repeated_spans,
+        "contaminated_spans_n8": q_contaminated_spans,
         "text_quality": q_text_quality,
         "gopher_quality": q_gopher_quality,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -4660,6 +4711,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_neardup_pairs": SQL_EMBED_NEARDUP,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
         "repeated_spans_n8": SQL_REPEATED_SPANS,
+        "contaminated_spans_n8": SQL_CONTAMINATED_SPANS,
         "text_quality": SQL_TEXT_QUALITY,
         "events_hourly": SQL_EVENTS_HOURLY,
         "tier_store_roundtrip": agg_docs_sql("proportional", "day"),

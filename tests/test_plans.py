@@ -254,17 +254,21 @@ def test_round4_timeseries_plan_shapes(spark):
 
 def test_repeated_spans_plan_bounded(spark):
     """Span-level dedup stays bounded-key end to end: no CartesianProduct
-    and no NestedLoopJoin anywhere (gram positions explode JVM-side, the
-    repeated-gram filter is a hash-partitioned equi-join, the per-doc
-    merge one sort window). The gram count table is corpus-sized, so it
-    is NOT broadcast — the join must be a shuffle hash/merge join."""
+    and no NestedLoopJoin anywhere. Round 6 replaced the
+    groupBy(g) + join-back with a single window count over the gram hash
+    (the aggregate and probe sides were separate exchanges, so the gram
+    generation ran twice) — the plan now has NO join at all and exactly
+    one Generate (the posexplode of the Arrow kernel's per-doc gram
+    array)."""
     from sentometrics_spark.textops.dedup import repeated_spans
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
     p = plan_of(repeated_spans(docs, n=8, min_repeats=2))
     assert "CartesianProduct" not in p, p
     assert "NestedLoopJoin" not in p, p
+    assert "SortMergeJoin" not in p, p  # repeated-gram flag is a window now
     assert "Generate" in p, p  # the posexplode of gram positions
+    assert p.count("Window") >= 2, p  # gram-count window + span-merge window
 
 
 def test_lsh_topk_single_corpus_scan(spark):

@@ -287,12 +287,21 @@ def _minhash_banded_arrow(
                 sh = acc
                 h32 = sh & np.uint64(0xFFFFFFFF)
 
-                # k affine permutations, per-doc minima
+                # k affine permutations, per-doc minima. The mod by the
+                # Mersenne prime M = 2^31 - 1 is computed by exact folding
+                # (2^31 === 1 mod M, so x mod M folds as (x >> 31) + (x & M);
+                # a*h32 + b < 2^63, two folds land below 2M, one conditional
+                # subtract finishes) — numpy uint64 `%` is a hardware divide
+                # per element and dominated this loop.
                 mins = np.empty((len(ids), k), dtype=np.uint64)
                 red = sh_offs
+                s31 = np.uint64(31)
                 for j in range(k):
-                    perm = (a_np[j] * h32 + b_np[j]) % p_u64
-                    mins[:, j] = np.minimum.reduceat(perm, red)
+                    y = a_np[j] * h32 + b_np[j]
+                    y = (y >> s31) + (y & p_u64)
+                    y = (y >> s31) + (y & p_u64)
+                    y = np.where(y >= p_u64, y - p_u64, y)
+                    mins[:, j] = np.minimum.reduceat(y, red)
                 # empty-text docs (lens==0 after split never happens: split
                 # of "" is [""]), so every doc has >= 1 shingle
 
@@ -602,13 +611,38 @@ def _simhash_arrow(df: DataFrame, id_col: str, bits: int) -> DataFrame:
             vocab = np.asarray(dic.dictionary.to_pylist(), dtype=object)
             th = pd.util.hash_array(vocab).astype(np.uint64)[idx]
             offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            sig = np.zeros(len(ids), dtype=np.uint64)
-            for b in range(bits):
-                contrib = (
-                    ((th >> np.uint64(b)) & np.uint64(1)).astype(np.int64) * 2 - 1
-                )
-                votes = np.add.reduceat(contrib, offs)
-                sig |= (votes > 0).astype(np.uint64) << np.uint64(b)
+            # one unpackbits + segmented reduceat instead of `bits`
+            # shift/mask passes over the token-hash array (the old loop
+            # streamed ~bits x 5 temporaries over th — the kernel was
+            # memory-bandwidth-bound on it). bits_u8[t, b] == bit b of
+            # th[t] (little-endian bytes + little bitorder). The per-doc
+            # bit sums accumulate in uint8, so token ranges are split
+            # into <= 255-token segments first (sum of <= 255 ones fits),
+            # then segments fold per doc in int64.
+            bits_u8 = np.unpackbits(
+                th.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            )[:, :bits]
+            cap = 255
+            n_seg = (lens + cap - 1) // cap  # lens >= 1: split("") is [""]
+            first_seg = np.concatenate(([0], np.cumsum(n_seg)[:-1]))
+            seg_idx = (
+                np.arange(int(n_seg.sum()), dtype=np.int64)
+                - first_seg.repeat(n_seg)
+            )
+            seg_offs = offs.repeat(n_seg) + seg_idx * cap
+            part = np.add.reduceat(bits_u8, seg_offs, axis=0).astype(np.int64)
+            votes = (
+                np.add.reduceat(part, first_seg, axis=0)
+                if len(first_seg) < len(seg_offs)
+                else part
+            )  # [n_docs, bits] count of 1-bits per doc
+            # +1/-1 vote sign: 2*ones - n_tokens > 0  <=>  2*ones > n_tokens
+            sig_bits = np.zeros((len(ids), 64), dtype=bool)
+            sig_bits[:, :bits] = (2 * votes) > lens[:, None]
+            sig = (
+                np.packbits(sig_bits, axis=1, bitorder="little")
+                .copy().view(np.uint64).ravel()
+            )
             yield pd.DataFrame({id_col: ids, "simhash": sig.astype(np.int64)})
 
     return df.select(id_col, "text").mapInPandas(gen, out_schema)

@@ -65,6 +65,64 @@ def test_duplicated_spans_window_form_matches_join_form(spark):
     assert len(new) > 0
 
 
+def test_simhash_unpackbits_kernel_matches_bit_loop(spark):
+    """The round-6 simhash kernel (one unpackbits + segmented reduceat)
+    must produce bit-identical signatures to the original per-bit
+    shift/mask vote loop, reimplemented here as the reference."""
+    import numpy as np
+    import pandas as pd
+
+    from sentometrics_spark.textops.dedup import simhash
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    got = {r["doc_id"]: r["simhash"] for r in simhash(docs, "doc_id").collect()}
+
+    pdf = docs.toPandas()
+    pdf = pdf[pdf["text"].notna()]
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.Array.from_pandas(pdf["text"].astype(str))
+    toks = pc.split_pattern(pc.utf8_lower(arr), " ")
+    flat = pc.list_flatten(toks)
+    lens = np.asarray(pc.list_value_length(toks).to_numpy(zero_copy_only=False),
+                      dtype=np.int64)
+    dic = flat.dictionary_encode()
+    idx = np.asarray(dic.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
+    vocab = np.asarray(dic.dictionary.to_pylist(), dtype=object)
+    th = pd.util.hash_array(vocab).astype(np.uint64)[idx]
+    offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    sig = np.zeros(len(pdf), dtype=np.uint64)
+    for b in range(64):
+        contrib = ((th >> np.uint64(b)) & np.uint64(1)).astype(np.int64) * 2 - 1
+        votes = np.add.reduceat(contrib, offs)
+        sig |= (votes > 0).astype(np.uint64) << np.uint64(b)
+    want = dict(zip(pdf["doc_id"].to_numpy(), sig.astype(np.int64)))
+    # the distributed kernel batches differently but per-doc hashes are
+    # batch-independent
+    assert got == want
+
+
+def test_mersenne_fold_equals_mod():
+    """The minhash kernel's folded reduction must equal `% (2^31-1)`
+    exactly over the full (a*h32 + b) input range."""
+    import numpy as np
+
+    M = np.uint64((1 << 31) - 1)
+    rng = np.random.default_rng(7)
+    a = rng.integers(1, (1 << 31) - 1, 200_000, dtype=np.uint64)
+    h = rng.integers(0, 1 << 32, 200_000, dtype=np.uint64)
+    b = rng.integers(0, (1 << 31) - 1, 200_000, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        y0 = a * h + b
+        # plant exact multiples of M and boundary values
+        y0[:4] = [0, int(M), int(2 * M), (1 << 63) - 1]
+        y = (y0 >> np.uint64(31)) + (y0 & M)
+        y = (y >> np.uint64(31)) + (y & M)
+        y = np.where(y >= M, y - M, y)
+    assert (y == y0 % M).all()
+
+
 def test_gram_arrow_kernel_null_and_short_docs(spark):
     """Kernel edge cases: NULL text contributes no gram rows (module NULL
     convention), docs shorter than n contribute none, and a doc of

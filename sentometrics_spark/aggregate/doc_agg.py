@@ -269,8 +269,16 @@ def with_doc_weights(
             .distinct()
             .groupBy("bucket_ts")
             .agg(F.sum("word_count").cast("double").alias("__bucket_wc"))
+            .withColumnRenamed("bucket_ts", "__wc_bucket_ts")
         )
-        s = s.join(F.broadcast(doc_wc), "bucket_ts")
+        # null-SAFE equi-join (ADVICE r5): groupBy keeps the NULL-bucket
+        # group, and <=> lets those rows pick their denominator up — a
+        # plain equi-join dropped NULL-bucket rows here before the
+        # null-safe weight-denominator join below ever saw them
+        s = s.join(
+            F.broadcast(doc_wc),
+            F.col("bucket_ts").eqNullSafe(F.col("__wc_bucket_ts")),
+        ).drop("__wc_bucket_ts")
     score = _ignore_zeros(F.col("score")) if do_ignore_zeros else F.col("score")
     num = F.when(score.isNotNull(), _weight_numerator(how, alpha))
     keys = ["bucket_ts", *MEASURE_KEYS]

@@ -438,11 +438,12 @@ def interval_join(
     equi-join on every points column would drop any point carrying a NULL
     attribute (NULL != NULL never matches its own matched copy) and
     cross-multiply duplicate point rows. The surrogate id is
-    ``monotonically_increasing_id`` stamped on the scan before the plan
-    branches; both join sides derive from the same deterministic scan with
-    the same partitioning, so the ids agree across the two subtree
-    evaluations (the standard self-join-back contract — feed this operator
-    a deterministic source, not e.g. an unordered ``sample()``).
+    ``monotonically_increasing_id`` pinned with a lazy ``localCheckpoint``
+    before the plan branches, so both join sides read the SAME stored id
+    values even when the points input carries an upstream shuffle whose
+    intra-partition order is not reproducible across evaluations (a lost
+    checkpoint block fails the job loudly rather than recomputing
+    different ids).
     """
     if how not in ("inner", "left"):
         raise ValueError("how must be inner|left")
@@ -473,7 +474,16 @@ def interval_join(
     ).withColumn("__bucket", F.explode(guarded))
     pts0 = points
     if how == "left":
-        pts0 = points.withColumn("__pid", F.monotonically_increasing_id())
+        # the surrogate id is joined back across TWO plan branches; if the
+        # points input carries an upstream shuffle, intra-partition row
+        # order (hence monotonically_increasing_id) is not reproducible
+        # across the branches' independent evaluations and rows would be
+        # silently dropped or mis-matched. localCheckpoint pins the id
+        # column once (lineage truncated: a lost block fails the job
+        # loudly instead of recomputing different ids) — ADVICE r5 fix.
+        pts0 = points.withColumn(
+            "__pid", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=False)
     pts = pts0.withColumn("__bucket", F.date_trunc(bucket, F.col(on)))
     matched = pts.join(iv, on=by + ["__bucket"], how="inner").filter(
         (F.col(on) >= F.col(start)) & (F.col(on) <= F.col(end))

@@ -194,6 +194,10 @@ def attributions_docs(
 
         sw = with_doc_weights(s, how, do_ignore_zeros, alpha)
     else:
+        # doc-sized x doc-sized equi-join; sort-merge is deliberate — a
+        # shuffled-hash build of the weights side was A/B-measured SLOWER
+        # here (hash-table build on the near-unique key costs more than
+        # the two sorts it saves; round-6 measurement, OPTIMIZATION_r06.md)
         sw = s.join(weights, ["url", "bucket_ts", *MEASURE_KEYS])
     if common_spine:
         # contract MEASURES out before any fan-out: per (url, rn) the

@@ -145,16 +145,12 @@ def compute_sentiment_algebraic(
     spark = pages.sparkSession
     lexdf = lexicon_df(spark, lexicons)
 
-    # fail fast on languages without a lexicon — otherwise the lexicon
-    # spine filter below would silently drop those documents.
+    # fail fast on languages without a lexicon — otherwise the inner join
+    # below would silently drop those documents.
     check_language_coverage(pages, set(lexicons.lex), validate_langs)
 
     feats = feature_columns(pages)
-    # NULL-lang docs can never match a (lang, lexicon) pair, so they
-    # produce no output under either formulation; filtering here keeps
-    # the IsNotNull(lang) predicate pushed down to the parquet scan (the
-    # old inner spine join used to infer it)
-    docs = pages.filter(F.col("lang").isNotNull()).select(
+    docs = pages.select(
         "url",
         "warc_ts",
         "lang",
@@ -162,56 +158,45 @@ def compute_sentiment_algebraic(
         _tokens().alias("tokens"),
     ).withColumn("word_count", F.size("tokens"))
 
-    # SINGLE-AGGREGATION plan (round 6): document metadata rides the token
-    # stream through posexplode_outer (a zero-token doc still emits one
-    # null-token row, so it keeps its explicit 0 scores), the lexicon
-    # lookup is a broadcast LEFT join, and ONE groupBy(url) folds
-    # per-lexicon conditional sums into wide columns. The previous
-    # formulation aggregated hits per (url, lexicon) and SortMergeJoined
-    # the scores back onto a doc spine — two extra doc-sized Exchanges +
-    # sorts that dominated the scoring plan (measured: 4.1 -> ~2.0 s noop
-    # on the 200k-doc suite corpus; guide §2.4). ``url`` is the document
-    # key (unique per corpus contract S1), so groupBy(url) is exactly the
-    # old doc spine.
     tok = docs.select(
-        "url", "warc_ts", "lang", "word_count", *feats,
-        F.posexplode_outer("tokens").alias("pos", "token"),
+        "url", "lang", "word_count", F.posexplode("tokens").alias("pos", "token")
     )
+
+    hits = tok.join(
+        F.broadcast(lexdf),
+        (tok["lang"] == lexdf["lang"]) & (tok["token"] == lexdf["word"]),
+        "inner",
+    ).select(tok["url"], tok["lang"], "word_count", "pos", "token", "lexicon", "y")
 
     if use_valence_bigram:
         # bigram valence: multiply a hit by the shifter value of the token
         # immediately before it (/root/reference/src/SentimentScorerBigrams.h:62-66).
-        # k = max(0, j - 1): at document position 0 the C++ clamps the
-        # lookup index to the token ITSELF
-        # (/root/reference/src/SentimentScorerBigrams.h:68-69)
         from pyspark.sql.window import Window
 
-        w = Window.partitionBy("url").orderBy("pos")
-        tok = tok.withColumn(
-            "prev_token", F.coalesce(F.lag("token").over(w), F.col("token"))
-        )
-
-    lx = lexdf.select(
-        F.col("lang").alias("__llang"),
-        F.col("word").alias("__lword"),
-        "lexicon",
-        "y",
-    )
-    hits = tok.join(
-        F.broadcast(lx),
-        (tok["lang"] == F.col("__llang")) & (tok["token"] == F.col("__lword")),
-        "left",
-    ).drop("__llang", "__lword")
-
-    if use_valence_bigram:
         vdf = valence_df(spark, lexicons).select(
             F.col("lang").alias("vlang"), F.col("word").alias("vword"), "vy"
         )
-        hits = hits.join(
-            F.broadcast(vdf),
-            (F.col("lang") == F.col("vlang")) & (F.col("prev_token") == F.col("vword")),
-            "left",
-        ).withColumn("y", F.col("y") * F.coalesce(F.col("vy"), F.lit(1.0)))
+        # k = max(0, j - 1): at document position 0 the C++ clamps the
+        # lookup index to the token ITSELF
+        # (/root/reference/src/SentimentScorerBigrams.h:68-69)
+        w = Window.partitionBy("url").orderBy("pos")
+        tok_prev = tok.withColumn(
+            "prev_token", F.coalesce(F.lag("token").over(w), F.col("token"))
+        )
+        hits = (
+            tok_prev.join(
+                F.broadcast(lexdf),
+                (tok_prev["lang"] == lexdf["lang"]) & (tok_prev["token"] == lexdf["word"]),
+                "inner",
+            )
+            .select(tok_prev["url"], tok_prev["lang"], "word_count", "pos", "token", "prev_token", "lexicon", "y")
+            .join(
+                F.broadcast(vdf),
+                (F.col("lang") == F.col("vlang")) & (F.col("prev_token") == F.col("vword")),
+                "left",
+            )
+            .withColumn("y", F.col("y") * F.coalesce(F.col("vy"), F.lit(1.0)))
+        )
 
     if how == "counts":
         contrib = F.col("y")
@@ -249,42 +234,38 @@ def compute_sentiment_algebraic(
     else:
         contrib = F.col("y") * _position_weight_expr(how)
 
-    # one wide aggregation per document: per-lexicon conditional sums
-    # (null lexicon = non-hit token -> the when() skips it); a zero-hit
-    # (url, lexicon) sums to NULL and coalesces to the explicit 0 row the
-    # old left-join spine produced
-    lex_names = lexicons.lexicon_names()
-    aggs = [F.first(c).alias(c) for c in ("warc_ts", "lang", "word_count", *feats)]
-    for i, name in enumerate(lex_names):
-        is_lx = F.col("lexicon") == name
-        if how == "proportionalPol":
-            s = F.sum(F.when(is_lx, contrib)) / F.count(F.when(is_lx, F.lit(1)))
-        else:
-            s = F.sum(F.when(is_lx, contrib))
-        aggs.append(F.coalesce(s, F.lit(0.0)).alias(f"__lex_{i}"))
-    wide = hits.groupBy("url").agg(*aggs)
+    if how == "proportionalPol":
+        scores = hits.groupBy("url", "lexicon").agg(
+            (F.sum(contrib) / F.count("*")).alias("lex_score")
+        )
+    else:
+        scores = hits.groupBy("url", "lexicon").agg(F.sum(contrib).alias("lex_score"))
+
+    # doc x lexicon spine so zero-hit documents keep explicit 0 rows
+    lex_names = lexdf.select("lang", "lexicon").distinct()
+    spine = docs.join(F.broadcast(lex_names), "lang")
+    out = spine.join(scores, ["url", "lexicon"], "left").withColumn(
+        "lex_score", F.coalesce("lex_score", F.lit(0.0))
+    )
 
     # feature spreading (C7): lexicon score x feature weight
-    # (/root/reference/R/sentiment_engines.R:2-9) — one stack over the
-    # (lexicon x feature) grid
-    entries = ", ".join(
-        f"'{name}', '{f}', (`__lex_{i}` * `{f}`)"
-        for i, name in enumerate(lex_names)
-        for f in feats
-    )
-    out = wide.select(
+    # (/root/reference/R/sentiment_engines.R:2-9)
+    stack_expr = ", ".join(f"'{f}', {f}" for f in feats)
+    out = out.select(
         "url",
         "warc_ts",
         "lang",
         "word_count",
-        F.expr(
-            f"stack({len(lex_names) * len(feats)}, {entries}) AS (lexicon, feature, score)"
-        ),
+        "lexicon",
+        F.expr(f"stack({len(feats)}, {stack_expr}) AS (feature, fval)"),
+        "lex_score",
+    ).select(
+        "url",
+        "warc_ts",
+        "lang",
+        "word_count",
+        "lexicon",
+        "feature",
+        (F.col("lex_score") * F.col("fval")).alias("score"),
     )
-    # a document only carries the lexicons of its language (the old
-    # docs x lex_names inner spine): broadcast semi-join on the tiny
-    # (lang, lexicon) dim
-    valid = lexdf.select("lang", "lexicon").distinct()
-    return out.join(F.broadcast(valid), ["lang", "lexicon"], "left_semi").select(
-        "url", "warc_ts", "lang", "word_count", "lexicon", "feature", "score"
-    )
+    return out

@@ -224,7 +224,7 @@ def stream_sessionize(
     events_stream: DataFrame,
     gap_min: int = 30,
     watermark_delay: str = "0 seconds",
-    max_events_per_user_batch: int | None = 1_000_000,
+    max_events_per_user_batch: int | None = None,
 ):
     """Stateful gap-based sessionization over a STREAM: the custom-stateful
     counterpart of the batch lag+cumsum plan (entry_queries.q_events_sessionize).
@@ -245,8 +245,10 @@ def stream_sessionize(
     are folded (earliest-first keeps session starts exact; a bot hot
     enough to hit the cap has one ever-extending session whose tail
     metrics are approximate anyway) and the drop is logged to the executor
-    log with the user key and count — the drop-and-log contract. ``None``
-    disables the cap.
+    log with the user key and count — the drop-and-log contract. The cap
+    defaults to ``None`` (OFF), for parity with ``funnel_stages``' opt-in
+    defensive cap (ADVICE r5): exact results by default, opt in on
+    untrusted streams.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

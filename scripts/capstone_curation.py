@@ -115,6 +115,37 @@ def main() -> None:
         ).collect()[0][0],
     )
 
+    # 6-8. span-level cleaning (the full Lee et al. ExactSubstr pipeline,
+    # arXiv:2107.06499) over the raw replicated corpus — the worst-case
+    # regime where every 8-gram of a replicated page is flagged and spans
+    # merge wall-to-wall, the same stress as the suite's q18. The span
+    # table is consumed twice (count + removal), so it is persisted for
+    # the duration of the stage pair.
+    span_src = docs.select("doc_id", "text")
+    spans = dedup.repeated_spans(span_src, n=8, min_repeats=2).persist()
+    stage("repeated_spans", lambda: spans.agg(F.count("*")).collect()[0][0])
+    cleaned = dedup.remove_repeated_spans(span_src, spans)
+    stage(
+        "remove_repeated_spans",
+        lambda: cleaned.agg(
+            F.count("*"), F.sum("n_removed_tokens")
+        ).collect()[0][0],
+    )
+    spans.unpersist()
+
+    # span-level benchmark decontamination: src0/src1 play the eval
+    # benchmark (the contaminated_spans_n8 contract); a doc carrying any
+    # leaked span is DROPPED from the remaining pool
+    bench = docs.filter(F.col("source").isin("src0", "src1")).select("doc_id", "text")
+    train = docs.filter(~F.col("source").isin("src0", "src1")).select("doc_id", "text")
+    cont = dedup.contaminated_spans(train, bench, n=8)
+    stage(
+        "contaminated_drop",
+        lambda: train.join(
+            cont.select("doc_id").distinct(), "doc_id", "left_anti"
+        ).agg(F.count("*")).collect()[0][0],
+    )
+
     total = round(sum(s["wall_sec"] for s in results["stages"].values()), 2)
     results["total_wall_sec"] = total
     results["docs_per_sec_total"] = round(n_docs * len(results["stages"]) / total, 1)

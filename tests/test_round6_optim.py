@@ -103,6 +103,25 @@ def test_simhash_unpackbits_kernel_matches_bit_loop(spark):
     assert got == want
 
 
+def test_span_cleaning_reaches_fixpoint_on_real_corpus(spark):
+    """End-to-end span-cleaning invariant (VERDICT r5 item 3): applying
+    remove_repeated_spans to the real corpus leaves NO repeated 8-gram
+    span behind — repeated_spans of the cleaned corpus is empty. (Every
+    occurrence of a repeated gram is flagged, so removal takes the count
+    of each flagged gram to zero; token juxtaposition at span boundaries
+    could in principle mint new repeats, which this pins as absent on
+    the real corpus.)"""
+    from sentometrics_spark.textops.dedup import remove_repeated_spans, repeated_spans
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    spans = repeated_spans(docs, n=8, min_repeats=2)
+    assert spans.count() > 0
+    cleaned = remove_repeated_spans(docs, spans).select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    assert repeated_spans(cleaned, n=8, min_repeats=2).count() == 0
+
+
 def test_interval_join_left_survives_shuffled_points(spark):
     """ADVICE r5 (medium): interval_join(how='left') joins a surrogate
     row id back across two plan branches. With a shuffle upstream of the

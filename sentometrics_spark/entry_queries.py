@@ -4469,7 +4469,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_week_cap40": q_funnel_week_cap,
         "funnel_overflow_cap40": q_funnel_overflow,
     }
-    return q
+    # Round 6 (VERDICT r5 next-round item 1): the driver grades the FIRST
+    # 50 rows, so dict order decides which operator families get the hard
+    # external signal. Rotate the graded window to carry one
+    # representative per family — golden cross-validation rows first,
+    # then corpus/scoring/aggregation sentinels (2-4 per family instead
+    # of every how-variant), then the families that had never been
+    # driver-graded: panel ops, stats, update, attribution (R8 x3), the
+    # round-5 timeseries hardening rows, sketch tiers, span-level dedup /
+    # decontamination, connected components, the LM quality gate and the
+    # sampling/packing operators. Every displaced query KEEPS its name,
+    # body and oracle SQL and stays in the contract (rows 51+), pinned by
+    # scripts/check_oracles.py.
+    graded_window = [
+        "golden_usnews_bigram_counts", "golden_usnews_proportional",
+        "golden_usnews_cluster_counts", "golden_multilang_bigram_counts",
+        "golden_multilang_proportional",
+        "corpus_pages", "corpus_summarize_day", "extract_text_invariant",
+        "sent_counts", "sent_tfidf", "sent_bigram_counts",
+        "sent_udf_proportional", "sent_tokens_passthrough",
+        "sentence_doc_rollup",
+        "agg_day_equal", "agg_month_exponential", "agg_day_salted",
+        "measures_day_almon_lag7", "measures_day_almon_lag7_joinstrat",
+        "measures_day_linear_lag7_latest",
+        "tier_day_from_hour", "tier_store_roundtrip",
+        "measures_scale", "measures_global", "measures_stats",
+        "measures_mean_corr", "measures_update_full", "measures_wide_pivot",
+        "measures_subset_select", "measures_introspect",
+        "as_sentiment_coerce", "merge_sentiment_split",
+        "peakdocs_top10", "peakdates_top5",
+        "attrib_lexicon", "attrib_lags", "attrib_docs_latest",
+        "interval_join_left", "funnel_week_cap40", "funnel_overflow_cap40",
+        "events_sessionize", "cusum_user_value", "holt_forecast_12h",
+        "histogram_day",
+        "repeated_spans_n8", "contaminated_spans_n8", "dedup_components",
+        "lm_cross_entropy", "sample_temperature", "pack_documents",
+    ]
+    head = [k for k in graded_window if k in q]
+    return {k: q[k] for k in head} | {k: v for k, v in q.items() if k not in head}
 
 
 def _panel_oracles() -> dict[str, str]:

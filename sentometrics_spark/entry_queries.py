@@ -46,9 +46,15 @@ def _r6(col) -> F.Column:
     """Tie-stable rounding to 6 decimals: floor(x*1e6 + 0.5 + 1e-9)/1e6.
     Used instead of round() so Spark and DuckDB agree bit-for-bit: the 1e-9
     nudge moves the rounding cliff off exact .5 ties, where the two engines'
-    sums can differ by 1 ulp and would otherwise round apart."""
+    sums can differ by 1 ulp and would otherwise round apart.
+
+    +-Infinity passes through unrounded: Spark's floor(DOUBLE) returns
+    BIGINT, so floor(inf*1e6) silently clamps to Long.MaxValue (9.22e12
+    after the divide) where DuckDB keeps inf — caught by the first full
+    sf0.1 oracle sweep on histogram_day's overflow bin (round 6)."""
     c = col if not isinstance(col, str) else F.col(col)
-    return F.floor(c * 1000000.0 + 0.5 + 1e-9) / 1000000.0
+    rounded = F.floor(c * 1000000.0 + 0.5 + 1e-9) / 1000000.0
+    return F.when(c == float("inf"), c).when(c == float("-inf"), c).otherwise(rounded)
 
 TSFMT_DUCK = "%Y-%m-%d %H:%M:%S"
 
@@ -1519,13 +1525,22 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (banded pigeonhole join + popcount filter).
     md5-hash variant (60-bit simhash, 4 bands x 15 bits) so DuckDB
     reproduces the bit votes, band chunks and hamming distances exactly;
-    production default is xxhash64/64-bit with the identical plan."""
+    production default is xxhash64/64-bit with the identical plan.
+
+    max_bucket_size is raised far above any test-sf bucket so the row is
+    BIT-EXACT against the uncapped oracle at every scale factor: the
+    first full sf0.1 sweep (round 6) found a >256-member band bucket
+    there, where the production default's star-pair recall approximation
+    dropped 14 pairs the oracle keeps. The degenerate-bucket cap itself
+    stays default-on for production callers and is pinned by its own
+    planted-bucket tests."""
     from sentometrics_spark.textops.dedup import simhash_near_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     return (
         simhash_near_pairs(
-            docs, id_col="doc_id", max_hamming=3, bands=4, bits=60, hash_fn="md5"
+            docs, id_col="doc_id", max_hamming=3, bands=4, bits=60, hash_fn="md5",
+            max_bucket_size=1_000_000,
         )
         .orderBy("id_a", "id_b")
         .select(

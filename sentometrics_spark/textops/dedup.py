@@ -287,21 +287,17 @@ def _minhash_banded_arrow(
                 sh = acc
                 h32 = sh & np.uint64(0xFFFFFFFF)
 
-                # k affine permutations, per-doc minima. The mod by the
-                # Mersenne prime M = 2^31 - 1 is computed by exact folding
-                # (2^31 === 1 mod M, so x mod M folds as (x >> 31) + (x & M);
-                # a*h32 + b < 2^63, two folds land below 2M, one conditional
-                # subtract finishes) — numpy uint64 `%` is a hardware divide
-                # per element and dominated this loop.
+                # k affine permutations, per-doc minima. NOTE (round 6,
+                # measured): numpy's uint64 `%` by a scalar outperforms an
+                # exact Mersenne shift-fold reduction 3.3x here (77 vs
+                # 255 ms per 450k-token batch) — the fold's five vectorized
+                # temporaries cost more than the optimized scalar-divisor
+                # mod. Keep the plain `%`.
                 mins = np.empty((len(ids), k), dtype=np.uint64)
                 red = sh_offs
-                s31 = np.uint64(31)
                 for j in range(k):
-                    y = a_np[j] * h32 + b_np[j]
-                    y = (y >> s31) + (y & p_u64)
-                    y = (y >> s31) + (y & p_u64)
-                    y = np.where(y >= p_u64, y - p_u64, y)
-                    mins[:, j] = np.minimum.reduceat(y, red)
+                    perm = (a_np[j] * h32 + b_np[j]) % p_u64
+                    mins[:, j] = np.minimum.reduceat(perm, red)
                 # empty-text docs (lens==0 after split never happens: split
                 # of "" is [""]), so every doc has >= 1 shingle
 

@@ -177,26 +177,6 @@ def test_doc_weights_exponential_null_bucket_survives(spark):
         assert abs(tot - 1.0) < 1e-9
 
 
-def test_mersenne_fold_equals_mod():
-    """The minhash kernel's folded reduction must equal `% (2^31-1)`
-    exactly over the full (a*h32 + b) input range."""
-    import numpy as np
-
-    M = np.uint64((1 << 31) - 1)
-    rng = np.random.default_rng(7)
-    a = rng.integers(1, (1 << 31) - 1, 200_000, dtype=np.uint64)
-    h = rng.integers(0, 1 << 32, 200_000, dtype=np.uint64)
-    b = rng.integers(0, (1 << 31) - 1, 200_000, dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        y0 = a * h + b
-        # plant exact multiples of M and boundary values
-        y0[:4] = [0, int(M), int(2 * M), (1 << 63) - 1]
-        y = (y0 >> np.uint64(31)) + (y0 & M)
-        y = (y >> np.uint64(31)) + (y & M)
-        y = np.where(y >= M, y - M, y)
-    assert (y == y0 % M).all()
-
-
 def test_gram_arrow_kernel_null_and_short_docs(spark):
     """Kernel edge cases: NULL text contributes no gram rows (module NULL
     convention), docs shorter than n contribute none, and a doc of

@@ -101,53 +101,40 @@ def flat_from_texts(texts: pd.Series, pack) -> tuple:
     flat = pc.list_flatten(toks)
     lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
     doc_idx = np.repeat(np.arange(n_docs, dtype=np.int32), lens)
-    # dictionary-encode ONCE: the letter/number regex filters and the
-    # vocab lookups below are pure per-token functions, so they run over
-    # the UNIQUE token vocabulary (typically 100-1000x smaller than the
-    # stream) and map back through the dictionary indices — bit-identical
-    # to evaluating them per occurrence (round 6, the
-    # _minhash_banded_arrow doctrine; the two RE2 passes over every
-    # occurrence dominated this kernel)
-    dic = flat.dictionary_encode()
-    idx = np.asarray(dic.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
-    uvoc = dic.dictionary
     # skip_word_none + skip_word_number: keep tokens containing a letter
     # but not ending in a digit (ICU NUMBER rule status — see ENDS_NUMBER
     # in tokenize.py; tier-0 batches only produce [a-z]* tokens, where
     # nonempty suffices)
     if needs_letter_filter:
-        keep_u = pc.and_not(
-            pc.match_substring_regex(uvoc, HAS_LETTER),
-            pc.match_substring_regex(uvoc, ENDS_NUMBER),
+        keep = pc.and_not(
+            pc.match_substring_regex(flat, HAS_LETTER),
+            pc.match_substring_regex(flat, ENDS_NUMBER),
         ).to_numpy(zero_copy_only=False)
     else:
-        keep_u = pc.not_equal(uvoc, "").to_numpy(zero_copy_only=False)
-    keep_u = np.asarray(keep_u, dtype=bool)
-    keep = keep_u[idx]
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
     if not keep.all():
-        idx = idx[keep]
+        flat = flat.filter(pa.array(keep))
         doc_idx = doc_idx[keep]
         lens = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
     offsets = np.concatenate(([0], np.cumsum(lens, dtype=np.int64)[:-1]))
     pos_in_doc = (np.arange(len(doc_idx), dtype=np.int64) - offsets[doc_idx]).astype(np.int32)
 
     vocab = pa.array(sorted(pack.word2id), type=pa.string())
-    vid_u = pc.fill_null(pc.index_in(uvoc, value_set=vocab), -1).to_numpy(
+    vid = pc.fill_null(pc.index_in(flat, value_set=vocab), -1).to_numpy(
         zero_copy_only=False
     ).astype(np.int32, copy=False)
-    vid = vid_u[idx]
     vy = vt = None
     if pack.valence_y:
         val_vocab = sorted(pack.valence_y)
-        vu = pc.fill_null(
-            pc.index_in(uvoc, value_set=pa.array(val_vocab, type=pa.string())), -1
+        val_ids = pc.fill_null(
+            pc.index_in(flat, value_set=pa.array(val_vocab, type=pa.string())), -1
         ).to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
         vy_vec = np.array([pack.valence_y[w] for w in val_vocab])
         vt_vec = np.array([pack.valence_t[w] for w in val_vocab], dtype=np.int8)
-        miss_u = vu < 0
-        safe_u = np.where(miss_u, 0, vu)
-        vy = np.where(miss_u, np.nan, vy_vec[safe_u])[idx]
-        vt = np.where(miss_u, np.int8(0), vt_vec[safe_u])[idx]
+        miss = val_ids < 0
+        safe = np.where(miss, 0, val_ids)
+        vy = np.where(miss, np.nan, vy_vec[safe])
+        vt = np.where(miss, np.int8(0), vt_vec[safe])
     return n_docs, lens, doc_idx, pos_in_doc, vid, vy, vt
 
 

@@ -243,12 +243,14 @@ def test_simhash_pairs_plan_no_self_join(spark, tmp_path):
     assert len(re.findall(r"^\(\d+\) MapInPandas", p, flags=re.M)) <= 1, p
     assert len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M)) == 2, p
 
-    # the round-5 two-phase form: small-pair and star branches both consume
-    # the SAME (band, chunk) window Exchange; at runtime AQE dedupes the
-    # second as a ReusedExchange, so the banded table shuffles ONCE and the
-    # signature kernel (MapInPandas) runs ONCE — while no single row ever
-    # materializes more than max_bucket_size members (over-cap buckets take
-    # the row-wise star path, no collect_list).
+    # the round-6 form: the ranked banded table is pinned with a lazy
+    # localCheckpoint before the small-pair and star branches split, so
+    # the signature kernel + (band, chunk) shuffle + window run ONCE
+    # inside the checkpointed RDD (the r5 ReusedExchange form still
+    # re-ran the sort + window per branch) and BOTH branches read the
+    # same stored blocks — while no single row ever materializes more
+    # than max_bucket_size members (over-cap buckets take the row-wise
+    # star path, no collect_list).
     path = str(tmp_path / "docs.parquet")
     docs.write.mode("overwrite").parquet(path)
     df = dedup.simhash_near_pairs(
@@ -261,8 +263,12 @@ def test_simhash_pairs_plan_no_self_join(spark, tmp_path):
         df._jdf.queryExecution().executedPlan().toString()
         .split("== Initial Plan ==")[0]
     )
-    assert "ReusedExchange" in final, final
-    assert final.count("MapInPandas") == 1, final
+    # kernel + window live inside the checkpoint: both branches are scans
+    # of the SAME materialized RDD, and neither re-executes the kernel,
+    # the window or a branch-side banded-table Exchange+Sort
+    assert final.count("Scan ExistingRDD") == 2, final
+    assert "MapInPandas" not in final, final
+    assert "Window" not in final, final
     assert "Join " not in final and "Cartesian" not in final, final
 
 

@@ -65,8 +65,8 @@ def test_duplicated_spans_window_form_matches_join_form(spark):
     assert len(new) > 0
 
 
-def test_simhash_unpackbits_kernel_matches_bit_loop(spark):
-    """The round-6 simhash kernel (one unpackbits + segmented reduceat)
+def test_simhash_lean_kernel_matches_bit_loop(spark):
+    """The round-6 simhash kernel (uint64-lean per-bit reduceat loop)
     must produce bit-identical signatures to the original per-bit
     shift/mask vote loop, reimplemented here as the reference."""
     import numpy as np
